@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship faceted catalog search on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the data-pipeline operators; catalog-surface oracles are
+*generated* from the same compiled query IR the Spark plan is rendered from
+(data_catalog_spark/query/sqlgen.py), so both sides share one semantic
+definition.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the M1 full-featured search (text score + security
+    predicate + query/post filter split + ranked pagination) on sf0.001."""
+    from data_catalog_spark import search
+    from data_catalog_spark.datasets_source import datasets_df
+    from data_catalog_spark.query import DataSetFiltering, compile_query
+
+    cq = compile_query(
+        {"query": "widget", "filters": [{"format": ["json"]}], "size": 10},
+        ["org01", "org02"],
+        DataSetFiltering.PRIVATE_AND_PUBLIC,
+        is_admin=False,
+    )
+    return search.hits(datasets_df(spark, "/root/testdata/sf0.001"), cq)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from data_catalog_spark.entries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_catalog_spark.entries import all_oracles
+
+    return all_oracles()

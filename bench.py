@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Per query: 2 timed runs, best-of taken (steady-state; the first run pays
+one-time scan-planning costs).  ``value`` is the sum of per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_supplier_nation_revenue",
+    "top3_orders_per_customer",
+    "events_hourly_rollup",
+    "cat_text_search",
+    "cat_m1_full",
+    "cat_facet_categories",
+    "cat_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_catalog_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # JVM warmup
+
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # Optional extended set via env (e.g. dedup/ann heavy hitters).
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
+    names += [n for n in extra.split(",") if n and n in qs and n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""CRUD / DDL on the parquet-backed `datasets` catalog table.
+
+Re-expresses the reference's document lifecycle (SURVEY §2.1, S2-S8):
+
+- S2 point lookup      — metadata_entry.py:137-144, bases.py:51-63
+- S3 upsert sink       — metadata_entry.py:169-181 (created vs updated)
+- S4 partial update    — metadata_entry.py:238-260 (schema-keys-only patch)
+- S5 delete by id      — metadata_entry.py:191-214, bases.py:65-83
+- S6 bulk load         — elastic_admin.py:54-83 (skip invalid rows)
+- S7/S8 create/drop    — app.py:89-112, elastic_admin.py:41-52
+
+Storage model: a directory of parquet files + atomic directory swap per
+commit (copy-on-write).  On a real deployment this class is a thin wrapper
+over Delta/Iceberg ``MERGE INTO`` keyed on ``id`` — the call surface is
+written so that swap-out is mechanical (each mutator builds the post-image
+DataFrame; only ``_commit`` knows the storage).  The reference's explicit
+index flush for read-your-writes (bases.py:82, R8) is a no-op here: a
+committed parquet/Delta snapshot is immediately visible to new reads.
+
+Scale notes (100 TB ingestion): mutations are expressed as *batch merges*
+(anti-join + union), never per-row loops — ``bulk_upsert`` is the primitive
+and single-entry ops delegate to it, so the same code path micro-batches.
+At scale, partition by ``isPublic`` + bucket by ``orgUUID`` so the security
+predicate of every search becomes partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import EntryNotFoundError, InvalidEntryError
+from .schema import COLUMN_ORDER, DATASETS_SCHEMA, transform_entry, validate_entry
+
+
+class DatasetsCatalog:
+    """A parquet-backed catalog table with id-keyed upsert semantics."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create_if_not_exists(self) -> None:
+        """S7: idempotent create (reference swallows IndexAlreadyExists,
+        app.py:101-109 / R9)."""
+        if not self._exists():
+            empty = self.spark.createDataFrame([], DATASETS_SCHEMA)
+            self._commit(empty)
+
+    def drop(self) -> None:
+        """S8: drop the whole table (elastic_admin.py:41-52)."""
+        if self._exists():
+            shutil.rmtree(self.path)
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    # -- reads -------------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        self.create_if_not_exists()
+        return self.spark.read.schema(DATASETS_SCHEMA).parquet(self.path)
+
+    def get(self, entry_id: str) -> dict:
+        """S2: point lookup by id; EntryNotFoundError -> 404."""
+        rows = self.df().where(F.col("id") == F.lit(entry_id)).limit(1).collect()
+        if not rows:
+            raise EntryNotFoundError(entry_id)
+        return rows[0].asDict()
+
+    def count(self) -> int:
+        return self.df().count()
+
+    # -- writes ------------------------------------------------------------
+
+    def upsert(self, entry_id: str, entry: dict) -> bool:
+        """S3: insert-or-replace the whole document under ``id``.
+
+        Returns True when created, False when updated (the reference's
+        201-vs-200 distinction, metadata_entry.py:169-181).
+        """
+        created, _ = self.bulk_upsert([(entry_id, entry)])
+        return entry_id in created
+
+    def bulk_upsert(
+        self, entries: list[tuple[str, dict]], *, skip_invalid: bool = False
+    ) -> tuple[set, list]:
+        """S6: micro-batched merge; returns (created_ids, rejects).
+
+        With ``skip_invalid`` mirrors the admin bulk load (invalid rows are
+        skipped and reported, elastic_admin.py:54-83); otherwise the first
+        invalid entry raises (the PUT path).
+        """
+        rows, rejects = [], []
+        for entry_id, entry in entries:
+            try:
+                body = transform_entry(entry)
+            except InvalidEntryError as e:
+                if not skip_invalid:
+                    raise
+                rejects.append((entry_id, str(e)))
+                continue
+            body["id"] = str(entry_id)
+            rows.append(body)
+        if not rows:
+            return set(), rejects
+        return self._merge_rows(rows), rejects
+
+    def _merge_rows(self, rows: list[dict]) -> set:
+        """MERGE post-validated full rows keyed on id; returns created ids.
+
+        delete-on-match + insert == WHEN MATCHED UPDATE / NOT MATCHED INSERT
+        for whole-row replacement.
+        """
+        current = self.df()
+        batch = self.spark.createDataFrame(
+            [Row(**{c: r.get(c) for c in COLUMN_ORDER}) for r in rows],
+            DATASETS_SCHEMA,
+        )
+        ids = [r["id"] for r in rows]
+        existing = {
+            r["id"]
+            for r in current.select("id").where(F.col("id").isin(ids)).collect()
+        }
+        merged = current.where(~F.col("id").isin(ids)).unionByName(batch)
+        self._commit(merged)
+        return {i for i in ids if i not in existing}
+
+    def partial_update(self, entry_id: str, patch: dict) -> None:
+        """S4: patch a subset of fields of one document.
+
+        Unknown keys are rejected (metadata_entry.py:239-241); missing id
+        raises EntryNotFoundError.
+        """
+        problems = validate_entry(patch, partial=True)
+        if problems:
+            raise InvalidEntryError("; ".join(problems))
+        current = self.get(entry_id)  # raises if missing
+        current.update(patch)
+        # Bypass ingest validation: the stored row carries fields (storeType)
+        # that PUT cannot set but a patch must preserve.
+        self._merge_rows([current])
+
+    def delete(self, entry_id: str) -> dict:
+        """S5: delete one document; returns the deleted entry so the caller
+        can run cascade hooks (dataset_delete.py:31-48 derives downstream
+        delete targets from targetUri).  Read-your-writes is free (R8)."""
+        entry = self.get(entry_id)
+        self._commit(self.df().where(F.col("id") != F.lit(entry_id)))
+        return entry
+
+    # -- storage -----------------------------------------------------------
+
+    def _commit(self, df: DataFrame) -> None:
+        """Atomic-ish copy-on-write: write post-image to a temp dir, swap.
+
+        Stand-in for a Delta/Iceberg transactional commit; the swap keeps
+        readers consistent on a single node.
+        """
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(
+            tempfile.mkdtemp(dir=parent), f"datasets-{uuid.uuid4().hex}"
+        )
+        df.write.mode("overwrite").parquet(tmp)
+        old = self.path + f".old-{uuid.uuid4().hex}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)

@@ -1,0 +1,176 @@
+"""The driver contract surface: queries() + oracle_sql() registries.
+
+Every catalog-surface entry is built from ONE CompiledQuery rendered twice —
+to a PySpark plan (data_catalog_spark.search) and to DuckDB SQL
+(data_catalog_spark.query.sqlgen) — so the oracle checks *execution*, not
+hand-kept parallel implementations.  Operator entries (dedup / similarity /
+text / sessionization) register here too as they land.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .datasets_source import ORACLE_DATASETS_CTE, datasets_df
+from .query import DataSetFiltering as M, compile_query
+from .query import sqlgen
+from . import search
+
+ORGS = ["org01", "org02"]
+
+# name -> (query_json, orgs, mode, is_admin) — the catalog query corpus,
+# mirroring the reference's golden cases (tests/test_query_translation.py)
+# against the derived datasets table.
+CATALOG_CASES: dict[str, tuple] = {
+    "cat_match_all": ({"size": 50}, ORGS, M.PRIVATE_AND_PUBLIC, False),
+    "cat_only_public": ({"size": 50}, [], M.ONLY_PUBLIC, False),
+    "cat_only_private": ({"size": 50}, ["org03"], M.ONLY_PRIVATE, False),
+    "cat_admin_bypass": ({"size": 50}, [], M.PRIVATE_AND_PUBLIC, True),
+    "cat_text_search": ({"query": "widget", "size": 25}, ORGS, M.PRIVATE_AND_PUBLIC, False),
+    "cat_text_multi_clause": (
+        {"query": "economy widget", "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_filter_term": (
+        {"filters": [{"format": ["csv"]}], "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_filter_terms_in": (
+        {"filters": [{"category": ["brand#13", "brand#19", "brand#2"]}], "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_filter_case_norm": (
+        {"filters": [{"format": ["JSON"]}], "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_time_range": (
+        {"filters": [{"creationTime": ["2014-03-01", "2014-09-30"]}], "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_time_open_end": (
+        {"filters": [{"creationTime": ["2014-06-15", -1]}], "size": 25},
+        ["org01"],
+        M.ONLY_PUBLIC,
+        False,
+    ),
+    "cat_user_vis_or_group": (
+        {"filters": [{"isPublic": [False]}], "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_paginated": (
+        {"query": "widget", "size": 5, "from": 7},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_m1_full": (
+        {"query": "widget", "filters": [{"format": ["json"]}], "size": 3, "from": 2},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+}
+
+
+def _hits_query(case: tuple) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cq = compile_query(*case)
+        return search.hits(datasets_df(spark, sf_dir), cq)
+
+    return run
+
+
+def _facet_query(case: tuple, which: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cq = compile_query(*case)
+        ds = datasets_df(spark, sf_dir)
+        if which == "categories":
+            return search.categories_facet(ds, cq)
+        return search.formats_facet(ds, cq)
+
+    return run
+
+
+def _total_query(case: tuple) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cq = compile_query(*case)
+        return search.total(datasets_df(spark, sf_dir), cq)
+
+    return run
+
+
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: fetch one document by its id (metadata_entry.py:137-144) — a
+    separate path from search; `id` is the ES _id, not a filterable field."""
+    from pyspark.sql import functions as F
+
+    return datasets_df(spark, sf_dir).where(F.col("id") == F.lit("42")).limit(1)
+
+
+POINT_LOOKUP_ORACLE = f"{ORACLE_DATASETS_CTE} SELECT * FROM datasets WHERE id = '42' LIMIT 1"
+
+
+def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, case in CATALOG_CASES.items():
+        out[name] = _hits_query(case)
+    out["cat_point_lookup"] = _point_lookup
+    # Facet / count surfaces (A1-A4) on representative cases.
+    out["cat_facet_categories"] = _facet_query(CATALOG_CASES["cat_filter_term"], "categories")
+    out["cat_facet_formats"] = _facet_query(CATALOG_CASES["cat_filter_term"], "formats")
+    out["cat_facet_text_categories"] = _facet_query(
+        CATALOG_CASES["cat_text_search"], "categories"
+    )
+    out["cat_count"] = _total_query(CATALOG_CASES["cat_match_all"])
+    out["cat_count_only_public"] = _total_query(CATALOG_CASES["cat_only_public"])
+    return out
+
+
+def catalog_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, case in CATALOG_CASES.items():
+        cq = compile_query(*case)
+        out[name] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq)}"
+    out["cat_point_lookup"] = POINT_LOOKUP_ORACLE
+    cq_term = compile_query(*CATALOG_CASES["cat_filter_term"])
+    cq_text = compile_query(*CATALOG_CASES["cat_text_search"])
+    cq_all = compile_query(*CATALOG_CASES["cat_match_all"])
+    cq_pub = compile_query(*CATALOG_CASES["cat_only_public"])
+    out["cat_facet_categories"] = f"{ORACLE_DATASETS_CTE} {sqlgen.categories_facet_sql(cq_term)}"
+    out["cat_facet_formats"] = f"{ORACLE_DATASETS_CTE} {sqlgen.formats_facet_sql(cq_term)}"
+    out["cat_facet_text_categories"] = (
+        f"{ORACLE_DATASETS_CTE} {sqlgen.categories_facet_sql(cq_text)}"
+    )
+    out["cat_count"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_all)}"
+    out["cat_count_only_public"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_pub)}"
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = catalog_queries()
+    from .operators import registry as op_registry
+
+    out.update(op_registry.queries())
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out = catalog_oracles()
+    from .operators import registry as op_registry
+
+    out.update(op_registry.oracles())
+    return out

@@ -1,0 +1,40 @@
+"""Registry of data-pipeline operator queries + oracles.
+
+Operator modules append entries here as they land; keeps
+``__spark_entry__.queries()`` a single import away.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: str | None):
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+def _load_all() -> None:
+    # Import for side effect: each module registers its entries.
+    from . import analytics  # noqa: F401
+
+    try:
+        from . import dedup, similarity, text, sessionize  # noqa: F401
+    except ImportError:
+        pass

@@ -1,0 +1,189 @@
+"""Execute a CompiledQuery as a PySpark DataFrame plan.
+
+Spark rendering of the same IR that ``query.sqlgen`` renders to oracle SQL.
+All predicates/score expressions are built from built-in functions (lower/
+rlike/contains/isin/when) so the whole plan stays inside whole-stage codegen
+and Catalyst can push filters into the parquet scan — no UDFs anywhere.
+
+Plan shape (R2, SURVEY §4): ``df1 = scan.where(security ∧ query_filters ∧
+text_match)`` → facets aggregate df1; ``hits/total = df1.where(post)``.
+Facets must NOT see post-filters (category/format selections) but MUST see
+security/time filters (query_translation.py:82-96).
+
+Scale notes (100 TB): the security predicate (orgUUID/isPublic) is the outer
+filter of every query — partitioning the catalog table by isPublic and
+bucketing by orgUUID turns it into partition pruning.  Ranked pagination
+compiles to TakeOrderedAndProject (top from+size per partition, merged on the
+driver) — no global sort.  Facets are partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import analyzers
+from .query.compiler import (
+    CATEGORIES_FACET_SIZE,
+    FORMATS_FACET_SIZE,
+    CompiledQuery,
+    OrGroup,
+    RangeFilter,
+    TermsFilter,
+)
+from .schema import COLUMN_ORDER, IS_PUBLIC_FIELD, ORG_UUID_FIELD
+
+_NUMERIC_FIELDS = frozenset({"recordCount", "size"})
+
+
+def predicate_column(f) -> Column:
+    """Render one IR filter to a Spark Column (mirrors sqlgen.predicate_sql)."""
+    if isinstance(f, TermsFilter):
+        if f.fld == IS_PUBLIC_FIELD or f.fld in _NUMERIC_FIELDS:
+            expr = F.col(f.fld)
+            values = list(f.values)
+        elif f.fld == ORG_UUID_FIELD:
+            expr = F.col(f.fld)
+            values = list(f.values)
+        else:
+            expr = F.lower(F.col(f.fld))
+            values = list(f.values)
+        if len(values) == 1:
+            return expr == F.lit(values[0])
+        return expr.isin(values)
+    if isinstance(f, RangeFilter):
+        cond = F.lit(True)
+        if f.lo is not None:
+            cond = cond & (F.col(f.fld) >= F.lit(f.lo))
+        if f.hi is not None:
+            cond = cond & (F.col(f.fld) <= F.lit(f.hi))
+        return cond
+    if isinstance(f, OrGroup):
+        out = None
+        for x in f.filters:
+            c = predicate_column(x)
+            out = c if out is None else (out | c)
+        return out
+    raise TypeError(f"unknown filter {f!r}")
+
+
+def text_clause_columns(text: str) -> list[tuple[Column, float]]:
+    """The 3 boosted text clauses (T1-T3) as Columns — same patterns as the
+    oracle renderer (analyzers.token_match_pattern is shared)."""
+    clauses: list[tuple[Column, float]] = [
+        (F.lower(F.col("title")).contains(text.lower()), 3.0)
+    ]
+    std = analyzers.token_match_pattern(
+        analyzers.standard_tokens(text), analyzers.STANDARD_SPLIT
+    )
+    if std:
+        clauses.append((F.lower(F.col("dataSample")).rlike(std), 2.0))
+    uri = analyzers.token_match_pattern(analyzers.uri_tokens(text), analyzers.URI_SPLIT)
+    if uri:
+        clauses.append((F.lower(F.col("sourceUri")).rlike(uri), 1.0))
+    return clauses
+
+
+def score_column(cq: CompiledQuery) -> Column:
+    """T4/T5: sum of matching clause boosts; constant 1.0 on match-all."""
+    if not cq.text:
+        return F.lit(1.0).cast("double")
+    total = None
+    for pred, boost in text_clause_columns(cq.text):
+        c = F.when(pred, F.lit(boost).cast("double")).otherwise(F.lit(0.0).cast("double"))
+        total = c if total is None else (total + c)
+    return total
+
+
+def query_predicate(cq: CompiledQuery) -> Column:
+    """Security + query filters + text-match requirement (≥1 should-clause)."""
+    cond = F.lit(True)
+    for f in cq.query_filters:
+        cond = cond & predicate_column(f)
+    if cq.text:
+        disj = None
+        for pred, _ in text_clause_columns(cq.text):
+            disj = pred if disj is None else (disj | pred)
+        cond = cond & disj
+    return cond
+
+
+def post_predicate(cq: CompiledQuery) -> Column:
+    cond = F.lit(True)
+    for f in cq.post_filters:
+        cond = cond & predicate_column(f)
+    return cond
+
+
+def query_filtered(df: DataFrame, cq: CompiledQuery) -> DataFrame:
+    """df1 of the R2 plan shape: query-context rows (facet/aggregation base)."""
+    return df.where(query_predicate(cq))
+
+
+def hits(df: DataFrame, cq: CompiledQuery) -> DataFrame:
+    """Ranked, post-filtered, paginated hits page — compiles to
+    TakeOrderedAndProject (top-k, no global sort)."""
+    ranked = (
+        query_filtered(df, cq)
+        .withColumn("score", score_column(cq))
+        .where(post_predicate(cq))
+        .select(*COLUMN_ORDER, "score")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+    )
+    if cq.from_:
+        ranked = ranked.offset(cq.from_)
+    return ranked.limit(cq.size)
+
+
+def facet(df: DataFrame, cq: CompiledQuery, fld: str, size: int) -> DataFrame:
+    """Terms facet over the pre-post-filter set; deterministic top-k."""
+    return (
+        query_filtered(df, cq)
+        .groupBy(F.col(fld).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(size)
+    )
+
+
+def categories_facet(df: DataFrame, cq: CompiledQuery) -> DataFrame:
+    return facet(df, cq, "category", CATEGORIES_FACET_SIZE)
+
+
+def formats_facet(df: DataFrame, cq: CompiledQuery) -> DataFrame:
+    return facet(df, cq, "format", FORMATS_FACET_SIZE)
+
+
+def total(df: DataFrame, cq: CompiledQuery) -> DataFrame:
+    """hits.total as a 1-row DataFrame (post-filter applied, pagination not)."""
+    return (
+        query_filtered(df, cq)
+        .where(post_predicate(cq))
+        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+    )
+
+
+@dataclass
+class SearchResult:
+    """The reference's response shape (search.py:121-135, api_doc.json
+    SearchHits): hits + total + facet bucket keys."""
+
+    hits: list[dict]
+    total: int
+    categories: list[str]
+    formats: list[str]
+
+
+def search(df: DataFrame, cq: CompiledQuery) -> SearchResult:
+    """Full faceted search — the one driver-side collect point (final page +
+    facet keys + count only; never the full match set)."""
+    base = query_filtered(df, cq)
+    # One branch point feeding 3 small outputs; caching pays off only for
+    # interactive reuse — at scale rely on parquet scan reuse + AQE.
+    hit_rows = [r.asDict() for r in hits(df, cq).collect()]
+    cats = [r["value"] for r in categories_facet(df, cq).collect()]
+    fmts = [r["value"] for r in formats_facet(df, cq).collect()]
+    n = base.where(post_predicate(cq)).count()
+    return SearchResult(hits=hit_rows, total=n, categories=cats, formats=fmts)

@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's t2 gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at the given SF, compare row count +
+column names + order-insensitive value multiset (floats rounded).
+
+Usage: python scripts/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        [tuple(norm_cell(r[i]) for i in order) for r in rows], key=repr
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from data_catalog_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(app_name="correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures, no_oracle = [], []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            failures.append((name, f"spark error: {ex}"))
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            no_oracle.append(name)
+            print(f"ok?  {name}: {len(rows)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            failures.append((name, f"oracle error: {ex}"))
+            print(f"FAIL {name}: oracle error: {ex}")
+            continue
+        problems = []
+        if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
+            problems.append(f"columns {cols} vs {ocols}")
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} vs {len(orows)}")
+        elif norm_rows(rows, cols) != norm_rows(orows, ocols):
+            got, want = norm_rows(rows, cols), norm_rows(orows, ocols)
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+            problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"PASS {name}: {len(rows)} rows in {time.time()-t0:.1f}s")
+
+    print(
+        f"\n{len(qs) - len(failures) - len(no_oracle)} passed, "
+        f"{len(failures)} failed, {len(no_oracle)} rows-only"
+    )
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

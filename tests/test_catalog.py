@@ -1,0 +1,140 @@
+"""CRUD semantics tests — upsert created/updated, partial update, delete
+visibility, bulk load with rejects, validation matrix (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark.catalog import DatasetsCatalog
+from data_catalog_spark.errors import (
+    EntryNotFoundError,
+    InvalidEntryError,
+)
+from data_catalog_spark.schema import transform_entry, validate_entry
+
+# Canonical entry — tests/test_metadata_entries.py:43-57 shape.
+ENTRY = {
+    "orgUUID": "org02",
+    "category": "health",
+    "dataSample": "some sample",
+    "format": "csv",
+    "recordCount": 13,
+    "size": 99999,
+    "sourceUri": "some uri",
+    "targetUri": "hdfs://6.6.6.6:8200/borker/long-long-hash/9213-154b-a0b9/00000_1",
+    "title": "a great title",
+    "isPublic": True,
+    "creationTime": "2015-02-13T13:00:00",
+}
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = DatasetsCatalog(spark, str(tmp_path / "datasets"))
+    c.create_if_not_exists()
+    return c
+
+
+def test_create_is_idempotent(cat):
+    cat.create_if_not_exists()
+    assert cat.count() == 0
+
+
+def test_upsert_created_then_updated(cat):
+    assert cat.upsert("e1", ENTRY) is True  # 201
+    assert cat.upsert("e1", {**ENTRY, "title": "new title"}) is False  # 200
+    assert cat.count() == 1
+    assert cat.get("e1")["title"] == "new title"
+
+
+def test_point_lookup_missing_raises(cat):
+    with pytest.raises(EntryNotFoundError):
+        cat.get("nope")
+
+
+def test_partial_update(cat):
+    cat.upsert("e1", ENTRY)
+    cat.partial_update("e1", {"format": "json", "recordCount": 99})
+    got = cat.get("e1")
+    assert got["format"] == "json"
+    assert got["recordCount"] == 99
+    assert got["title"] == ENTRY["title"]
+
+
+def test_partial_update_rejects_unknown_keys(cat):
+    cat.upsert("e1", ENTRY)
+    with pytest.raises(InvalidEntryError):
+        cat.partial_update("e1", {"nosuchfield": 1})
+
+
+def test_partial_update_missing_id(cat):
+    with pytest.raises(EntryNotFoundError):
+        cat.partial_update("ghost", {"format": "json"})
+
+
+def test_delete_and_read_your_writes(cat):
+    cat.upsert("e1", ENTRY)
+    deleted = cat.delete("e1")
+    assert deleted["targetUri"] == ENTRY["targetUri"]  # cascade hook input
+    assert cat.count() == 0
+    with pytest.raises(EntryNotFoundError):
+        cat.get("e1")
+
+
+def test_bulk_load_skips_invalid(cat):
+    entries = [
+        ("a", ENTRY),
+        ("b", {**ENTRY, "targetUri": "some_path"}),  # invalid
+        ("c", {**ENTRY, "title": "other"}),
+    ]
+    created, rejects = cat.bulk_upsert(entries, skip_invalid=True)
+    assert created == {"a", "c"}
+    assert [r[0] for r in rejects] == ["b"]
+    assert cat.count() == 2
+
+
+def test_drop(cat):
+    cat.upsert("e1", ENTRY)
+    cat.drop()
+    cat.create_if_not_exists()
+    assert cat.count() == 0
+
+
+# -- validation matrix (tests/test_metadata_entries.py:314-338) -------------
+
+
+def test_valid_entry_passes_unchanged():
+    out = transform_entry(ENTRY)
+    assert {k: out[k] for k in ENTRY} == ENTRY
+
+
+@pytest.mark.parametrize(
+    "uri", ["//onet.pl/", "hdfs://onet.pl/", "http://", "some_path"]
+)
+def test_invalid_target_uris_rejected(uri):
+    with pytest.raises(InvalidEntryError):
+        transform_entry({**ENTRY, "targetUri": uri})
+
+
+@pytest.mark.parametrize("missing", ["dataSample", "format", "orgUUID", "title"])
+def test_missing_required_field_rejected(missing):
+    entry = {k: v for k, v in ENTRY.items() if k != missing}
+    with pytest.raises(InvalidEntryError):
+        transform_entry(entry)
+
+
+def test_missing_creation_time_gets_filled():
+    entry = {k: v for k, v in ENTRY.items() if k != "creationTime"}
+    out = transform_entry(entry)
+    assert out["creationTime"]  # defaulted to now().isoformat()
+
+
+def test_unknown_field_rejected():
+    assert validate_entry({**ENTRY, "storeType": "hdfs"})  # not PUT-writable
+    assert validate_entry({**ENTRY, "bogus": 1})
+
+
+def test_type_checks():
+    assert validate_entry({**ENTRY, "recordCount": "many"})
+    assert validate_entry({**ENTRY, "isPublic": "yes"})
+    assert validate_entry({**ENTRY, "title": 7})

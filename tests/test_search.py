@@ -1,0 +1,120 @@
+"""End-to-end search parity: the Spark plan vs the generated DuckDB oracle
+on the derived `datasets` table (the same IR rendered by both backends)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark import search
+from data_catalog_spark.datasets_source import ORACLE_DATASETS_CTE, datasets_df
+from data_catalog_spark.query import DataSetFiltering as M, compile_query
+from data_catalog_spark.query import sqlgen
+
+from conftest import assert_same
+
+ORGS = ["org01", "org02"]
+
+CASES = {
+    "match_all_pap": ({}, ORGS, M.PRIVATE_AND_PUBLIC, False),
+    "match_all_only_public": ({}, [], M.ONLY_PUBLIC, False),
+    "only_private": ({}, ["org03"], M.ONLY_PRIVATE, False),
+    "admin_bypass": ({}, [], M.PRIVATE_AND_PUBLIC, True),
+    "text_widget": ({"query": "widget", "size": 20}, ORGS, M.PRIVATE_AND_PUBLIC, False),
+    "text_economy_filter": (
+        {"query": "economy", "filters": [{"format": ["csv"]}], "size": 15},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "filter_terms": (
+        {"filters": [{"category": ["brand#13", "brand#19"]}], "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "time_range": (
+        {"filters": [{"creationTime": ["2014-03-01", "2014-09-30"]}], "size": 30},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "time_open_start": (
+        {"filters": [{"creationTime": [-1, "2014-06-15"]}]},
+        ["org01"],
+        M.ONLY_PUBLIC,
+        False,
+    ),
+    "paginated": ({"query": "widget", "size": 5, "from": 7}, ORGS, M.PRIVATE_AND_PUBLIC, False),
+    "m1_full": (
+        {"query": "widget", "filters": [{"format": ["json"]}], "size": 3, "from": 2},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir):
+    return datasets_df(spark, sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_hits_parity(name, ds, ddb):
+    cq = compile_query(*CASES[name])
+    assert_same(search.hits(ds, cq), ddb, f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq)}")
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_categories_facet_parity(name, ds, ddb):
+    cq = compile_query(*CASES[name])
+    assert_same(
+        search.categories_facet(ds, cq),
+        ddb,
+        f"{ORACLE_DATASETS_CTE} {sqlgen.categories_facet_sql(cq)}",
+    )
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_total_parity(name, ds, ddb):
+    cq = compile_query(*CASES[name])
+    assert_same(search.total(ds, cq), ddb, f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq)}")
+
+
+def test_facets_ignore_post_filters_but_hits_dont(ds):
+    """R2 plan shape: the format facet must list all formats available to the
+    query-filtered set even when the user filters format=csv."""
+    cq = compile_query(
+        {"filters": [{"format": ["csv"]}]}, ORGS, M.PRIVATE_AND_PUBLIC, False
+    )
+    fmts = {r["value"] for r in search.formats_facet(ds, cq).collect()}
+    assert fmts == {"csv", "json", "parquet"}
+    hit_formats = {r["format"] for r in search.hits(ds, cq).collect()}
+    assert hit_formats == {"csv"}
+
+
+def test_search_result_shape(ds):
+    cq = compile_query({"query": "widget", "size": 5}, ORGS, M.PRIVATE_AND_PUBLIC, False)
+    res = search.search(ds, cq)
+    assert len(res.hits) <= 5
+    assert res.total >= len(res.hits)
+    assert all(h["score"] > 0 for h in res.hits)
+    scores = [h["score"] for h in res.hits]
+    assert scores == sorted(scores, reverse=True)
+    assert res.categories and res.formats
+
+
+def test_score_tiers(ds):
+    """title substring (3) outranks dataSample match (2) outranks uri (1)."""
+    cq = compile_query({"query": "widget", "size": 500}, [], M.PRIVATE_AND_PUBLIC, True)
+    rows = search.hits(ds, cq).collect()
+    assert rows, "query must match"
+    for r in rows:
+        expected = 0.0
+        if "widget" in r["title"].lower():
+            expected += 3.0
+        if "widget" in r["dataSample"].lower():
+            expected += 2.0
+        if "widget" in r["sourceUri"].lower():
+            expected += 1.0
+        assert r["score"] == expected
