@@ -32,9 +32,4 @@ def oracles() -> dict[str, str]:
 
 def _load_all() -> None:
     # Import for side effect: each module registers its entries.
-    from . import analytics  # noqa: F401
-
-    try:
-        from . import dedup, similarity, text, sessionize  # noqa: F401
-    except ImportError:
-        pass
+    from . import analytics, dedup, sessionize, similarity, text  # noqa: F401

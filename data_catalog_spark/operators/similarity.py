@@ -1,0 +1,188 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- Brute-force cosine top-k: the exact baseline, oracle-checked.
+- Embedding-cosine near-dup pairs: oracle-checked.
+- Random-hyperplane LSH top-k: the scale path — bucketed candidate
+  generation + exact re-rank (rows-only driver check; pytest measures
+  recall vs brute force).
+
+All vector math is JVM-side column algebra: ``zip_with`` + ``aggregate``
+over double-cast arrays (no Python UDFs, no collect).  Floats are cast to
+double BEFORE the dot product on both engines so accumulation is identical;
+ranking uses the 6-dp-rounded score with vec_id tiebreak so ordering is
+deterministic across engines.
+
+Scale design (100 TB): brute force is a broadcast of the (small) query set
+against a partitioned scan of the corpus — embarrassingly parallel, no
+shuffle.  LSH adds a bucket-equality join: signatures are computed map-only,
+candidates shuffle only on bucket keys.  The IVF upgrade (k-means coarse
+quantizer) has the same plan shape — swap signature for nearest-centroid id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+TOP_K = 10
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+EMB_DUP_THRESHOLD = 0.4
+LSH_PLANES = 4  # 16 buckets; multiprobe hamming<=1
+_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("nrm", F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")"))
+
+
+def _cos() -> F.Column:
+    return F.expr(_DOT.format(a="a.v", b="b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+
+
+# -- brute-force top-k -------------------------------------------------------
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, one pass over the
+    corpus, per-query top-k via window on the rounded score."""
+    e = _with_norm(_emb(spark, sf_dir))
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    c = e.where(F.col("vec_id") >= N_QUERIES)
+    scored = (
+        F.broadcast(q).alias("a")
+        .crossJoin(c.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            F.round(_cos(), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+ANN_BRUTE_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      FROM n a JOIN n b ON b.vec_id >= {N_QUERIES}
+      WHERE a.vec_id < {N_QUERIES}),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM s)
+SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
+# -- cosine near-dup pairs ---------------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with rounded cosine ≥ threshold (a<b).  Exact; the
+    threshold compares the *rounded* score on both engines so boundary
+    behavior is identical."""
+    e = _with_norm(_emb(spark, sf_dir))
+    return (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(_cos(), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= EMB_DUP_THRESHOLD)
+        .orderBy("va", "vb")
+    )
+
+
+EMB_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {EMB_DUP_THRESHOLD}
+ORDER BY va, vb
+"""
+
+
+# -- LSH-bucketed top-k (scale path) -----------------------------------------
+
+
+def _hyperplanes() -> np.ndarray:
+    return np.random.default_rng(42).standard_normal((LSH_PLANES, _DIM))
+
+
+def _signature(df: DataFrame, planes: np.ndarray) -> DataFrame:
+    """Pack sign(v·h_j) bits into an int bucket id — map-only.
+
+    Each hyperplane is inlined as a literal array expression (a named temp
+    column would resolve lazily to the last loop iteration)."""
+    sig = None
+    for j, plane in enumerate(planes):
+        arr_sql = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane) + ")"
+        dot = F.expr(_DOT.format(a="v", b=arr_sql))
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit.cast("long"), j)
+        sig = term if sig is None else (sig + term)
+    return df.withColumn("sig", sig)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors whose hyperplane
+    signature is within Hamming 1 of the query's (multiprobe), exact cosine
+    re-rank inside the probed buckets.  Deterministic (seeded planes) but
+    not SQL-expressible — rows-only check + pytest recall vs brute force."""
+    planes = _hyperplanes()
+    e = _signature(_with_norm(_emb(spark, sf_dir)), planes)
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    c = e.where(F.col("vec_id") >= N_QUERIES)
+    probes = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_PLANES)]
+    )
+    qp = q.select("vec_id", "v", "nrm", F.explode(probes).alias("probe_sig"))
+    cand = (
+        F.broadcast(qp).alias("a")
+        .join(c.alias("b"), F.col("a.probe_sig") == F.col("b.sig"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            F.round(_cos(), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+register("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTE_ORACLE)
+register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
+register("ann_lsh_topk", ann_lsh_topk, None)  # rows-only: seeded LSH sketch

@@ -1,0 +1,229 @@
+"""Text-analysis operators over the documents table — the LLM-training-data
+pipeline surface (BASELINE.json north star; no reference counterpart).
+
+All operators are pure column expressions (split/filter/transform/aggregate
+lambdas — JVM-side, whole-stage codegen; no Python UDFs).  Every operator is
+defined ONCE as shared Python data (regexes, marker lists) and rendered to
+both a Spark plan and DuckDB oracle SQL, like the catalog compiler.
+
+Scale: each operator is a narrow projection of one table — map-only, no
+shuffle; at 100 TB these run at scan speed and are the cheap first pass of a
+data-quality pipeline (filter before you shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import analyzers
+from ..io import read_table
+from .registry import register
+
+TOKEN_SPLIT = analyzers.STANDARD_SPLIT  # "[^a-z0-9]+"
+
+# Spark + DuckDB renderings of "non-empty lowercase tokens of `text`".
+SPARK_TOKENS = f"filter(split(lower(text), '{TOKEN_SPLIT}'), x -> x != '')"
+DUCK_TOKENS = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'), x -> x <> '')"
+
+_STOPWORDS = sorted(analyzers.ENGLISH_STOPWORDS)
+
+# Language-ID marker words: score(lang) = number of distinct markers present
+# as tokens; argmax with fixed precedence (en > de > es > fr), 'und' when all
+# zero.  A deliberately simple, deterministic n-gram/stopword heuristic —
+# the point is the distributed shape (map-only scoring), not SOTA accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "une", "est"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr"]
+
+
+def _marker_pattern(word: str) -> str:
+    return analyzers.token_match_pattern([word], TOKEN_SPLIT)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# -- token / char counting ---------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/punct token count + char count per document."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- quality scoring ---------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / alpha-ratio / stopword-ratio quality features + a binary
+    keep/drop verdict — the standard pre-training corpus filter shape."""
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("t", F.expr(SPARK_TOKENS))
+        .withColumn("alpha_len", F.length(F.regexp_replace("text", "[^a-zA-Z]", "")))
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.expr("size(t)").cast("long").alias("n_tokens"),
+            F.round(F.col("alpha_len") / F.length("text"), 6).alias("alpha_ratio"),
+            F.round(
+                F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+                / F.expr("size(t)"),
+                6,
+            ).alias("stop_ratio"),
+            F.round(
+                F.expr("aggregate(t, 0, (a, x) -> a + length(x))") / F.expr("size(t)"),
+                6,
+            ).alias("avg_token_len"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= 5)
+            & (F.col("alpha_ratio") >= 0.6)
+            & (F.col("stop_ratio") <= 0.5),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, text, {DUCK_TOKENS} AS t FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6)
+           AS alpha_ratio,
+       round(len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t), 6)
+           AS stop_ratio,
+       round(list_sum(list_transform(t, x -> length(x))) / len(t), 6)
+           AS avg_token_len,
+       len(t) >= 5
+         AND round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6) >= 0.6
+         AND round(len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t), 6) <= 0.5
+           AS keep
+FROM d ORDER BY doc_id
+"""
+
+
+# -- language id -------------------------------------------------------------
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic; deterministic argmax."""
+    df = _docs(spark, sf_dir).withColumn("lt", F.lower(F.col("text")))
+    for lang, words in LANG_MARKERS.items():
+        score = None
+        for w in words:
+            c = F.when(F.col("lt").rlike(_marker_pattern(w)), 1).otherwise(0)
+            score = c if score is None else (score + c)
+        df = df.withColumn(f"s_{lang}", score.cast("int"))
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
+    pred = (
+        F.when(
+            (s["en"] > 0) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["de"] > 0) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["es"] > 0) & (s["es"] >= s["fr"]), "es")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return df.select(
+        "doc_id", pred.alias("lang_pred"), *[F.col(f"s_{l}") for l in _LANG_ORDER]
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang in _LANG_ORDER:
+        terms = " + ".join(
+            f"CASE WHEN regexp_matches(lower(text), '{_marker_pattern(w)}') THEN 1 ELSE 0 END"
+            for w in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"CAST({terms} AS INTEGER) AS s_{lang}")
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id,
+       CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       s_en, s_de, s_es, s_fr
+FROM s ORDER BY doc_id
+"""
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+# 3-gram word shingles of the normalized token stream; shared with dedup.
+SHINGLE_N = 3
+SPARK_SHINGLES = (
+    f"CASE WHEN size(t) >= {SHINGLE_N} THEN "
+    f"array_distinct(transform(sequence(0, size(t) - {SHINGLE_N}), "
+    f"i -> concat_ws(' ', slice(t, i + 1, {SHINGLE_N})))) "
+    f"ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+DUCK_SHINGLES = (
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "for i in range(1, len(t) - 1)])"
+)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the normalized token stream (exact-dup
+    key) + min shingle-hash (a 1-hash MinHash / winnowing-style rolling
+    fingerprint that survives small edits)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("t", F.expr(SPARK_TOKENS))
+        .select(
+            "doc_id",
+            F.md5(F.expr("concat_ws(' ', t)")).alias("doc_md5"),
+            F.expr(f"array_min(transform({SPARK_SHINGLES}, x -> md5(x)))").alias(
+                "min_shingle_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents)
+SELECT doc_id,
+       md5(array_to_string(t, ' ')) AS doc_md5,
+       list_aggregate(list_transform({DUCK_SHINGLES}, x -> md5(x)), 'min')
+           AS min_shingle_md5
+FROM d ORDER BY doc_id
+"""
+
+
+register("text_token_count", text_token_count, TOKEN_COUNT_ORACLE)
+register("text_quality", text_quality, _quality_oracle())
+register("text_langid", text_langid, _langid_oracle())
+register("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE)

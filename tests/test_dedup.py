@@ -1,0 +1,58 @@
+"""Dedup operators: oracle parity for the exact ones, ground-truth recall
+for the sketch-based scale paths (deterministic — seeded hashes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark.operators import dedup
+
+from conftest import assert_same
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    return {(r.da, r.db): r.jac for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()}
+
+
+def test_ngram_jaccard_parity(spark, sf_dir, ddb):
+    assert_same(dedup.dedup_ngram_jaccard(spark, sf_dir), ddb, dedup.DEDUP_JACCARD_ORACLE)
+
+
+def test_exact_dedup_parity(spark, sf_dir, ddb):
+    assert_same(dedup.dedup_exact(spark, sf_dir), ddb, dedup.DEDUP_EXACT_ORACLE)
+
+
+def test_jaccard_found_planted_near_dups(exact_pairs):
+    assert len(exact_pairs) > 0
+    assert all(0.5 <= j <= 1.0 for j in exact_pairs.values())
+
+
+def test_minhash_recall_and_precision(spark, sf_dir, exact_pairs):
+    mh = {(r.da, r.db) for r in dedup.dedup_minhash(spark, sf_dir).collect()}
+    hits = len(mh & set(exact_pairs))
+    assert hits / len(exact_pairs) >= 0.9, "minhash recall vs exact jaccard"
+    assert hits / len(mh) >= 0.8, "minhash precision vs exact jaccard"
+
+
+def test_minhash_estimates_close_to_exact(spark, sf_dir, exact_pairs):
+    est = {(r.da, r.db): r.est_jac for r in dedup.dedup_minhash(spark, sf_dir).collect()}
+    diffs = [abs(est[p] - exact_pairs[p]) for p in est.keys() & exact_pairs.keys()]
+    assert diffs and sum(diffs) / len(diffs) < 0.15  # k=64 → stderr ≈ 0.06
+
+
+def test_simhash_overlaps_ground_truth(spark, sf_dir, exact_pairs):
+    sh = {(r.da, r.db) for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    assert sh, "simhash must find near-dups"
+    assert len(sh & set(exact_pairs)) / len(exact_pairs) >= 0.6
+
+
+def test_simhash_hamming_bounds(spark, sf_dir):
+    rows = dedup.dedup_simhash(spark, sf_dir).collect()
+    assert all(0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING for r in rows)
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    a = dedup.dedup_minhash(spark, sf_dir).collect()
+    b = dedup.dedup_minhash(spark, sf_dir).collect()
+    assert a == b

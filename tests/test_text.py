@@ -1,0 +1,59 @@
+"""Text-analysis operators: oracle parity + semantic spot checks."""
+
+from __future__ import annotations
+
+from data_catalog_spark.operators import text, sessionize
+
+from conftest import assert_same
+
+
+def test_token_count_parity(spark, sf_dir, ddb):
+    assert_same(text.text_token_count(spark, sf_dir), ddb, text.TOKEN_COUNT_ORACLE)
+
+
+def test_quality_parity(spark, sf_dir, ddb):
+    assert_same(text.text_quality(spark, sf_dir), ddb, text._quality_oracle())
+
+
+def test_langid_parity(spark, sf_dir, ddb):
+    assert_same(text.text_langid(spark, sf_dir), ddb, text._langid_oracle())
+
+
+def test_fingerprint_parity(spark, sf_dir, ddb):
+    assert_same(text.text_fingerprint(spark, sf_dir), ddb, text.FINGERPRINT_ORACLE)
+
+
+def test_langid_predictions_valid(spark, sf_dir):
+    rows = text.text_langid(spark, sf_dir).collect()
+    langs = {r.lang_pred for r in rows}
+    assert langs <= {"en", "de", "es", "fr", "und"}
+    # the synthetic corpus is english-ish SQL words — 'the'/'and' dominate
+    assert sum(r.lang_pred == "en" for r in rows) > len(rows) * 0.5
+
+
+def test_quality_keep_consistent(spark, sf_dir):
+    for r in text.text_quality(spark, sf_dir).collect():
+        expected = r.n_tokens >= 5 and r.alpha_ratio >= 0.6 and r.stop_ratio <= 0.5
+        assert r.keep == expected
+
+
+def test_fingerprint_is_stable_key(spark, sf_dir):
+    rows = text.text_fingerprint(spark, sf_dir).collect()
+    assert all(len(r.doc_md5) == 32 for r in rows)
+    # near-dup docs share min-shingle fingerprints far more often than md5
+    assert len({r.doc_md5 for r in rows}) >= len({r.min_shingle_md5 for r in rows})
+
+
+def test_sessionize_parity(spark, sf_dir, ddb):
+    assert_same(
+        sessionize.sessionize_events(spark, sf_dir), ddb, sessionize.SESSIONIZE_ORACLE
+    )
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    from data_catalog_spark.io import read_table
+
+    sessions = sessionize.sessionize_events(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    # every event lands in exactly one session
+    assert sessions.groupBy().sum("n_events").collect()[0][0] == ev.count()
