@@ -1,0 +1,167 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, partitioning, Arrow
+batch shape, ``mapInPandas`` UDF signatures; the actual media decoding is
+STUBBED (pillow/librosa/ffmpeg are not in this container): ``decode_*``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (byte-histogram features) stands in so the
+distributed pipeline is exercisable end-to-end.
+
+Scale notes: media bytes stay in executor-side Arrow batches — never
+collected, never shuffled whole (feature extraction projects binary →
+small vectors BEFORE any shuffle).  ``spark.sql.files.maxPartitionBytes``
+governs scan parallelism; for many-small-blob layouts, pack blobs into
+parquet (as here) rather than one-file-per-object so the scan doesn't
+degenerate into per-file tasks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import read_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), nullable=False),
+        T.StructField("kind", T.StringType(), nullable=False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), nullable=False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: content = utf-8
+    bytes of the text (an opaque blob as far as the pipeline cares), kind
+    cycled, metadata derived from doc stats."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 8 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
+    """Decode an image blob to features.  REAL DECODE NOT AVAILABLE: pillow
+    is not installed in this environment — the real path raises; the fake
+    path is a deterministic byte-histogram standing in for pixel stats."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires pillow/opencv (not installed); "
+            "pass fake=True for the deterministic stand-in"
+        )
+    return _byte_histogram(content)
+
+
+def decode_audio(content: bytes, *, fake: bool = False) -> list[float]:
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires librosa/soundfile (not installed); "
+            "pass fake=True for the deterministic stand-in"
+        )
+    return _byte_histogram(content)
+
+
+def _byte_histogram(content: bytes, bins: int = 4) -> list[float]:
+    """Deterministic fake 'features': normalized byte-value histogram."""
+    if not content:
+        return [0.0] * bins
+    counts = [0] * bins
+    for b in content:
+        counts[b * bins // 256] += 1
+    return [c / len(content) for c in counts]
+
+
+def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """binary → small feature vectors via mapInPandas (Arrow-batched; one
+    pandas DataFrame per batch, never per-row Python)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": content.map(len),
+                    "content_md5": content.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "features": content.map(
+                        lambda b: decode_image(bytes(b), fake=fake_decode)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Video frame sampling plumbing: split each blob into meta.n_frames
+    equal chunks ("frames") — one output row per frame.  The chunking is the
+    stub; the batch/explode shape is the real thing being exercised."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_frame = [], [], []
+            for _, row in pdf.iterrows():
+                blob = bytes(row["content"])
+                n = max(int(row["n_frames"]), 1)
+                step = max(len(blob) // n, 1)
+                for i in range(n):
+                    out_id.append(row["media_id"])
+                    out_idx.append(i)
+                    out_frame.append(blob[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_bytes": out_frame}
+            )
+
+    videos = media.where(F.col("kind") == "video").select(
+        "media_id", "content", F.col("meta.n_frames").alias("n_frames")
+    )
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,63 @@
+"""Multimodal plumbing: schema, Arrow-batch UDF shape, deterministic fake
+decode, real-decode stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    df = mm.synth_media(spark, sf_dir)
+    df.cache()
+    return df
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "content", "meta"]
+    assert media.schema["content"].dataType.typeName() == "binary"
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_features_shape_and_determinism(media):
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == media.count()
+    for r in feats[:20]:
+        assert len(r.features) == 4
+        assert abs(sum(r.features) - 1.0) < 1e-9  # normalized histogram
+        assert len(r.content_md5) == 32
+        assert r.n_bytes > 0
+    again = mm.extract_features(media).collect()
+    assert sorted(feats, key=lambda r: r.media_id) == sorted(again, key=lambda r: r.media_id)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFF...")
+    assert mm.decode_image(b"abc", fake=True) == mm.decode_image(b"abc", fake=True)
+
+
+def test_frame_sampling(media):
+    frames = mm.sample_frames(media)
+    rows = frames.collect()
+    n_videos = media.where("kind = 'video'").count()
+    assert len(rows) >= n_videos  # >=1 frame per video
+    # frame counts match meta.n_frames
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    metas = {
+        r.media_id: r.n_frames
+        for r in media.where("kind = 'video'")
+        .selectExpr("media_id", "meta.n_frames AS n_frames")
+        .collect()
+    }
+    for mid, idxs in by_media.items():
+        assert sorted(idxs) == list(range(metas[mid]))
+    # frames are real byte slices
+    assert all(isinstance(r.frame_bytes, (bytes, bytearray)) for r in rows[:10])
