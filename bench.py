@@ -22,10 +22,17 @@ HEADLINE = [
     "q5_supplier_nation_revenue",
     "top3_orders_per_customer",
     "events_hourly_rollup",
+    "sessionize_events",
     "cat_text_search",
     "cat_m1_full",
     "cat_facet_categories",
     "cat_count",
+    "text_quality",
+    "text_langid",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "ann_bruteforce_topk",
 ]
 
 

@@ -41,10 +41,6 @@ LANG_MARKERS: dict[str, list[str]] = {
 _LANG_ORDER = ["en", "de", "es", "fr"]
 
 
-def _marker_pattern(word: str) -> str:
-    return analyzers.token_match_pattern([word], TOKEN_SPLIT)
-
-
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
@@ -134,14 +130,17 @@ FROM d ORDER BY doc_id
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language heuristic; deterministic argmax."""
-    df = _docs(spark, sf_dir).withColumn("lt", F.lower(F.col("text")))
+    """Marker-word language heuristic; deterministic argmax.
+
+    One tokenization + one array_intersect per language (score = number of
+    distinct markers present) — tokenize-once beats 20 per-marker regex
+    scans of the full text ~3× at bench scale."""
+    df = _docs(spark, sf_dir).withColumn("t", F.expr(SPARK_TOKENS))
     for lang, words in LANG_MARKERS.items():
-        score = None
-        for w in words:
-            c = F.when(F.col("lt").rlike(_marker_pattern(w)), 1).otherwise(0)
-            score = c if score is None else (score + c)
-        df = df.withColumn(f"s_{lang}", score.cast("int"))
+        arr = ", ".join(f"'{w}'" for w in words)
+        df = df.withColumn(
+            f"s_{lang}", F.expr(f"size(array_intersect(t, array({arr})))").cast("int")
+        )
     s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
     pred = (
         F.when(
@@ -161,13 +160,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _langid_oracle() -> str:
     score_exprs = []
     for lang in _LANG_ORDER:
-        terms = " + ".join(
-            f"CASE WHEN regexp_matches(lower(text), '{_marker_pattern(w)}') THEN 1 ELSE 0 END"
-            for w in LANG_MARKERS[lang]
+        arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CAST(len(list_intersect(t, [{arr}])) AS INTEGER) AS s_{lang}"
         )
-        score_exprs.append(f"CAST({terms} AS INTEGER) AS s_{lang}")
     return f"""
-WITH s AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+s AS (SELECT doc_id, {', '.join(score_exprs)} FROM d)
 SELECT doc_id,
        CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
             WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
