@@ -83,6 +83,33 @@ CATALOG_CASES: dict[str, tuple] = {
         M.PRIVATE_AND_PUBLIC,
         False,
     ),
+    "cat_filter_numeric": (
+        {"filters": [{"recordCount": [1000, 2000, 2400]}], "size": 25},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
+    "cat_text_only_private": (
+        {"query": "bolt", "size": 25},
+        ["org02"],
+        M.ONLY_PRIVATE,
+        False,
+    ),
+    "cat_combo_all": (
+        {
+            "query": "widget",
+            "filters": [
+                {"format": ["csv", "json"]},
+                {"category": ["brand#2", "brand#5", "brand#8", "brand#13"]},
+                {"creationTime": ["2014-02-01", "2014-11-30"]},
+            ],
+            "size": 8,
+            "from": 1,
+        },
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
 }
 
 

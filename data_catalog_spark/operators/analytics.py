@@ -238,7 +238,41 @@ ORDER BY 1, 2
 """
 
 
+# -- semi-structured: JSON props extraction ----------------------------------
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a field from the JSON ``props`` column and aggregate — the
+    semi-structured path (get_json_object is codegen'd; no Python).  At scale
+    prefer materializing hot JSON fields to columns at ingest; this shows the
+    query-time path."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("decimal(18,4)")).cast("double").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,4))) AS DOUBLE) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 register("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE)
+register("events_props_stats", events_props_stats, EVENTS_PROPS_ORACLE)
 register("q3_top_revenue_orders", q3_top_revenue_orders, Q3_ORACLE)
 register("q5_supplier_nation_revenue", q5_supplier_nation_revenue, Q5_ORACLE)
 register("top3_orders_per_customer", top3_orders_per_customer, TOP3_ORACLE)

@@ -47,24 +47,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- token / char counting ---------------------------------------------------
 
+# BPE-ish subword segmentation: contractions, space-prefixed letter runs,
+# digit runs, punct runs — a lookahead-free simplification of the GPT-2
+# pretokenizer pattern so the identical regex runs in Java regex (Spark) and
+# RE2 (DuckDB).  Counts approximate LLM token budgets deterministically.
+BPE_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace/punct token count + char count per document."""
+    """Word-token, subword-token (BPE-ish) and char counts per document."""
     return (
         _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars"),
             F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tokens"),
+            F.expr(f"size(regexp_extract_all(text, \"{BPE_PATTERN}\", 0))")
+            .cast("long")
+            .alias("n_subword_tokens"),
         )
         .orderBy("doc_id")
     )
 
 
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
 TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+       CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_subword_tokens
 FROM documents ORDER BY doc_id
 """
 
