@@ -1,0 +1,107 @@
+"""Grouped Pandas operators — the ``applyInPandas`` escape hatch, used ONLY
+where column algebra genuinely can't express the computation per group.
+
+``user_event_zscore`` is deliberately implemented twice:
+- ``user_event_zscore``            — applyInPandas (Arrow-batched pandas per
+                                     user group), the template for custom
+                                     stateful/grouped logic;
+- ``user_event_zscore_sql``        — pure window/aggregate algebra with
+                                     decimal-exact moments, oracle-checked.
+
+pytest asserts the two agree to 1e-9, which pins the pandas path to the
+SQL-checked semantics without exposing float-summation-order noise to the
+hash-based driver check (the pandas path registers rows-only).
+
+Scale note: applyInPandas shuffles once on the grouping key and streams one
+Arrow batch per group through a worker — memory is bounded by the largest
+group, so the grouping key must be chosen with cardinality in mind (users,
+not e.g. a constant).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import read_table
+from .registry import register
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+
+def user_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values via applyInPandas."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=0)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value": pdf["value"],
+                "z": z,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(norm, schema=ZSCORE_SCHEMA).orderBy(
+        "event_id"
+    )
+
+
+def user_event_zscore_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same z-score as decimal-exact column algebra: population moments
+    from exact decimal sums (order-independent), so the result is
+    deterministic and oracle-comparable."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast("decimal(28,10)")) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("mean"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("m2"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ZSCORE_SQL_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS mean,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS m2
+  FROM events GROUP BY user_id
+)
+SELECT event_id, events.user_id, value,
+       round((value - mean) / sqrt(m2 - mean * mean), 6) AS z
+FROM events JOIN s ON events.user_id = s.user_id
+ORDER BY event_id
+"""
+
+
+register("user_event_zscore_pandas", user_event_zscore, None)  # rows-only
+register("user_event_zscore_sql", user_event_zscore_sql, ZSCORE_SQL_ORACLE)

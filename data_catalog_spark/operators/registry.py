@@ -32,4 +32,12 @@ def oracles() -> dict[str, str]:
 
 def _load_all() -> None:
     # Import for side effect: each module registers its entries.
-    from . import analytics, dedup, sessionize, similarity, text  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        dedup,
+        joins,
+        pandas_ops,
+        sessionize,
+        similarity,
+        text,
+    )

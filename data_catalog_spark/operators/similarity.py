@@ -183,6 +183,126 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- IVF top-k (clustered scale path) ----------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 3
+
+
+def _kmeans_centroids(spark: SparkSession, e: DataFrame) -> list[list[float]]:
+    """Deterministic Lloyd iterations: init = the lowest-id corpus vectors;
+    per-dimension means are summed through DECIMAL so the result is
+    independent of partition order (re-runs give identical centroids).
+
+    The model state (k×dim doubles) lives on the driver — that is the only
+    collect; assignments stay distributed."""
+    init = [
+        [float(x) for x in r.v]
+        for r in e.orderBy("vec_id").limit(IVF_CLUSTERS).collect()
+    ]
+    centroids = init
+    for _ in range(IVF_ITERS):
+        assigned = _assign_clusters(e, centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,18)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        new = {(r.cluster, r.pos): r.m for r in rows}
+        centroids = [
+            [new.get((c, p), centroids[c][p]) for p in range(_DIM)]
+            for c in range(IVF_CLUSTERS)
+        ]
+    return centroids
+
+
+def _centroids_sql(centroids: list[list[float]]) -> str:
+    """Render the centroid matrix as ONE literal array-of-arrays; distances
+    are then a `transform` loop — tiny codegen footprint vs unrolling k
+    aggregates into nested CASE chains (which blew compile time up)."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in cent) + ")"
+        for cent in centroids
+    )
+    return f"array({rows})"
+
+
+def _with_centroid_dists(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    dist_sql = (
+        f"transform({_centroids_sql(centroids)}, "
+        f"c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return df.withColumn("dists", F.expr(dist_sql))
+
+
+def _assign_clusters(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """argmin over squared centroid distances."""
+    return (
+        _with_centroid_dists(df, centroids)
+        .withColumn(
+            "cluster",
+            F.expr("CAST(array_position(dists, array_min(dists)) - 1 AS INT)"),
+        )
+        .drop("dists")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: k-means coarse quantizer, probe the nprobe nearest clusters,
+    exact re-rank within them.  Same plan shape as LSH (bucket-equality
+    join) with a *learned* bucketing — the standard billion-scale layout.
+    Deterministic; rows-only driver check + pytest recall vs brute force."""
+    e = _with_norm(_emb(spark, sf_dir))
+    centroids = _kmeans_centroids(spark, e)
+    corpus = _assign_clusters(e.where(F.col("vec_id") >= N_QUERIES), centroids)
+    queries = _assign_probes(
+        e.where(F.col("vec_id") < N_QUERIES), centroids, IVF_NPROBE
+    )
+    cand = (
+        F.broadcast(queries).alias("a")
+        .join(corpus.alias("b"), F.col("a.probe") == F.col("b.cluster"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            F.round(_cos(), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def _assign_probes(df: DataFrame, centroids: list[list[float]], nprobe: int) -> DataFrame:
+    """Explode each query into its nprobe nearest cluster ids (sorted by
+    distance with index tiebreak — deterministic)."""
+    k = len(centroids)
+    probes = (
+        f"transform(slice(array_sort(zip_with(dists, sequence(0, {k - 1}), "
+        f"(d, i) -> struct(d AS d, i AS c))), 1, {nprobe}), p -> CAST(p.c AS INT))"
+    )
+    return (
+        _with_centroid_dists(df, centroids)
+        .withColumn("probe", F.explode(F.expr(probes)))
+        .drop("dists")
+    )
+
+
 register("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTE_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
 register("ann_lsh_topk", ann_lsh_topk, None)  # rows-only: seeded LSH sketch
+register("ann_ivf_topk", ann_ivf_topk, None)  # rows-only: learned quantizer

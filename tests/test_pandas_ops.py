@@ -1,0 +1,30 @@
+"""applyInPandas operators: the pandas path must agree with the
+oracle-checked SQL path."""
+
+from __future__ import annotations
+
+from data_catalog_spark.operators import pandas_ops as po
+
+from conftest import assert_same
+
+
+def test_zscore_sql_parity(spark, sf_dir, ddb):
+    assert_same(po.user_event_zscore_sql(spark, sf_dir), ddb, po.ZSCORE_SQL_ORACLE)
+
+
+def test_pandas_matches_sql_path(spark, sf_dir):
+    p = {r.event_id: r.z for r in po.user_event_zscore(spark, sf_dir).collect()}
+    s = {r.event_id: r.z for r in po.user_event_zscore_sql(spark, sf_dir).collect()}
+    assert p.keys() == s.keys()
+    assert all(abs(p[k] - s[k]) < 1e-6 for k in p)
+
+
+def test_zscore_is_normalized(spark, sf_dir):
+    rows = po.user_event_zscore(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.z)
+    some = list(by_user.values())[:10]
+    for zs in some:
+        if len(zs) > 1:
+            assert abs(sum(zs) / len(zs)) < 1e-9  # mean 0

@@ -53,6 +53,22 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir, brute):
     assert recall > scanned_fraction
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir, brute):
+    ivf = {(r.qid, r.nid) for r in similarity.ann_ivf_topk(spark, sf_dir).collect()}
+    bf = {(r.qid, r.nid) for r in brute}
+    # nprobe/clusters = 4/16 of the corpus scanned; on uniform-random
+    # vectors recall ≈ scanned fraction + signal.  Deterministic (decimal
+    # k-means), so the measured value is stable.
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= similarity.IVF_NPROBE / similarity.IVF_CLUSTERS
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    a = similarity.ann_ivf_topk(spark, sf_dir).collect()
+    b = similarity.ann_ivf_topk(spark, sf_dir).collect()
+    assert a == b
+
+
 def test_lsh_scores_are_exact_cosines(spark, sf_dir, brute):
     """LSH only prunes candidates — any (qid,nid) it returns must carry the
     same rounded cosine brute force computed."""
