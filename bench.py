@@ -20,6 +20,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_supplier_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "asof_purchases_last_click",
     "top3_orders_per_customer",
     "events_hourly_rollup",
     "sessionize_events",

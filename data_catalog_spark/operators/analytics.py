@@ -238,6 +238,86 @@ ORDER BY 1, 2
 """
 
 
+# -- q6: forecast revenue change (pure filter-agg, fully pushed down) --------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: every predicate reaches the parquet scan
+    (PushedFilters), the aggregation is a single map-side-combined scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- q18: large-volume customers (agg + HAVING + join back) ------------------
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: per-order quantity totals, HAVING threshold,
+    then a broadcast join back to customers.  The HAVING filter runs on the
+    aggregated (small) side before the join — orders of magnitude less join
+    input at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("orderkey"))
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, l_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) t
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, orderkey
+"""
+
+
 # -- semi-structured: JSON props extraction ----------------------------------
 
 
@@ -272,6 +352,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 register("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE)
+register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE)
+register("q18_large_volume_customers", q18_large_volume_customers, Q18_ORACLE)
 register("events_props_stats", events_props_stats, EVENTS_PROPS_ORACLE)
 register("q3_top_revenue_orders", q3_top_revenue_orders, Q3_ORACLE)
 register("q5_supplier_nation_revenue", q5_supplier_nation_revenue, Q5_ORACLE)

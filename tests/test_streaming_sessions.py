@@ -1,0 +1,84 @@
+"""Stateful streaming sessionization vs the batch sessionizer.
+
+With a single availableNow pass, every session EXCEPT each user's last
+(still open, held in state) must be emitted — exactly the batch result
+minus the per-user final session."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from data_catalog_spark.operators.sessionize import sessionize_events
+from data_catalog_spark.streaming import sessions as ss
+from data_catalog_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+
+def test_stream_sessions_match_batch_closed_sessions(spark, sf_dir):
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in ss.run_sessionize_available_now(spark, sf_dir, "t_sessions").collect()
+    }
+    batch = sessionize_events(spark, sf_dir).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in batch
+        if r.session_seq != last_seq[r.user_id]  # drop each user's open tail
+    }
+    assert got == want
+    assert got, "must emit closed sessions"
+
+
+def test_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
+    """Split the events file at the time median into two files; with
+    maxFilesPerTrigger=1 they become two micro-batches, so sessions spanning
+    the split only come out right if state genuinely carries over.  The
+    emitted set must be identical to the single-batch run (batching-
+    independent semantics)."""
+    from pyspark.sql import functions as F
+
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    df = table.to_pandas().sort_values("ts")
+    mid = len(df) // 2
+    stage = tmp_path / "staged"
+    stage.mkdir()
+    # lexicographic file order == arrival order for the file source
+    df.iloc[:mid].to_parquet(stage / "part-0.parquet", index=False)
+    df.iloc[mid:].to_parquet(stage / "part-1.parquet", index=False)
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    q = (
+        ss.sessionize_stream(events)
+        .writeStream.format("memory")
+        .queryName("t_sessions_2b")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # floor to whole seconds: the single-batch helper formats session_start
+    # at seconds granularity
+    got = {
+        (r.user_id, int(r.session_start), r.n_events, round(r.duration_sec, 3))
+        for r in spark.table("t_sessions_2b").collect()
+    }
+
+    single = {
+        (r.user_id, int(r.session_start), r.n_events, round(r.duration_sec, 3))
+        for r in ss.run_sessionize_available_now(spark, sf_dir, "t_sessions_1b")
+        .selectExpr(
+            "user_id",
+            "cast(to_timestamp(session_start) as double) AS session_start",
+            "n_events",
+            "duration_sec",
+        )
+        .collect()
+    }
+    assert got == single
