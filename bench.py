@@ -22,6 +22,8 @@ HEADLINE = [
     "q5_supplier_nation_revenue",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
+    "q10_returned_top_customers",
+    "q13_order_count_distribution",
     "asof_purchases_last_click",
     "top3_orders_per_customer",
     "events_hourly_rollup",

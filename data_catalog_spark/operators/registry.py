@@ -40,4 +40,5 @@ def _load_all() -> None:
         sessionize,
         similarity,
         text,
+        tpch_extra,
     )
