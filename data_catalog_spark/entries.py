@@ -151,11 +151,38 @@ def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 POINT_LOOKUP_ORACLE = f"{ORACLE_DATASETS_CTE} SELECT * FROM datasets WHERE id = '42' LIMIT 1"
 
 
+def _fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: edit-distance-tolerant title match (reference README.md:106-118 —
+    documented for manual index exploration, not reachable from the API).
+    A title matches when ANY standard-analyzer token is within levenshtein
+    distance 1 of the probe ('wiget', a typo of 'widget').  Pure built-in
+    higher-order function — no UDF, stays in codegen."""
+    from pyspark.sql import functions as F
+
+    probe = "wiget"
+    tokens = F.split(F.lower(F.col("title")), " ")
+    return (
+        datasets_df(spark, sf_dir)
+        .where(F.exists(tokens, lambda t: F.levenshtein(t, F.lit(probe)) <= 1))
+        .select("id", "title")
+        .orderBy(F.col("id").cast("bigint"))
+    )
+
+
+FUZZY_ORACLE = f"""{ORACLE_DATASETS_CTE}
+SELECT id, title FROM datasets
+WHERE len(list_filter(string_split(lower(title), ' '),
+                      t -> levenshtein(t, 'wiget') <= 1)) > 0
+ORDER BY CAST(id AS BIGINT)
+"""
+
+
 def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, case in CATALOG_CASES.items():
         out[name] = _hits_query(case)
     out["cat_point_lookup"] = _point_lookup
+    out["cat_fuzzy_title"] = _fuzzy_search
     # Facet / count surfaces (A1-A4) on representative cases.
     out["cat_facet_categories"] = _facet_query(CATALOG_CASES["cat_filter_term"], "categories")
     out["cat_facet_formats"] = _facet_query(CATALOG_CASES["cat_filter_term"], "formats")
@@ -173,6 +200,7 @@ def catalog_oracles() -> dict[str, str]:
         cq = compile_query(*case)
         out[name] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq)}"
     out["cat_point_lookup"] = POINT_LOOKUP_ORACLE
+    out["cat_fuzzy_title"] = FUZZY_ORACLE
     cq_term = compile_query(*CATALOG_CASES["cat_filter_term"])
     cq_text = compile_query(*CATALOG_CASES["cat_text_search"])
     cq_all = compile_query(*CATALOG_CASES["cat_match_all"])

@@ -195,7 +195,54 @@ ORDER BY c_custkey
 """
 
 
+# -- range (band) join -------------------------------------------------------
+
+QUANTITY_BANDS = [
+    ("small", 0.0, 10.0),
+    ("medium", 10.0, 25.0),
+    ("large", 25.0, 51.0),
+]
+
+
+def range_band_join_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: each lineitem lands in the band
+    whose [lo, hi) contains its quantity.  The band dim is tiny and
+    broadcast, so the non-equi condition runs as a BroadcastNestedLoopJoin
+    — O(rows × bands) with bands a constant, i.e. a scan-speed operator at
+    any scale.  (With a large interval table the scale path is binning both
+    sides to an equi-key — see dedup LSH banding for that pattern.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(QUANTITY_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_BAND_ORACLE = """
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM lineitem
+JOIN (VALUES ('small', 0.0, 10.0), ('medium', 10.0, 25.0), ('large', 25.0, 51.0))
+     AS bands(band, lo, hi)
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
 register("asof_purchases_last_click", purchases_with_last_click, ASOF_ORACLE)
+register("range_band_join_quantity", range_band_join_quantity, RANGE_BAND_ORACLE)
 register("q_rollup_lineitem", q_rollup_lineitem, ROLLUP_ORACLE)
 register("q_distinct_parts_per_flag", q_distinct_parts_per_flag, DISTINCT_ORACLE)
 register("customers_without_urgent_orders", customers_without_urgent_orders, ANTI_ORACLE)

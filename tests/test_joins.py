@@ -64,3 +64,16 @@ def test_anti_join_nonempty_and_correct(spark, sf_dir):
         for r in read_table(spark, sf_dir, "orders").where("o_orderpriority = '1-URGENT'").collect()
     }
     assert all(r.c_custkey not in urgent_cust for r in rows)
+
+
+def test_range_band_join_parity(spark, sf_dir, ddb):
+    assert_same(
+        joins.range_band_join_quantity(spark, sf_dir), ddb, joins.RANGE_BAND_ORACLE
+    )
+
+
+def test_range_bands_partition_all_rows(spark, sf_dir):
+    """Bands are disjoint and covering: band counts sum to the table count."""
+    rows = joins.range_band_join_quantity(spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_lines for r in rows) == total

@@ -118,3 +118,18 @@ def test_score_tiers(ds):
         if "widget" in r["sourceUri"].lower():
             expected += 1.0
         assert r["score"] == expected
+
+
+def test_fuzzy_title_parity(spark, sf_dir, ddb):
+    """T6 (README.md:106-118): levenshtein<=1 token match vs DuckDB."""
+    from data_catalog_spark.entries import FUZZY_ORACLE, _fuzzy_search
+
+    assert_same(_fuzzy_search(spark, sf_dir), ddb, FUZZY_ORACLE)
+
+
+def test_fuzzy_title_matches_typo(spark, sf_dir):
+    from data_catalog_spark.entries import _fuzzy_search
+
+    rows = _fuzzy_search(spark, sf_dir).collect()
+    assert rows, "'wiget' must fuzzy-match 'widget' titles"
+    assert all("widget" in r.title.lower() for r in rows)
