@@ -1,0 +1,198 @@
+"""Behavioral event analytics — funnel, cohort retention, percentiles,
+pivot.  North-star breadth (SURVEY §2.6: the reference has no aggregation
+beyond terms facets); all four are classic product-analytics operators a
+catalog's event stream needs at scale.
+
+Scale design:
+- funnel: three cascaded per-user conditional aggs, all shuffling on the
+  SAME key (user_id) — with AQE + same-key partitioning the later stages
+  reuse the first shuffle's layout; nothing is ever collected.
+- retention: cohorting is one groupBy(user) + one broadcast-back join of
+  the (tiny) per-user cohort table; the distinct-count shuffles on the
+  (cohort, offset) pair — bounded by weeks², not rows.
+- percentiles: Spark's exact `percentile` is a single-pass partial
+  aggregate; at 100 TB swap to approx_percentile (t-digest) — same call
+  shape, bounded memory.
+- pivot: an explicit value list keeps the pivot a plain hash aggregate
+  (no extra pass to discover the domain) with one output column per value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+# -- funnel ------------------------------------------------------------------
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel user counts: view → click-after-view →
+    purchase-after-that-click.  Each stage is min(ts) of the stage event
+    AFTER the previous stage's ts — per-user conditional aggregations,
+    cascaded; a user advances only in event-time order."""
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("1_view").alias("stage"), "n")
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("2_click").alias("stage"), "n"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("3_purchase").alias("stage"), "n"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n
+UNION ALL
+SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+ORDER BY stage
+"""
+
+
+# -- cohort retention --------------------------------------------------------
+
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users per (signup-cohort week, weeks-since-cohort) — the cohort table
+    is one row per user (broadcast), activity distinct-counts shuffle on the
+    small (cohort, offset) domain."""
+    ev = _ev(spark, sf_dir).select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("int"),
+        )
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+COHORT_ORACLE = """
+WITH coh AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+       CAST(floor(date_diff('day', cohort_week, date_trunc('week', ts)) / 7)
+            AS INTEGER) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN coh USING (user_id)
+GROUP BY cohort, week_offset
+ORDER BY cohort, week_offset
+"""
+
+
+# -- exact percentiles -------------------------------------------------------
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of `value` per event type (single-pass partial
+    aggregate).  At 100 TB: approx_percentile, same call shape."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- pivot (crosstab) --------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_day_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per day × type, types as columns.  The explicit value list
+    makes the pivot a plain one-pass hash aggregate."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY day ORDER BY day
+"""
+
+
+register("funnel_view_click_purchase", funnel_view_click_purchase, FUNNEL_ORACLE)
+register("cohort_weekly_retention", cohort_weekly_retention, COHORT_ORACLE)
+register("events_value_percentiles", events_value_percentiles, PERCENTILES_ORACLE)
+register("events_day_type_pivot", events_day_type_pivot, PIVOT_ORACLE)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import read_table
+from .registry import register
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -165,3 +166,59 @@ def sample_frames(media: DataFrame) -> DataFrame:
         "media_id", "content", F.col("meta.n_frames").alias("n_frames")
     )
     return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# -- driver-contract entries -------------------------------------------------
+# The fake decoder is deterministic, so the PLUMBING (Arrow batch shape,
+# binary handling, frame chunking) is oracle-checkable: byte length, md5 of
+# the blob, and the chunk arithmetic are all SQL-expressible in DuckDB.
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract_features pipeline end-to-end via mapInPandas, projected
+    to its SQL-checkable columns (the feature vector itself is the fake
+    byte-histogram; its invariant — sums to 1 — is pinned in pytest)."""
+    feats = extract_features(synth_media(spark, sf_dir))
+    return feats.select("media_id", "kind", "n_bytes", "content_md5").orderBy(
+        "media_id"
+    )
+
+
+MEDIA_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END                    AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text)                                AS content_md5
+FROM documents
+ORDER BY media_id
+"""
+
+
+def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_frames plumbing: per-video frame count + total sampled bytes
+    (each of the n frames is exactly floor(len/n) bytes)."""
+    frames = sample_frames(synth_media(spark, sf_dir))
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame_bytes")).alias("total_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MEDIA_FRAMES_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(n_chars % 8 + 1 AS BIGINT) AS n_frames,
+       CAST((n_chars % 8 + 1) * (octet_length(encode(text)) // (n_chars % 8 + 1))
+            AS BIGINT) AS total_bytes
+FROM documents
+WHERE doc_id % 3 = 2
+ORDER BY media_id
+"""
+
+
+register("media_feature_stats", media_feature_stats, MEDIA_FEATURES_ORACLE)
+register("media_frame_stats", media_frame_stats, MEDIA_FRAMES_ORACLE)

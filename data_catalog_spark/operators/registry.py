@@ -35,7 +35,9 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         dedup,
+        events_analytics,
         joins,
+        multimodal,
         pandas_ops,
         sessionize,
         similarity,

@@ -1,0 +1,52 @@
+"""Funnel / cohort / percentile / pivot operators: oracle parity +
+semantic invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark.io import read_table
+from data_catalog_spark.operators import events_analytics as ea
+
+from conftest import assert_same
+
+PARITY = [
+    ("funnel_view_click_purchase", ea.FUNNEL_ORACLE),
+    ("cohort_weekly_retention", ea.COHORT_ORACLE),
+    ("events_value_percentiles", ea.PERCENTILES_ORACLE),
+    ("events_day_type_pivot", ea.PIVOT_ORACLE),
+]
+
+
+@pytest.mark.parametrize("name,oracle", PARITY, ids=[n for n, _ in PARITY])
+def test_parity(spark, sf_dir, ddb, name, oracle):
+    assert_same(getattr(ea, name)(spark, sf_dir), ddb, oracle)
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    """Each stage can only lose users: n_view >= n_click >= n_purchase."""
+    ns = [r.n for r in ea.funnel_view_click_purchase(spark, sf_dir).collect()]
+    assert len(ns) == 3 and ns[0] >= ns[1] >= ns[2] > 0
+
+
+def test_cohort_week0_covers_every_user(spark, sf_dir):
+    """Every user is active in their own cohort week, so the week_offset=0
+    counts sum to the distinct user count."""
+    rows = ea.cohort_weekly_retention(spark, sf_dir).collect()
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.active_users for r in rows if r.week_offset == 0) == n_users
+
+
+def test_pivot_rows_sum_to_event_count(spark, sf_dir):
+    rows = ea.events_day_type_pivot(spark, sf_dir).collect()
+    total = sum(
+        r.click + r.error + r.purchase + r.signup + r.view for r in rows
+    )
+    assert total == read_table(spark, sf_dir, "events").count()
+
+
+def test_percentiles_ordered(spark, sf_dir):
+    for r in ea.events_value_percentiles(spark, sf_dir).collect():
+        assert r.p50 <= r.p90 <= r.p99

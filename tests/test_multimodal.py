@@ -61,3 +61,23 @@ def test_frame_sampling(media):
         assert sorted(idxs) == list(range(metas[mid]))
     # frames are real byte slices
     assert all(isinstance(r.frame_bytes, (bytes, bytearray)) for r in rows[:10])
+
+
+def test_media_feature_stats_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators.multimodal import (
+        MEDIA_FEATURES_ORACLE,
+        media_feature_stats,
+    )
+    from conftest import assert_same
+
+    assert_same(media_feature_stats(spark, sf_dir), ddb, MEDIA_FEATURES_ORACLE)
+
+
+def test_media_frame_stats_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators.multimodal import (
+        MEDIA_FRAMES_ORACLE,
+        media_frame_stats,
+    )
+    from conftest import assert_same
+
+    assert_same(media_frame_stats(spark, sf_dir), ddb, MEDIA_FRAMES_ORACLE)
