@@ -41,6 +41,8 @@ def _load_all() -> None:
         pandas_ops,
         sessionize,
         similarity,
+        skew,
         text,
         tpch_extra,
     )
+    from ..streaming import dedup as streaming_dedup  # noqa: F401

@@ -1,0 +1,42 @@
+"""Salted aggregation + streaming dedup: parity and physical/semantic
+properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_catalog_spark.io import read_table
+from data_catalog_spark.operators import skew
+from data_catalog_spark.streaming import dedup as sd
+
+from conftest import assert_same
+
+
+def test_salted_agg_parity(spark, sf_dir, ddb):
+    assert_same(skew.salted_returnflag_stats(spark, sf_dir), ddb, skew.SALTED_ORACLE)
+
+
+def test_salted_agg_two_shuffles(spark, sf_dir):
+    """The salted form must actually shuffle twice: once on (key, salt),
+    once on key — that's the mechanism being pinned."""
+    plan = (
+        skew.salted_returnflag_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_stream_dedup_removes_replay_exactly(spark, sf_dir):
+    """2× replayed input → exactly the original row set (by event_id)."""
+    out = sd.run_dedup_replay_available_now(spark, sf_dir, "t_dedup_replay")
+    n = read_table(spark, sf_dir, "events").count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+
+
+def test_stream_dedup_stats_parity(spark, sf_dir, ddb):
+    assert_same(
+        sd.stream_dedup_type_stats(spark, sf_dir), ddb, sd.STREAM_DEDUP_ORACLE
+    )
