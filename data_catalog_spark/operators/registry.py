@@ -44,5 +44,6 @@ def _load_all() -> None:
         skew,
         text,
         tpch_extra,
+        windows,
     )
     from ..streaming import dedup as streaming_dedup  # noqa: F401

@@ -1,0 +1,190 @@
+"""Window-function operators — running totals, ranking over aggregates,
+frame-bounded moving averages, approximate distinct counts.
+
+North-star breadth (SURVEY §2.6: the reference has no window functions).
+Scale rules: every window partitions by a real key (user/customer/segment)
+— no global, single-partition windows; ORDER BY inside a window always
+carries a unique tiebreaker so results are total-ordered and
+oracle-comparable at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# -- running (cumulative) total ----------------------------------------------
+
+
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative order spend per customer in order-date order.  One shuffle
+    on custkey; the frame is the default UNBOUNDED PRECEDING..CURRENT ROW.
+    DECIMAL accumulation so every prefix sum is exact (a running double
+    would drift differently per engine)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+RUNNING_TOTAL_ORACLE = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# -- rank over an aggregate --------------------------------------------------
+
+
+def customer_spend_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank of customers by total spend within market segment — window
+    over a pre-aggregated (small) input: aggregate first, rank the
+    aggregate, never window the raw fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend_dec"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend_dec").desc(), F.col("o_custkey")
+    )
+    return (
+        spend.select(
+            "c_mktsegment",
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend_dec").cast("double").alias("total_spend"),
+            F.dense_rank().over(w).alias("seg_rank"),
+        )
+        .where(F.col("seg_rank") <= 5)
+        .orderBy("c_mktsegment", "seg_rank", "custkey")
+    )
+
+
+SPEND_RANK_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment, o_custkey AS custkey,
+       CAST(spend_dec AS DOUBLE) AS total_spend,
+       CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                               ORDER BY spend_dec DESC, o_custkey) AS BIGINT)
+           AS seg_rank
+FROM spend JOIN customer ON o_custkey = c_custkey
+QUALIFY seg_rank <= 5
+ORDER BY c_mktsegment, seg_rank, custkey
+"""
+
+
+# -- frame-bounded moving average --------------------------------------------
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-event moving average of `value` per user (ROWS 2 PRECEDING..CURRENT)
+    — the bounded-frame window every metrics pipeline needs; partition key
+    user_id, unique tiebreaker event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(
+                (
+                    F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+                    / F.count(F.lit(1)).over(w)
+                ).cast("double"),
+                6,
+            ).alias("mov_avg3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+MOVING_AVG_ORACLE = """
+SELECT user_id, event_id,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  / COUNT(*)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE), 6) AS mov_avg3
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+# -- approximate distinct (HLL) ----------------------------------------------
+
+
+def events_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type — the oracle twin of the approx
+    path below."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+USERS_EXACT_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd 2%).  The 100 TB
+    path: fixed-size sketch per group, map-side mergeable — no exact-distinct
+    shuffle explosion.  Sketch internals differ per engine, so the driver
+    records a rows-only check; pytest bounds the error vs the exact twin."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+register("orders_running_total", orders_running_total, RUNNING_TOTAL_ORACLE)
+register(
+    "customer_spend_rank_in_segment", customer_spend_rank_in_segment, SPEND_RANK_ORACLE
+)
+register("events_moving_avg", events_moving_avg, MOVING_AVG_ORACLE)
+register("events_users_exact", events_users_exact, USERS_EXACT_ORACLE)
+register("events_users_approx", events_users_approx, None)  # rows-only: HLL sketch

@@ -1,0 +1,49 @@
+"""Window-function operators: parity + semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark.io import read_table
+from data_catalog_spark.operators import windows as W
+
+from conftest import assert_same
+
+PARITY = [
+    ("orders_running_total", W.RUNNING_TOTAL_ORACLE),
+    ("customer_spend_rank_in_segment", W.SPEND_RANK_ORACLE),
+    ("events_moving_avg", W.MOVING_AVG_ORACLE),
+    ("events_users_exact", W.USERS_EXACT_ORACLE),
+]
+
+
+@pytest.mark.parametrize("name,oracle", PARITY, ids=[n for n, _ in PARITY])
+def test_parity(spark, sf_dir, ddb, name, oracle):
+    assert_same(getattr(W, name)(spark, sf_dir), ddb, oracle)
+
+
+def test_running_total_is_monotone_per_customer(spark, sf_dir):
+    rows = W.orders_running_total(spark, sf_dir).collect()
+    last: dict[int, float] = {}
+    # accumulation order is (orderdate, orderkey) within each customer
+    for r in sorted(rows, key=lambda r: (r.o_custkey, r.orderdate, r.o_orderkey)):
+        prev = last.get(r.o_custkey, 0.0)
+        assert r.running_spend >= prev - 1e-9
+        last[r.o_custkey] = r.running_spend
+
+
+def test_rank_starts_at_one_per_segment(spark, sf_dir):
+    rows = W.customer_spend_rank_in_segment(spark, sf_dir).collect()
+    segs = {r.c_mktsegment for r in rows}
+    firsts = {r.c_mktsegment for r in rows if r.seg_rank == 1}
+    assert firsts == segs
+
+
+def test_approx_users_within_rsd(spark, sf_dir):
+    exact = {r.event_type: r.n_users for r in W.events_users_exact(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in W.events_users_approx(spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.10  # 2% rsd, generous bound
