@@ -1,0 +1,188 @@
+"""Training-corpus preparation — the end-to-end pipeline a pre-training
+data build runs over the documents table, composed from the text/dedup
+substrate:
+
+1. ``corpus_training_filter``: quality gate ∧ language gate ∧ token-budget
+   gate ∧ exact-dedup keeper — ONE pass over the corpus (tokenize once,
+   every gate reads the same token array), the shape that matters at
+   100 TB where each extra pass is a full re-scan.
+2. ``dup_clusters``: resolve transitive near-dup groups (A~B, B~C ⇒
+   {A,B,C} one cluster, keep min doc_id) — iterative min-label propagation
+   (Pregel-style) on the exact-Jaccard pair graph, oracle-checked against
+   a recursive-CTE transitive closure in DuckDB.
+
+Scale notes: label propagation shuffles on the node key each round;
+``localCheckpoint`` truncates the growing lineage (the classic iterative-
+DataFrame failure mode).  Rounds = graph diameter, which for dedup
+clusters is tiny (dups cluster tightly); the loop is also capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .dedup import JACCARD_PAIRS_BODY, dedup_ngram_jaccard
+from .registry import register
+from .text import (
+    BPE_PATTERN,
+    DUCK_TOKENS,
+    LANG_MARKERS,
+    SPARK_TOKENS,
+    _BPE_SQL,
+    _STOPWORDS,
+)
+
+MIN_SUBWORD_TOKENS = 10
+MAX_SUBWORD_TOKENS = 5000
+
+
+def corpus_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents that survive every gate, with the stats that justified
+    keeping them.  Single tokenize, single scan, one window for the
+    exact-dup keeper."""
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    others = [
+        ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) for lang in ("de", "es", "fr")
+    ]
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("t", F.expr(SPARK_TOKENS))
+        .withColumn("n_tokens", F.expr("size(t)").cast("long"))
+        .withColumn(
+            "n_subword_tokens",
+            F.expr(f'size(regexp_extract_all(text, "{BPE_PATTERN}", 0))').cast("long"),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.round(
+                F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text"), 6
+            ),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.round(
+                F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .withColumn("s_en", F.expr(f"size(array_intersect(t, array({en})))"))
+        .withColumn(
+            "s_other",
+            F.greatest(
+                *[F.expr(f"size(array_intersect(t, array({a})))") for a in others]
+            ),
+        )
+        .withColumn("fp", F.md5(F.expr("concat_ws(' ', t)")))
+        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
+    )
+    return (
+        d.where(
+            (F.col("n_tokens") >= 5)
+            & (F.col("alpha_ratio") >= 0.6)
+            & (F.col("stop_ratio") <= 0.5)
+            & (F.col("s_en") > 0)
+            & (F.col("s_en") >= F.col("s_other"))
+            & F.col("n_subword_tokens").between(MIN_SUBWORD_TOKENS, MAX_SUBWORD_TOKENS)
+            & (F.col("doc_id") == F.col("keeper"))
+        )
+        .select("doc_id", "n_subword_tokens", "alpha_ratio", "stop_ratio")
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_filter_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    others = ", ".join(
+        f"len(list_intersect(t, [{', '.join(repr(w) for w in LANG_MARKERS[lang])}]))"
+        for lang in ("de", "es", "fr")
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {DUCK_TOKENS} AS t FROM documents
+), m AS (
+  SELECT doc_id, text, t,
+         len(t) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+             AS n_subword_tokens,
+         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6)
+             AS alpha_ratio,
+         round(len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t), 6)
+             AS stop_ratio,
+         len(list_intersect(t, [{en}])) AS s_en,
+         greatest({others}) AS s_other,
+         min(doc_id) OVER (PARTITION BY md5(array_to_string(t, ' '))) AS keeper
+  FROM d
+)
+SELECT doc_id, n_subword_tokens, alpha_ratio, stop_ratio
+FROM m
+WHERE n_tokens >= 5 AND alpha_ratio >= 0.6 AND stop_ratio <= 0.5
+  AND s_en > 0 AND s_en >= s_other
+  AND n_subword_tokens BETWEEN {MIN_SUBWORD_TOKENS} AND {MAX_SUBWORD_TOKENS}
+  AND doc_id = keeper
+ORDER BY doc_id
+"""
+
+
+# -- dup-cluster resolution (iterative connected components) -----------------
+
+MAX_CC_ROUNDS = 20
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup pair; cluster_id =
+    min doc_id reachable through the pair graph.  Driver loop runs
+    min-label propagation to fixpoint (≤ graph diameter rounds); per round:
+    one join + one groupBy, both on the node key."""
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("da").alias("a"), F.col("db").alias("b"))
+    )
+    edges = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        msgs = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(msgs, labels.node == msgs.node2, "left_outer")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()  # truncate iterative lineage
+        changed = new.where(F.col("new_label") < F.col("label")).count()
+        labels = new.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+jacc AS (SELECT da, db FROM ({JACCARD_PAIRS_BODY}) j),
+edges AS (SELECT da AS a, db AS b FROM jacc UNION SELECT db, da FROM jacc),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
+register("corpus_training_filter", corpus_training_filter, _corpus_filter_oracle())
+register("dup_clusters", dup_clusters, DUP_CLUSTERS_ORACLE)

@@ -109,7 +109,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_JACCARD_ORACLE = f"""
+# The pair query body, reusable as a subquery (dup-cluster resolution in
+# operators/corpus.py embeds it).
+JACCARD_PAIRS_BODY = f"""
 WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -121,8 +123,9 @@ pairs AS (
 SELECT da, db, round(common / (na.n + nb.n - common), 6) AS jac
 FROM pairs JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
 WHERE common / (na.n + nb.n - common) >= {JACCARD_THRESHOLD}
-ORDER BY da, db
 """
+
+DEDUP_JACCARD_ORACLE = f"{JACCARD_PAIRS_BODY} ORDER BY da, db"
 
 
 # -- MinHash + LSH (the scale path) ------------------------------------------

@@ -34,6 +34,7 @@ def _load_all() -> None:
     # Import for side effect: each module registers its entries.
     from . import (  # noqa: F401
         analytics,
+        corpus,
         dedup,
         events_analytics,
         joins,

@@ -1,0 +1,40 @@
+"""Training-corpus pipeline + dup-cluster resolution."""
+
+from __future__ import annotations
+
+from data_catalog_spark.operators import corpus, dedup
+
+from conftest import assert_same
+
+
+def test_corpus_filter_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.corpus_training_filter(spark, sf_dir), ddb, corpus._corpus_filter_oracle()
+    )
+
+
+def test_corpus_filter_respects_budget(spark, sf_dir):
+    rows = corpus.corpus_training_filter(spark, sf_dir).collect()
+    assert rows, "some documents must survive the gates"
+    for r in rows:
+        assert corpus.MIN_SUBWORD_TOKENS <= r.n_subword_tokens <= corpus.MAX_SUBWORD_TOKENS
+        assert r.alpha_ratio >= 0.6 and r.stop_ratio <= 0.5
+
+
+def test_dup_clusters_parity(spark, sf_dir, ddb):
+    assert_same(corpus.dup_clusters(spark, sf_dir), ddb, corpus.DUP_CLUSTERS_ORACLE)
+
+
+def test_dup_clusters_transitive(spark, sf_dir):
+    """Every near-dup pair's endpoints share a cluster, and the cluster id
+    is the component minimum (≤ every member)."""
+    labels = {
+        r.doc_id: r.cluster_id for r in corpus.dup_clusters(spark, sf_dir).collect()
+    }
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert labels[p.da] == labels[p.db]
+    for doc, cl in labels.items():
+        assert cl <= doc
+        assert labels[cl] == cl  # the representative is its own cluster id
