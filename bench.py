@@ -24,8 +24,14 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q10_returned_top_customers",
     "q13_order_count_distribution",
+    "q19_disjunctive_predicate_join",
     "asof_purchases_last_click",
+    "range_band_join_quantity",
     "top3_orders_per_customer",
+    "orders_running_total",
+    "salted_returnflag_stats",
+    "funnel_view_click_purchase",
+    "events_day_type_pivot",
     "events_hourly_rollup",
     "sessionize_events",
     "cat_text_search",
@@ -37,6 +43,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "corpus_training_filter",
     "ann_bruteforce_topk",
 ]
 
