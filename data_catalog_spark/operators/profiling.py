@@ -1,0 +1,97 @@
+"""Dataset profiling — the operation a data catalog runs when a dataset is
+registered: per-column null counts, distinct cardinality, min/max.
+
+The reference stores profile-ish metadata (recordCount, size, dataSample —
+metadata_entry.py:48-49,44) that some upstream process computed; this
+operator IS that process, Spark-first: ONE pass over the table computing
+every column's stats as parallel aggregates (partial/map-side combined),
+then pivoted row-per-column with ``stack``.  No per-column scans — at
+100 TB, 11 columns profiled costs one scan, not 11.
+
+For exact distinct counts across many columns in one pass Spark plans
+an expand (one shuffle per distinct column set); the 100 TB variant swaps
+``count_distinct`` → ``approx_count_distinct`` (HLL, single pass, no
+expand) — same call shape, bounded memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import read_table
+from .registry import register
+
+PROFILE_COLUMNS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def _fmt(col: str, dtype: T.DataType) -> F.Column:
+    if isinstance(dtype, T.TimestampType):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.format_string("%.4f", F.col(col))
+    return F.col(col).cast("string")
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_value, max_value) — one
+    row per profiled column, one scan total."""
+    df = read_table(spark, sf_dir, "lineitem")
+    dtypes = dict(zip(df.schema.fieldNames(), [f.dataType for f in df.schema.fields]))
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            F.min(_fmt(c, dtypes[c])).alias(f"min_{c}"),
+            F.max(_fmt(c, dtypes[c])).alias(f"max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, dist_{c}, min_{c}, max_{c}" for c in PROFILE_COLUMNS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLUMNS)}, {stack_args}) "
+            "AS (column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    ).orderBy("column")
+
+
+def _profile_oracle() -> str:
+    # DuckDB side mirrors the formatting: timestamps → strftime seconds,
+    # doubles → plain 4-decimal printf.
+    parts = []
+    for c in PROFILE_COLUMNS:
+        if c == "l_shipdate":
+            val = f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+        elif c in ("l_quantity", "l_extendedprice", "l_discount"):
+            val = f"printf('%.4f', {c})"
+        else:
+            val = f"CAST({c} AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+            f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"  MIN({val}) AS min_value, MAX({val}) AS max_value\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+register("profile_lineitem", profile_lineitem, _profile_oracle())

@@ -40,6 +40,7 @@ def _load_all() -> None:
         joins,
         multimodal,
         pandas_ops,
+        profiling,
         sessionize,
         similarity,
         skew,
