@@ -32,3 +32,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout partitioned parquet sink — the deployment layout for the
+    catalog table (SURVEY §1.3: partition by low-cardinality security
+    columns so the injected tenant/visibility predicate becomes partition
+    PRUNING, i.e. untouched directories, not filtered rows).
+
+    Partition columns must be low-cardinality (isPublic, format, orgUUID
+    bucketed); high-cardinality partitioning creates the many-small-files
+    problem this layout exists to avoid."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout; filters on partition columns prune at
+    planning time (visible as PartitionFilters in the scan node)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,38 @@
+"""Partitioned sink + partition-pruning reads — the catalog's deployment
+layout (security predicates become pruned directories)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_catalog_spark.datasets_source import datasets_df
+from data_catalog_spark.io import read_partitioned, write_partitioned
+
+
+def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    ds = datasets_df(spark, sf_dir)
+    path = str(tmp_path / "datasets_part")
+    write_partitioned(ds, path, ["isPublic", "format"])
+
+    back = read_partitioned(spark, path)
+    assert back.count() == ds.count()
+
+    pruned = back.where((F.col("isPublic") == True) & (F.col("format") == "json"))  # noqa: E712
+    want = ds.where((F.col("isPublic") == True) & (F.col("format") == "json")).count()  # noqa: E712
+    assert pruned.count() == want > 0
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the security/format predicate must prune partitions, not filter rows
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "isPublic" in seg and "format" in seg
+
+
+def test_pruned_scan_reads_fewer_files(spark, sf_dir, tmp_path):
+    ds = datasets_df(spark, sf_dir)
+    path = str(tmp_path / "datasets_part2")
+    write_partitioned(ds, path, ["format"])
+    back = read_partitioned(spark, path)
+    full_rows = back.count()
+    one_fmt = back.where(F.col("format") == "csv")
+    assert 0 < one_fmt.count() < full_rows
