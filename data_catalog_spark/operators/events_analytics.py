@@ -192,7 +192,42 @@ FROM events GROUP BY day ORDER BY day
 """
 
 
+# -- histogram ---------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 10
+
+
+# width_bucket semantics, spelled out so the IDENTICAL arithmetic runs in
+# both engines (DuckDB has no width_bucket): 0 below range, bins+1 above,
+# else 1-based fixed-step bin.
+_BUCKET_EXPR = (
+    f"CASE WHEN value < {HIST_LO} THEN 0 "
+    f"WHEN value >= {HIST_HI} THEN {HIST_BINS + 1} "
+    f"ELSE CAST(floor((value - {HIST_LO}) / "
+    f"(({HIST_HI} - {HIST_LO}) / {HIST_BINS})) AS BIGINT) + 1 END"
+)
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram — one map-side-combined aggregation; the
+    standard distribution profile at any scale."""
+    return (
+        _ev(spark, sf_dir)
+        .select(F.expr(_BUCKET_EXPR).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT {_BUCKET_EXPR} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
 register("funnel_view_click_purchase", funnel_view_click_purchase, FUNNEL_ORACLE)
+register("events_value_histogram", events_value_histogram, HISTOGRAM_ORACLE)
 register("cohort_weekly_retention", cohort_weekly_retention, COHORT_ORACLE)
 register("events_value_percentiles", events_value_percentiles, PERCENTILES_ORACLE)
 register("events_day_type_pivot", events_day_type_pivot, PIVOT_ORACLE)

@@ -195,6 +195,43 @@ ORDER BY c_custkey
 """
 
 
+# -- cube --------------------------------------------------------------------
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass (Expand + single hash agg — not 4 scans).  NULL grouping slots are
+    labeled 'ALL' so the output is total-ordered and oracle-comparable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
 # -- range (band) join -------------------------------------------------------
 
 QUANTITY_BANDS = [
@@ -244,5 +281,6 @@ ORDER BY band
 register("asof_purchases_last_click", purchases_with_last_click, ASOF_ORACLE)
 register("range_band_join_quantity", range_band_join_quantity, RANGE_BAND_ORACLE)
 register("q_rollup_lineitem", q_rollup_lineitem, ROLLUP_ORACLE)
+register("q_cube_lineitem", q_cube_lineitem, CUBE_ORACLE)
 register("q_distinct_parts_per_flag", q_distinct_parts_per_flag, DISTINCT_ORACLE)
 register("customers_without_urgent_orders", customers_without_urgent_orders, ANTI_ORACLE)

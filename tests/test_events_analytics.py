@@ -50,3 +50,13 @@ def test_pivot_rows_sum_to_event_count(spark, sf_dir):
 def test_percentiles_ordered(spark, sf_dir):
     for r in ea.events_value_percentiles(spark, sf_dir).collect():
         assert r.p50 <= r.p90 <= r.p99
+
+
+def test_histogram_parity(spark, sf_dir, ddb):
+    assert_same(ea.events_value_histogram(spark, sf_dir), ddb, ea.HISTOGRAM_ORACLE)
+
+
+def test_histogram_covers_all_events(spark, sf_dir):
+    rows = ea.events_value_histogram(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == read_table(spark, sf_dir, "events").count()
+    assert all(0 <= r.bucket <= ea.HIST_BINS + 1 for r in rows)

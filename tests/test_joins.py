@@ -77,3 +77,16 @@ def test_range_bands_partition_all_rows(spark, sf_dir):
     rows = joins.range_band_join_quantity(spark, sf_dir).collect()
     total = read_table(spark, sf_dir, "lineitem").count()
     assert sum(r.n_lines for r in rows) == total
+
+
+def test_cube_parity(spark, sf_dir, ddb):
+    assert_same(joins.q_cube_lineitem(spark, sf_dir), ddb, joins.CUBE_ORACLE)
+
+
+def test_cube_grand_total_and_margins(spark, sf_dir):
+    rows = {(r.returnflag, r.linestatus): r.n for r in joins.q_cube_lineitem(spark, sf_dir).collect()}
+    total = read_table(spark, sf_dir, "lineitem").count()
+    assert rows[("ALL", "ALL")] == total
+    # both one-dimensional margins must each sum to the grand total
+    assert sum(n for (rf, ls), n in rows.items() if rf == "ALL" and ls != "ALL") == total
+    assert sum(n for (rf, ls), n in rows.items() if rf != "ALL" and ls == "ALL") == total
