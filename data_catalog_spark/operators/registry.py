@@ -41,6 +41,7 @@ def _load_all() -> None:
         multimodal,
         pandas_ops,
         profiling,
+        sampling,
         sessionize,
         similarity,
         skew,

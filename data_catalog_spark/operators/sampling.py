@@ -1,0 +1,78 @@
+"""Deterministic content-hash sampling.
+
+`df.sample()` is seed- and partitioning-dependent — useless when the
+sample must be reproducible across runs, engines, and cluster sizes (the
+usual requirement for training-data ablations and debug subsets).  The
+scalable design: bucket every row by a hash of its stable key and keep
+buckets below the rate threshold.  Map-only, no shuffle, no state; the
+same row is in the sample on 1 executor or 1000, in Spark or DuckDB —
+which is exactly what lets the oracle check it.
+
+Bucket = first 8 hex chars of md5(key) as an integer, mod 100 (md5 because
+both engines have it; 32 bits is plenty for percent-level rates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+SAMPLE_PCT = 10
+# per-language rates: downsample the dominant language, keep the rest
+STRATA_PCT = {"en": 5, "de": 20, "es": 20, "fr": 20}
+DEFAULT_PCT = 50
+
+_SPARK_BUCKET = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+_DUCK_BUCKET = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100"
+
+
+def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat deterministic ~10% sample of documents."""
+    return (
+        read_table(spark, sf_dir, "documents")
+        .where(F.expr(_SPARK_BUCKET) < SAMPLE_PCT)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_DUCK_BUCKET} < {SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (downsample the dominant stratum) — the
+    rebalancing step of corpus construction; still map-only and
+    deterministic."""
+    rate = F.lit(DEFAULT_PCT)
+    for lang, pct in STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (
+        read_table(spark, sf_dir, "documents")
+        .where(F.expr(_SPARK_BUCKET) < rate)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_STRATA_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in STRATA_PCT.items())
+    + f" ELSE {DEFAULT_PCT} END"
+)
+
+STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_DUCK_BUCKET} < {_STRATA_CASE}
+ORDER BY doc_id
+"""
+
+
+register("sample_documents_hash", sample_documents_hash, SAMPLE_ORACLE)
+register("stratified_sample_documents", stratified_sample_documents, STRATIFIED_ORACLE)
