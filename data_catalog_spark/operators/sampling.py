@@ -21,7 +21,8 @@ from ..io import read_table
 from .registry import register
 
 SAMPLE_PCT = 10
-# per-language rates: downsample the dominant language, keep the rest
+# per-language rates: downsample the dominant language hardest; languages
+# not listed fall through to DEFAULT_PCT (50%), NOT 100%
 STRATA_PCT = {"en": 5, "de": 20, "es": 20, "fr": 20}
 DEFAULT_PCT = 50
 
