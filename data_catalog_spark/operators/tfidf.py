@@ -1,0 +1,90 @@
+"""TF-IDF ranked retrieval over the documents table.
+
+The reference delegates relevance to ElasticSearch's TF/IDF (SURVEY §2.3:
+its exact numerics are ES-internal and not required); this operator is the
+Spark-first version of what ES does under the hood, with DEFINED,
+engine-portable numerics so it is fully oracle-checkable:
+
+    tf(t, d)  = occurrences of t in d
+    idf(t)    = ln((N + 1) / (df(t) + 1))        (smoothed)
+    score(q,d)= Σ_{t ∈ q∩d} tf(t,d) · idf(t)
+
+Shape = the classic distributed inverted index, as dataframes:
+postings (doc, term, tf) via explode+groupBy; df(t) from postings;
+query terms broadcast-joined against postings; one agg per doc; top-k via
+TakeOrderedAndProject.  At 100 TB the postings table is the materialized
+artifact (bucketed by term); queries touch only their terms' postings —
+the same access pattern an inverted index gives ES.
+
+ln() on both engines is IEEE double `log` of an exactly-agreed rational
+(counts are integers), so scores match to the comparison's 6dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+from .text import DUCK_TOKENS, SPARK_TOKENS
+
+# 'dup' is rare in the synthetic corpus (df ≈ 5% of docs) — high idf;
+# the others are common — the query exercises the weighting spread.
+QUERY_TERMS = ["dup", "spark", "vector", "scan"]
+TOP_K = 20
+
+
+def doc_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — the inverted-index postings list."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents for QUERY_TERMS by Σ tf·idf, deterministic ties on
+    doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # 1-scalar driver value, like any planner stat
+    postings = doc_postings(docs)
+    q = spark.createDataFrame([(t,) for t in QUERY_TERMS], "term string")
+    matched = postings.join(F.broadcast(q), "term")
+    df_t = matched.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        matched.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "w",
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _tfidf_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    return f"""
+WITH postings AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, term
+), q(term) AS (VALUES {terms}),
+matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+       round(SUM(tf * ln((n_docs + 1) / (df + 1))), 6) AS score
+FROM matched JOIN df_t USING (term) CROSS JOIN n
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+register("tfidf_search_topk", tfidf_search_topk, _tfidf_oracle())

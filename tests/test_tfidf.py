@@ -1,0 +1,50 @@
+"""TF-IDF ranked retrieval."""
+
+from __future__ import annotations
+
+from data_catalog_spark.io import read_table
+from data_catalog_spark.operators import tfidf
+
+from conftest import assert_same
+
+
+def test_tfidf_parity(spark, sf_dir, ddb):
+    assert_same(tfidf.tfidf_search_topk(spark, sf_dir), ddb, tfidf._tfidf_oracle())
+
+
+def test_tfidf_topk_semantics(spark, sf_dir):
+    rows = tfidf.tfidf_search_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= tfidf.TOP_K
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # top hit must actually contain at least one query term
+    top_doc = rows[0].doc_id
+    text = (
+        read_table(spark, sf_dir, "documents")
+        .where(f"doc_id = {top_doc}")
+        .collect()[0]
+        .text.lower()
+    )
+    assert any(t in text for t in tfidf.QUERY_TERMS)
+
+
+def test_rarer_terms_weigh_more(spark, sf_dir):
+    """IDF must order inversely to document frequency."""
+    import math
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    postings = tfidf.doc_postings(docs)
+    dfs = {
+        r.term: r.df
+        for r in postings.where(postings.term.isin(tfidf.QUERY_TERMS))
+        .groupBy("term")
+        .count()
+        .withColumnRenamed("count", "df")
+        .collect()
+    }
+    assert len(dfs) >= 2
+    idf = {t: math.log((n + 1) / (d + 1)) for t, d in dfs.items()}
+    ordered = sorted(dfs, key=dfs.get)
+    assert all(idf[a] >= idf[b] for a, b in zip(ordered, ordered[1:]))
