@@ -118,22 +118,29 @@ class DatasetsCatalog:
     def _merge_rows(self, rows: list[dict]) -> set:
         """MERGE post-validated full rows keyed on id; returns created ids.
 
-        delete-on-match + insert == WHEN MATCHED UPDATE / NOT MATCHED INSERT
-        for whole-row replacement.
+        anti-join + union == WHEN MATCHED UPDATE / NOT MATCHED INSERT for
+        whole-row replacement; plan size is independent of batch
+        cardinality (no id-literal lists), so 10^6-row ingest batches keep
+        the same plan shape.  Within a batch, last write wins per id — the
+        reference's sequential-index semantics (elastic_admin.py:54-83).
         """
-        current = self.df()
+        last: dict[str, dict] = {}
+        for r in rows:
+            last[r["id"]] = r
         batch = self.spark.createDataFrame(
-            [Row(**{c: r.get(c) for c in COLUMN_ORDER}) for r in rows],
+            [Row(**{c: r.get(c) for c in COLUMN_ORDER}) for r in last.values()],
             DATASETS_SCHEMA,
         )
-        ids = [r["id"] for r in rows]
+        current = self.df()
+        batch_ids = batch.select("id")
+        # matched ids only — bounded by the batch size, never the table
         existing = {
             r["id"]
-            for r in current.select("id").where(F.col("id").isin(ids)).collect()
+            for r in current.select("id").join(batch_ids, "id", "left_semi").collect()
         }
-        merged = current.where(~F.col("id").isin(ids)).unionByName(batch)
+        merged = current.join(batch_ids, "id", "left_anti").unionByName(batch)
         self._commit(merged)
-        return {i for i in ids if i not in existing}
+        return set(last) - existing
 
     def partial_update(self, entry_id: str, patch: dict) -> None:
         """S4: patch a subset of fields of one document.

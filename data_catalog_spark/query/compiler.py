@@ -115,7 +115,8 @@ def _parse(data_catalog_query) -> dict:
         return data_catalog_query
     try:
         parsed = json.loads(data_catalog_query)
-    except ValueError:
+    except (ValueError, TypeError):
+        # TypeError: non-str/bytes input (e.g. an int) must 400, not 500
         raise InvalidQueryError("Supplied query is not a JSON document.")
     if not isinstance(parsed, dict):
         raise InvalidQueryError("Supplied query is not a JSON object.")

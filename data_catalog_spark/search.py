@@ -41,15 +41,13 @@ _NUMERIC_FIELDS = frozenset({"recordCount", "size"})
 def predicate_column(f) -> Column:
     """Render one IR filter to a Spark Column (mirrors sqlgen.predicate_sql)."""
     if isinstance(f, TermsFilter):
-        if f.fld == IS_PUBLIC_FIELD or f.fld in _NUMERIC_FIELDS:
+        # exact-match fields (boolean/numeric/not_analyzed orgUUID) compare
+        # raw; analyzed string fields compare lowercased (P1)
+        if f.fld == IS_PUBLIC_FIELD or f.fld == ORG_UUID_FIELD or f.fld in _NUMERIC_FIELDS:
             expr = F.col(f.fld)
-            values = list(f.values)
-        elif f.fld == ORG_UUID_FIELD:
-            expr = F.col(f.fld)
-            values = list(f.values)
         else:
             expr = F.lower(F.col(f.fld))
-            values = list(f.values)
+        values = list(f.values)
         if len(values) == 1:
             return expr == F.lit(values[0])
         return expr.isin(values)

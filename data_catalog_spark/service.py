@@ -33,6 +33,14 @@ from .schema import validate_entry
 from . import search as search_mod
 
 
+def _norm_orgs(org_uuid_list: list[str]) -> list[str]:
+    """The reference's auth layer lowercases+trims the resolved org list
+    before any resource sees it (auth.py:149-169); the compiler does the
+    same for search — normalizing here keeps CRUD and search authorization
+    consistent for mixed-case callers."""
+    return [o.strip().lower() for o in org_uuid_list]
+
+
 class DataCatalogService:
     def __init__(
         self,
@@ -58,7 +66,7 @@ class DataCatalogService:
             return None, 404
         if (
             not is_admin
-            and entry["orgUUID"] not in org_uuid_list
+            and entry["orgUUID"] not in _norm_orgs(org_uuid_list)
             and not entry["isPublic"]
         ):
             return None, 403
@@ -68,9 +76,10 @@ class DataCatalogService:
 
     def put_entry(self, entry_id: str, entry: dict, org_uuid_list: list[str], is_admin: bool):
         """Upsert with write authorization (metadata_entry.py:149-181):
-        non-admin must own the entry's orgUUID; 201 on create, 200 on
-        replace."""
-        if not is_admin and entry.get("orgUUID") not in org_uuid_list:
+        non-admin must own the INCOMING body's orgUUID — deliberately not
+        the stored entry's, mirroring the reference exactly
+        (metadata_entry.py:154-157); 201 on create, 200 on replace."""
+        if not is_admin and entry.get("orgUUID") not in _norm_orgs(org_uuid_list):
             self._notify(entry, "Forbidden access to the organisation")
             return None, 403
         try:
@@ -85,13 +94,14 @@ class DataCatalogService:
 
     def post_entry(self, entry_id: str, patch: dict, org_uuid_list: list[str], is_admin: bool, token: str = ""):
         """Partial update (metadata_entry.py:216-274): schema-keys-only
-        patch; an isPublic flip first triggers the hive-view cascade
-        (dataset_delete.py:50-63)."""
+        patch; the PRESENCE of isPublic in the patch (not only an actual
+        flip) triggers the hive-view cascade first — exact reference
+        behavior (metadata_entry.py:244-253, dataset_delete.py:50-63)."""
         try:
             current = self.catalog.get(entry_id)
         except EntryNotFoundError:
             return None, 404
-        if not is_admin and current["orgUUID"] not in org_uuid_list:
+        if not is_admin and current["orgUUID"] not in _norm_orgs(org_uuid_list):
             return None, 403
         if validate_entry(patch, partial=True):
             return None, 400
@@ -101,7 +111,8 @@ class DataCatalogService:
             self.catalog.partial_update(entry_id, patch)
         except EntryNotFoundError:
             return None, 404
-        status = "public" if self.catalog.get(entry_id)["isPublic"] else "private"
+        post_image = {**current, **patch}
+        status = "public" if post_image["isPublic"] else "private"
         self._notify(current, f"Dataset changed status on {status}")
         return None, 200
 
@@ -115,7 +126,7 @@ class DataCatalogService:
             entry = self.catalog.get(entry_id)
         except EntryNotFoundError:
             return None, 404
-        if not is_admin and entry["orgUUID"] not in org_uuid_list:
+        if not is_admin and entry["orgUUID"] not in _norm_orgs(org_uuid_list):
             return None, 403
         if not token:
             return None, 401
@@ -177,9 +188,16 @@ class DataCatalogService:
         rows; admin only."""
         if not is_admin:
             return None, 403
-        pairs = [(str(e.get("id", i)), {k: v for k, v in e.items() if k != "id"})
-                 for i, e in enumerate(entries)]
+        pairs, bad = [], []
+        for i, e in enumerate(entries):
+            if not isinstance(e, dict):
+                bad.append((str(i), "entry is not a JSON object"))
+                continue
+            pairs.append(
+                (str(e.get("id", i)), {k: v for k, v in e.items() if k != "id"})
+            )
         created, rejects = self.catalog.bulk_upsert(pairs, skip_invalid=True)
+        rejects = bad + rejects
         return {"created": sorted(created), "rejected": [r[0] for r in rejects]}, 200
 
     def admin_drop_index(self, is_admin: bool):

@@ -138,3 +138,12 @@ def test_type_checks():
     assert validate_entry({**ENTRY, "recordCount": "many"})
     assert validate_entry({**ENTRY, "isPublic": "yes"})
     assert validate_entry({**ENTRY, "title": 7})
+
+
+def test_bulk_duplicate_ids_last_write_wins(cat):
+    created, rejects = cat.bulk_upsert(
+        [("a", ENTRY), ("a", {**ENTRY, "title": "second"})], skip_invalid=True
+    )
+    assert created == {"a"} and not rejects
+    assert cat.count() == 1  # no duplicate rows under one id
+    assert cat.get("a")["title"] == "second"

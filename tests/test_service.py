@@ -106,3 +106,26 @@ def test_admin_endpoints(svc):
     assert svc.admin_drop_index(is_admin=False)[1] == 403
     assert svc.admin_drop_index(is_admin=True)[1] == 200
     assert svc.count([], M.ONLY_PUBLIC)[0] == {"total": 0}
+
+
+def test_mixed_case_org_list_consistent_with_search(svc):
+    """auth.py:149-169 lowercases+trims the org list; CRUD must apply the
+    same normalization so search and point endpoints agree."""
+    assert svc.put_entry("e1", {**ENTRY, "isPublic": False}, [" Org02 "], False)[1] == 201
+    assert svc.get_entry("e1", ["ORG02"], False)[1] == 200
+    assert svc.post_entry("e1", {"format": "json"}, ["Org02"], False)[1] == 200
+    assert svc.delete_entry("e1", ["ORG02 "], False, token="tok")[1] == 200
+
+
+def test_bulk_load_skips_non_dict_rows(svc):
+    res, code = svc.admin_bulk_load(
+        [{**ENTRY, "id": "ok1"}, ["not", "a", "dict"], "junk"], is_admin=True
+    )
+    assert code == 200
+    assert res["created"] == ["ok1"]
+    assert sorted(res["rejected"]) == ["1", "2"]
+
+
+def test_non_string_query_maps_to_400(svc):
+    assert svc.search(5, ORG)[1] == 400
+    assert svc.search(["x"], ORG)[1] == 400
