@@ -163,6 +163,38 @@ def total(df: DataFrame, cq: CompiledQuery) -> DataFrame:
     )
 
 
+def facets_and_total(df: DataFrame, cq: CompiledQuery) -> tuple[list[str], list[str], int]:
+    """R2 one-pass plan: GROUPING SETS ((category), (format), ()) over the
+    query-filtered set computes BOTH facets (pre-post-filter counts, A1/A2)
+    and the post-filtered total (A3, as a conditional sum in the () slot)
+    in a single scan + single aggregation — versus three separate jobs.
+    Output rows are bounded by |categories| + |formats| + 1, so the final
+    top-k ordering happens on the driver."""
+    rows = (
+        query_filtered(df, cq)
+        .withColumn("_post", F.when(post_predicate(cq), 1).otherwise(0))
+        .groupingSets([["category"], ["format"], []], "category", "format")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_post").alias("post_cnt"),
+            F.grouping("category").cast("int").alias("gc"),
+            F.grouping("format").cast("int").alias("gf"),
+        )
+        .collect()
+    )
+    def topk(fld: str, size: int, gc: int, gf: int) -> list[str]:
+        buckets = [
+            (r["cnt"], r[fld]) for r in rows if r["gc"] == gc and r["gf"] == gf
+        ]
+        buckets.sort(key=lambda t: (-t[0], t[1]))
+        return [v for _, v in buckets[:size]]
+
+    cats = topk("category", CATEGORIES_FACET_SIZE, 0, 1)
+    fmts = topk("format", FORMATS_FACET_SIZE, 1, 0)
+    total_n = next(int(r["post_cnt"]) for r in rows if r["gc"] == 1 and r["gf"] == 1)
+    return cats, fmts, total_n
+
+
 @dataclass
 class SearchResult:
     """The reference's response shape (search.py:121-135, api_doc.json
@@ -176,12 +208,8 @@ class SearchResult:
 
 def search(df: DataFrame, cq: CompiledQuery) -> SearchResult:
     """Full faceted search — the one driver-side collect point (final page +
-    facet keys + count only; never the full match set)."""
-    base = query_filtered(df, cq)
-    # One branch point feeding 3 small outputs; caching pays off only for
-    # interactive reuse — at scale rely on parquet scan reuse + AQE.
+    facet keys + count only; never the full match set).  Two jobs total:
+    the ranked hits page, and the one-pass facets+total aggregation."""
     hit_rows = [r.asDict() for r in hits(df, cq).collect()]
-    cats = [r["value"] for r in categories_facet(df, cq).collect()]
-    fmts = [r["value"] for r in formats_facet(df, cq).collect()]
-    n = base.where(post_predicate(cq)).count()
+    cats, fmts, n = facets_and_total(df, cq)
     return SearchResult(hits=hit_rows, total=n, categories=cats, formats=fmts)

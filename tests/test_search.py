@@ -133,3 +133,19 @@ def test_fuzzy_title_matches_typo(spark, sf_dir):
     rows = _fuzzy_search(spark, sf_dir).collect()
     assert rows, "'wiget' must fuzzy-match 'widget' titles"
     assert all("widget" in r.title.lower() for r in rows)
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["cat_match_all", "cat_text_search", "cat_filter_term", "cat_m1_full", "cat_combo_all"],
+)
+def test_one_pass_facets_match_three_pass(ds, case):
+    """facets_and_total (GROUPING SETS, one scan) must equal the separate
+    facet/total plans on every representative case."""
+    from data_catalog_spark.entries import CATALOG_CASES
+
+    cq = compile_query(*CATALOG_CASES[case])
+    cats, fmts, n = search.facets_and_total(ds, cq)
+    assert cats == [r["value"] for r in search.categories_facet(ds, cq).collect()]
+    assert fmts == [r["value"] for r in search.formats_facet(ds, cq).collect()]
+    assert n == search.total(ds, cq).collect()[0]["total"]
