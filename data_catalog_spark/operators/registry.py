@@ -51,3 +51,4 @@ def _load_all() -> None:
         windows,
     )
     from ..streaming import dedup as streaming_dedup  # noqa: F401
+    from ..streaming import joins as streaming_joins  # noqa: F401

@@ -1,0 +1,94 @@
+"""Watermarked stream-stream join — purchases joined to preceding clicks.
+
+The hardest Structured Streaming primitive: both sides are unbounded, so
+matches require state; the event-time bound (click within 30 min before
+the purchase) plus watermarks lets Spark expire state — without the time
+bound the join state would grow forever, the canonical unbounded-state
+mistake.  State is keyed by user_id (the equi-join key = shuffle key).
+
+Batch parity: an availableNow pass over the full table must produce
+exactly the rows of the equivalent batch join (the time bound makes the
+join semantics batch-expressible, which is what the oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.registry import register
+from .events import read_events_stream
+
+JOIN_WINDOW_SEC = 1800
+
+
+def purchases_with_recent_clicks_stream(events: DataFrame) -> DataFrame:
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS")),
+    )
+
+
+def stream_purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: run the stream-stream join availableNow, then a batch
+    summary of the matched pairs (count + distinct purchases per user)."""
+    import uuid
+
+    name = f"ss_join_pairs_{uuid.uuid4().hex[:8]}"  # fresh sink per run
+    q = (
+        purchases_with_recent_clicks_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("purchase_id").alias("n_purchases_with_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_JOIN_ORACLE = f"""
+SELECT p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases_with_click
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {JOIN_WINDOW_SEC} SECONDS
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
+register("stream_purchase_click_pairs", stream_purchase_click_pairs, STREAM_JOIN_ORACLE)
