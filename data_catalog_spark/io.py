@@ -52,3 +52,34 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned layout; filters on partition columns prune at
     planning time (visible as PartitionFilters in the scan node)."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int, sort_by: str | None = None
+) -> int:
+    """Small-file compaction — the table-maintenance op every streaming /
+    micro-batch ingest needs: many tiny files degrade scan planning (one
+    task per file) and parquet encoding.  Rewrites the directory to
+    ``target_files`` files (optionally sorted for min/max-pruning
+    friendliness) via an atomic swap; returns the resulting file count.
+
+    At 100 TB this runs per-partition-directory (bounded working set), not
+    whole-table; the copy-on-write swap is the same pattern as
+    ``catalog._commit`` (a Delta/Iceberg OPTIMIZE stand-in)."""
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    writer = df.repartition(target_files)
+    if sort_by:
+        writer = writer.sortWithinPartitions(sort_by)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
+    out = os.path.join(tmp, "compacted")
+    writer.write.mode("overwrite").parquet(out)
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(out, path)
+    shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

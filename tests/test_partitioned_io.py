@@ -36,3 +36,21 @@ def test_pruned_scan_reads_fewer_files(spark, sf_dir, tmp_path):
     full_rows = back.count()
     one_fmt = back.where(F.col("format") == "csv")
     assert 0 < one_fmt.count() < full_rows
+
+
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    import os
+
+    from data_catalog_spark.io import compact_parquet, read_table
+
+    path = str(tmp_path / "events_many")
+    ev = read_table(spark, sf_dir, "events")
+    ev.repartition(24).write.parquet(path)  # simulate micro-batch droppings
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 20
+
+    checksum = ev.selectExpr("sum(event_id) s", "count(*) n").collect()[0]
+    n_files = compact_parquet(spark, path, target_files=4, sort_by="ts")
+    assert n_files <= 4
+    after = spark.read.parquet(path).selectExpr("sum(event_id) s", "count(*) n").collect()[0]
+    assert (after.s, after.n) == (checksum.s, checksum.n)

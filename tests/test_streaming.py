@@ -20,3 +20,51 @@ def test_stream_is_incremental(spark, sf_dir):
     """The source must be a real streaming relation (not a batch read)."""
     stream = se.hourly_rollup_stream(se.read_events_stream(spark, sf_dir))
     assert stream.isStreaming
+
+
+def test_checkpoint_prevents_double_processing(spark, sf_dir, tmp_path):
+    """Exactly-once file-source semantics: a second availableNow start on
+    the SAME checkpoint must process nothing new (no double counting),
+    because the source's processed-file log lives in the checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        hourly_rollup_stream,
+    )
+
+    # stable staging dir: the source path must be IDENTICAL across restarts
+    # so the checkpoint's processed-file log is what prevents reprocessing
+    stage = tmp_path / "events_src"
+    stage.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "rollup_out")
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        q = (
+            hourly_rollup_stream(events)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # append mode + watermark: only closed windows are emitted
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    run_once()  # same checkpoint: the file was already processed
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1, "restart from checkpoint must not reprocess input"
