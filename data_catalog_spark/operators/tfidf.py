@@ -87,4 +87,52 @@ LIMIT {TOP_K}
 """
 
 
+# -- corpus n-gram stats -----------------------------------------------------
+
+NGRAM_TOP_K = 25
+
+
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigrams corpus-wide with document frequency — the corpus
+    analysis pass feeding vocabulary/stopword decisions.  explode + one
+    agg + TakeOrderedAndProject; no driver-side text."""
+    docs = read_table(spark, sf_dir, "documents")
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty array
+    bigram_arr = (
+        f"CASE WHEN size({SPARK_TOKENS}) >= 2 THEN "
+        f"transform(sequence(1, size({SPARK_TOKENS}) - 1), "
+        f"i -> concat(element_at({SPARK_TOKENS}, i), ' ', "
+        f"element_at({SPARK_TOKENS}, i + 1))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    bigrams = docs.select("doc_id", F.explode(F.expr(bigram_arr)).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+TOP_BIGRAMS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT {NGRAM_TOP_K}
+"""
+
+
 register("tfidf_search_topk", tfidf_search_topk, _tfidf_oracle())
+register("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE)

@@ -148,6 +148,46 @@ ORDER BY user_id, event_id
 """
 
 
+# -- lag: period-over-period growth ------------------------------------------
+
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — aggregate to months first (tiny),
+    then lag() over the ordered month series.  The growth ratio divides two
+    exact decimal sums, so it's engine-portable."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_dec", F.lag("rev_dec").over(w))
+        .select(
+            "month",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                (F.col("rev_dec").cast("double") / F.col("prev_dec").cast("double") - 1) * 100,
+                6,
+            ).alias("growth_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY month
+)
+SELECT month, CAST(rev_dec AS DOUBLE) AS revenue,
+       round((CAST(rev_dec AS DOUBLE)
+              / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE) - 1) * 100, 6)
+           AS growth_pct
+FROM monthly ORDER BY month
+"""
+
+
 # -- approximate distinct (HLL) ----------------------------------------------
 
 
@@ -182,6 +222,7 @@ def events_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("orders_running_total", orders_running_total, RUNNING_TOTAL_ORACLE)
+register("orders_monthly_growth", orders_monthly_growth, MONTHLY_GROWTH_ORACLE)
 register(
     "customer_spend_rank_in_segment", customer_spend_rank_in_segment, SPEND_RANK_ORACLE
 )

@@ -48,3 +48,14 @@ def test_rarer_terms_weigh_more(spark, sf_dir):
     idf = {t: math.log((n + 1) / (d + 1)) for t, d in dfs.items()}
     ordered = sorted(dfs, key=dfs.get)
     assert all(idf[a] >= idf[b] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_top_bigrams_parity(spark, sf_dir, ddb):
+    assert_same(
+        tfidf.corpus_top_bigrams(spark, sf_dir), ddb, tfidf.TOP_BIGRAMS_ORACLE
+    )
+
+
+def test_bigram_df_bounded_by_occurrences(spark, sf_dir):
+    for r in tfidf.corpus_top_bigrams(spark, sf_dir).collect():
+        assert 1 <= r.n_docs <= r.n_occurrences

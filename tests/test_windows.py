@@ -47,3 +47,13 @@ def test_approx_users_within_rsd(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n <= 0.10  # 2% rsd, generous bound
+
+
+def test_monthly_growth_parity(spark, sf_dir, ddb):
+    assert_same(W.orders_monthly_growth(spark, sf_dir), ddb, W.MONTHLY_GROWTH_ORACLE)
+
+
+def test_monthly_growth_first_month_null(spark, sf_dir):
+    rows = W.orders_monthly_growth(spark, sf_dir).collect()
+    assert rows[0].growth_pct is None  # no prior month
+    assert all(r.growth_pct is not None for r in rows[1:])
