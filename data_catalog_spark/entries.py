@@ -177,12 +177,41 @@ ORDER BY CAST(id AS BIGINT)
 """
 
 
+def _org_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog reporting: per-tenant dataset counts, storage footprint, and
+    visibility split — the admin dashboard query over the catalog table
+    (one scan, conditional aggregation for the public/private split)."""
+    from pyspark.sql import functions as F
+
+    return (
+        datasets_df(spark, sf_dir)
+        .groupBy("orgUUID")
+        .agg(
+            F.count(F.lit(1)).alias("n_datasets"),
+            F.sum("size").alias("total_bytes"),
+            F.sum("recordCount").alias("total_records"),
+            F.sum(F.when(F.col("isPublic"), 1).otherwise(0)).alias("n_public"),
+        )
+        .orderBy("orgUUID")
+    )
+
+
+ORG_STATS_ORACLE = f"""{ORACLE_DATASETS_CTE}
+SELECT orgUUID, CAST(COUNT(*) AS BIGINT) AS n_datasets,
+       CAST(SUM(size) AS BIGINT) AS total_bytes,
+       CAST(SUM(recordCount) AS BIGINT) AS total_records,
+       CAST(SUM(CASE WHEN isPublic THEN 1 ELSE 0 END) AS BIGINT) AS n_public
+FROM datasets GROUP BY orgUUID ORDER BY orgUUID
+"""
+
+
 def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, case in CATALOG_CASES.items():
         out[name] = _hits_query(case)
     out["cat_point_lookup"] = _point_lookup
     out["cat_fuzzy_title"] = _fuzzy_search
+    out["cat_org_stats"] = _org_stats
     # Facet / count surfaces (A1-A4) on representative cases.
     out["cat_facet_categories"] = _facet_query(CATALOG_CASES["cat_filter_term"], "categories")
     out["cat_facet_formats"] = _facet_query(CATALOG_CASES["cat_filter_term"], "formats")
@@ -201,6 +230,7 @@ def catalog_oracles() -> dict[str, str]:
         out[name] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq)}"
     out["cat_point_lookup"] = POINT_LOOKUP_ORACLE
     out["cat_fuzzy_title"] = FUZZY_ORACLE
+    out["cat_org_stats"] = ORG_STATS_ORACLE
     cq_term = compile_query(*CATALOG_CASES["cat_filter_term"])
     cq_text = compile_query(*CATALOG_CASES["cat_text_search"])
     cq_all = compile_query(*CATALOG_CASES["cat_match_all"])

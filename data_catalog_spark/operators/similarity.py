@@ -302,7 +302,48 @@ def _assign_probes(df: DataFrame, centroids: list[list[float]], nprobe: int) -> 
     )
 
 
+# -- per-label vector stats --------------------------------------------------
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count and mean L2 norm — the sanity profile run before any
+    ANN/cluster work (catches unnormalized or degenerate embedding groups).
+    The norm is a per-row array fold (deterministic: same element order in
+    both engines); the mean goes through DECIMAL so it is order-independent."""
+    e = read_table(spark, sf_dir, "embeddings")
+    nrm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
+            .alias("mean_norm"),
+        )
+        .select("label", "n_vectors", F.round("mean_norm", 6).alias("mean_norm"))
+        .orderBy("label")
+    )
+
+
+EMB_STATS_ORACLE = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
 register("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTE_ORACLE)
+register("embedding_label_stats", embedding_label_stats, EMB_STATS_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
 register("ann_lsh_topk", ann_lsh_topk, None)  # rows-only: seeded LSH sketch
 register("ann_ivf_topk", ann_ivf_topk, None)  # rows-only: learned quantizer

@@ -149,3 +149,18 @@ def test_one_pass_facets_match_three_pass(ds, case):
     assert cats == [r["value"] for r in search.categories_facet(ds, cq).collect()]
     assert fmts == [r["value"] for r in search.formats_facet(ds, cq).collect()]
     assert n == search.total(ds, cq).collect()[0]["total"]
+
+
+def test_org_stats_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.entries import ORG_STATS_ORACLE, _org_stats
+
+    assert_same(_org_stats(spark, sf_dir), ddb, ORG_STATS_ORACLE)
+
+
+def test_org_stats_totals(spark, sf_dir):
+    from data_catalog_spark.entries import _org_stats
+
+    rows = _org_stats(spark, sf_dir).collect()
+    ds = datasets_df(spark, sf_dir)
+    assert sum(r.n_datasets for r in rows) == ds.count()
+    assert all(0 <= r.n_public <= r.n_datasets for r in rows)

@@ -76,3 +76,23 @@ def test_lsh_scores_are_exact_cosines(spark, sf_dir, brute):
     for r in similarity.ann_lsh_topk(spark, sf_dir).collect():
         if (r.qid, r.nid) in bf:
             assert r.cos == bf[(r.qid, r.nid)]
+
+
+def test_embedding_label_stats_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators.similarity import (
+        EMB_STATS_ORACLE,
+        embedding_label_stats,
+    )
+    from conftest import assert_same
+
+    assert_same(embedding_label_stats(spark, sf_dir), ddb, EMB_STATS_ORACLE)
+
+
+def test_embedding_label_stats_cover_all_vectors(spark, sf_dir):
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators.similarity import embedding_label_stats
+
+    rows = embedding_label_stats(spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == total
+    assert all(r.mean_norm > 0 for r in rows)
