@@ -85,3 +85,49 @@ def token_match_pattern(tokens: list[str], split_class: str) -> str | None:
     boundary = split_class.rstrip("+")  # "[^a-z0-9]"
     alt = "|".join(re.escape(t) for t in toks)
     return f"(^|{boundary})({alt})({boundary}|$)"
+
+
+# -- english suffix stemming (SURVEY hard-parts: configuration_const.py:26-29
+# uses ES's `english` analyzer; full Porter is ES-internal — this is the
+# deterministic, engine-portable plural-folding subset: Porter step 1a
+# + common 'ies'/'sses' folding, spelled as an ordered regexp chain that
+# renders identically in Spark and DuckDB, differing only in the
+# backreference syntax ($1 vs \1)).
+
+STEM_RULES: list[tuple[str, str]] = [
+    (r"sses$", "ss"),     # classes  -> class
+    (r"ies$", "i"),       # queries  -> queri (Porter folds both query/queries here)
+    (r"([^su])s$", "$1"), # widgets  -> widget; keeps 'ss'/'us' endings
+]
+
+
+def stem(token: str) -> str:
+    """Pure-python twin of the SQL renderings below (used in tests)."""
+    import re
+
+    for pat, rep in STEM_RULES:
+        new = re.sub(pat, rep.replace("$1", r"\1"), token)
+        if new != token:
+            return new
+    return token
+
+
+def _stem_chain(var: str, backref: str) -> str:
+    """First-match-wins as a CASE chain (NOT nested replaces — applying
+    rule 3 after rule 2 would double-strip)."""
+    branches = []
+    for pat, rep in STEM_RULES:
+        r = rep.replace("$1", backref)
+        branches.append(
+            f"WHEN regexp_replace({var}, '{pat}', '{r}') != {var} "
+            f"THEN regexp_replace({var}, '{pat}', '{r}')"
+        )
+    return "CASE " + " ".join(branches) + f" ELSE {var} END"
+
+
+def spark_stem_expr(var: str = "x") -> str:
+    return _stem_chain(var, "$1")
+
+
+def duck_stem_expr(var: str = "x") -> str:
+    return _stem_chain(var, r"\1")

@@ -237,3 +237,38 @@ register("text_token_count", text_token_count, TOKEN_COUNT_ORACLE)
 register("text_quality", text_quality, _quality_oracle())
 register("text_langid", text_langid, _langid_oracle())
 register("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE)
+
+
+# -- stemmed corpus frequencies ----------------------------------------------
+
+
+def corpus_top_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 stems corpus-wide — the english-analyzer stemming pass
+    (SURVEY hard-parts) applied as a portable regexp CASE chain inside
+    transform(); token folding happens before the count so plural variants
+    aggregate into one bucket."""
+    stems = F.expr(
+        f"transform({SPARK_TOKENS}, x -> {analyzers.spark_stem_expr('x')})"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(stems).alias("stem"))
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("stem"))
+        .limit(25)
+    )
+
+
+TOP_STEMS_ORACLE = f"""
+WITH s AS (
+  SELECT unnest(list_transform({DUCK_TOKENS},
+                x -> {analyzers.duck_stem_expr('x')})) AS stem
+  FROM documents
+)
+SELECT stem, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM s GROUP BY stem ORDER BY n_occurrences DESC, stem LIMIT 25
+"""
+
+
+register("corpus_top_stems", corpus_top_stems, TOP_STEMS_ORACLE)

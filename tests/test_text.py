@@ -57,3 +57,37 @@ def test_sessionize_gap_semantics(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     # every event lands in exactly one session
     assert sessions.groupBy().sum("n_events").collect()[0][0] == ev.count()
+
+
+def test_stemmer_three_way_agreement(spark, ddb):
+    """Python twin, Spark rendering, and DuckDB rendering of the stem
+    chain must agree on plural-folding cases."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark import analyzers as A
+
+    words = ["widgets", "queries", "classes", "glass", "bus", "s", "window",
+             "sses", "ies", "mass", "masses", "radius"]
+    want = {w: A.stem(w) for w in words}
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got_spark = {
+        r.w: r.s
+        for r in sdf.select("w", F.expr(A.spark_stem_expr("w")).alias("s")).collect()
+    }
+    assert got_spark == want
+    vals = ", ".join(f"('{w}')" for w in words)
+    got_duck = dict(
+        ddb.execute(
+            f"SELECT w, {A.duck_stem_expr('w')} FROM (VALUES {vals}) v(w)"
+        ).fetchall()
+    )
+    assert got_duck == want
+    assert want["widgets"] == "widget" and want["queries"] == "queri"
+
+
+def test_corpus_top_stems_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators.text import TOP_STEMS_ORACLE, corpus_top_stems
+
+    from conftest import assert_same
+
+    assert_same(corpus_top_stems(spark, sf_dir), ddb, TOP_STEMS_ORACLE)
