@@ -28,3 +28,33 @@ def test_zscore_is_normalized(spark, sf_dir):
     for zs in some:
         if len(zs) > 1:
             assert abs(sum(zs) / len(zs)) < 1e-9  # mean 0
+
+
+def test_sessionize_native_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators.sessionize import (
+        SESSIONIZE_NATIVE_ORACLE,
+        sessionize_native,
+    )
+    from conftest import assert_same
+
+    assert_same(sessionize_native(spark, sf_dir), ddb, SESSIONIZE_NATIVE_ORACLE)
+
+
+def test_sessionize_native_matches_lag_based(spark, sf_dir):
+    """The declarative session_window form and the lag/running-sum form
+    must produce the same sessions on this corpus (no exact-gap-boundary
+    events in the test data)."""
+    from data_catalog_spark.operators.sessionize import (
+        sessionize_events,
+        sessionize_native,
+    )
+
+    native = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in sessionize_native(spark, sf_dir).collect()
+    }
+    lagged = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in sessionize_events(spark, sf_dir).collect()
+    }
+    assert native == lagged
