@@ -68,3 +68,15 @@ def test_checkpoint_prevents_double_processing(spark, sf_dir, tmp_path):
     run_once()  # same checkpoint: the file was already processed
     n2 = spark.read.parquet(out).count()
     assert n2 == n1, "restart from checkpoint must not reprocess input"
+
+
+def test_foreach_batch_merge_sink_equals_batch_rollup(spark, sf_dir, ddb):
+    """Two update-mode micro-batches merged by key must converge to the
+    batch rollup — re-emitted windows overwrite, nothing duplicates."""
+    from data_catalog_spark.streaming.sink import (
+        STREAM_MERGE_ORACLE,
+        stream_rollup_merge_sink,
+    )
+    from conftest import assert_same
+
+    assert_same(stream_rollup_merge_sink(spark, sf_dir), ddb, STREAM_MERGE_ORACLE)
