@@ -21,7 +21,9 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_supplier_nation_revenue",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "q10_returned_top_customers",
     "q13_order_count_distribution",
     "q19_disjunctive_predicate_join",

@@ -48,6 +48,7 @@ def _load_all() -> None:
         text,
         tfidf,
         tpch_extra,
+        tpch_final,
         windows,
     )
     from ..streaming import dedup as streaming_dedup  # noqa: F401
