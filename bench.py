@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "corpus_training_filter",
+    "docs_chunk_tokens",
+    "docs_decontaminate",
     "ann_bruteforce_topk",
 ]
 

@@ -49,6 +49,7 @@ def _load_all() -> None:
         tfidf,
         tpch_extra,
         tpch_final,
+        traindata,
         windows,
     )
     from ..streaming import dedup as streaming_dedup  # noqa: F401

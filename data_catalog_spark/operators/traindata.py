@@ -1,0 +1,222 @@
+"""Training-corpus preparation operators — the steps between "filtered
+corpus" and "tensors": fixed-window token chunking, deterministic
+train/val/test assignment, intra-document repetition stats, and benchmark
+decontamination (n-gram overlap against a held-out set).
+
+No reference counterpart (SURVEY §2.6 — north-star data-pipeline scope).
+All four are pure built-in-function plans (split / sequence / slice /
+explode / higher-order functions) — no UDFs, fully whole-stage-codegen —
+and every one has a DuckDB oracle.
+
+Scale rules:
+  * chunking / dedup-stats / split are embarrassingly parallel map-side
+    ops — zero shuffles (chunk explode grows rows in place; the plan is
+    scan → generate → project);
+  * decontamination joins on the 8-gram string: the benchmark gram set is
+    tiny relative to the corpus and is BROADCAST, so the corpus-side
+    explode never shuffles — at 100 TB this is the only viable shape
+    (shuffling exploded corpus grams would be ~15× the input bytes);
+  * the split assignment reuses the md5-bucket idiom from sampling.py —
+    deterministic, uniform, and reproducible across engines and runs
+    (never rand(): not stable across retries/partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+
+CHUNK = 16  # tokens per chunk
+STRIDE = 12  # chunk start spacing (CHUNK - STRIDE = 4 tokens of overlap)
+NGRAM = 8  # decontamination shingle width
+
+_SPARK_BUCKET = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+_DUCK_BUCKET = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# -- fixed-window token chunking ---------------------------------------------
+
+
+def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into CHUNK-token windows every STRIDE tokens
+    (trailing partial window kept).  Map-side only: sequence+explode+slice
+    inside one codegen stage, no shuffle until the final presentation sort
+    (which real pipelines omit — they write chunks partitioned by hash)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("t", F.split("text", " "))
+        .where(F.size("t") > 0)
+        .withColumn(
+            "start", F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(STRIDE)))
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / STRIDE).cast("int").alias("chunk_idx"),
+            F.expr(f"array_join(slice(t, start + 1, {CHUNK}), ' ')").alias("chunk_text"),
+            F.expr(f"size(slice(t, start + 1, {CHUNK}))").cast("int").alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) > 0)
+SELECT doc_id,
+       CAST(u.s / {STRIDE} AS INT) AS chunk_idx,
+       array_to_string(t[u.s + 1 : u.s + {CHUNK}], ' ') AS chunk_text,
+       CAST(len(t[u.s + 1 : u.s + {CHUNK}]) AS INT) AS chunk_tokens
+FROM d, unnest(generate_series(0, len(t) - 1, {STRIDE})) AS u(s)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# -- deterministic train/val/test split --------------------------------------
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by md5(doc_id) bucket — stable under reruns, retries,
+    and any partitioning, and reproducible in any engine (unlike rand())."""
+    bucket = F.expr(_SPARK_BUCKET)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+            WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- intra-document repetition stats ------------------------------------------
+
+
+def docs_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-token stats + Gopher-style top-token fraction
+    (most frequent token's share).  Distinct-count is array_distinct on the
+    in-row array — no explode, no shuffle; the top-token share uses one
+    explode + two-level aggregation keyed on doc_id (co-partitioned, one
+    shuffle total)."""
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("t", F.split("text", " "))
+        .where(F.size("t") > 0)
+    )
+    stats = d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(t))").cast("long").alias("n_unique"),
+    )
+    top = (
+        d.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
+        .select("doc_id", F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_frac"))
+    )
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unique",
+            F.round(1 - F.col("n_unique") / F.col("n_tokens"), 6).alias("dup_ratio"),
+            "top_token_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+INTRA_DEDUP_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) > 0),
+top AS (
+  SELECT doc_id, round(MAX(c) / SUM(c), 6) AS top_token_frac
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+       round(1 - len(list_distinct(t)) / len(t), 6) AS dup_ratio,
+       top_token_frac
+FROM d JOIN top ON d.doc_id = top.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def _grams(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {NGRAM}),"
+                f" i -> array_join(slice(t, i + 1, {NGRAM}), ' '))"
+            )
+        ).alias("gram"),
+    )
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents sharing any 8-gram with the benchmark set
+    (docs with doc_id % 50 == 0 stand in for the eval benchmark).  The
+    benchmark's distinct grams BROADCAST to the corpus-side gram explode —
+    the corpus never shuffles its exploded grams, which is the only shape
+    that survives 100 TB (corpus grams ≈ 8× corpus tokens in bytes)."""
+    tok = (
+        _docs(spark, sf_dir)
+        .withColumn("t", F.split("text", " "))
+        .where(F.size("t") >= NGRAM)
+    )
+    bench_grams = _grams(tok.where(F.col("doc_id") % 50 == 0)).select("gram").distinct()
+    return (
+        _grams(tok.where(F.col("doc_id") % 50 != 0))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE len(string_split(text, ' ')) >= {NGRAM}),
+g AS (SELECT doc_id, array_to_string(t[u.i + 1 : u.i + {NGRAM}], ' ') AS gram
+      FROM tok, unnest(generate_series(0, len(t) - {NGRAM})) AS u(i)),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hits
+FROM g JOIN bg USING (gram)
+WHERE doc_id % 50 <> 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+register("docs_chunk_tokens", docs_chunk_tokens, CHUNK_ORACLE)
+register("docs_train_split", docs_train_split, SPLIT_ORACLE)
+register("docs_intra_dedup", docs_intra_dedup, INTRA_DEDUP_ORACLE)
+register("docs_decontaminate", docs_decontaminate, DECONTAMINATE_ORACLE)

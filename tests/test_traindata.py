@@ -1,0 +1,68 @@
+"""Training-corpus prep operators: oracle parity + invariants + the
+broadcast-shape assertion that pins the decontamination scale design."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark.operators import traindata as td
+
+from conftest import assert_same
+
+PARITY = [
+    ("docs_chunk_tokens", td.CHUNK_ORACLE),
+    ("docs_train_split", td.SPLIT_ORACLE),
+    ("docs_intra_dedup", td.INTRA_DEDUP_ORACLE),
+    ("docs_decontaminate", td.DECONTAMINATE_ORACLE),
+]
+
+
+@pytest.mark.parametrize("name,oracle", PARITY, ids=[n for n, _ in PARITY])
+def test_parity(spark, sf_dir, ddb, name, oracle):
+    assert_same(getattr(td, name)(spark, sf_dir), ddb, oracle)
+
+
+def test_chunk_coverage(spark, sf_dir):
+    """Chunks tile every document: per doc, chunk token counts sum to
+    n_tokens + overlap·(n_chunks−1), and every chunk except possibly the
+    last is full-width."""
+    rows = td.docs_chunk_tokens(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # Reconstruct n_tokens from the final chunk, then every chunk must
+        # hold exactly min(CHUNK, n_tokens - STRIDE·k) tokens — i.e. the
+        # windows tile the doc with no token skipped or duplicated beyond
+        # the declared overlap.
+        n_tokens = (len(chunks) - 1) * td.STRIDE + chunks[-1].chunk_tokens
+        for k, c in enumerate(chunks):
+            assert c.chunk_tokens == min(td.CHUNK, n_tokens - td.STRIDE * k)
+            assert len(c.chunk_text.split(" ")) == c.chunk_tokens
+
+
+def test_split_is_deterministic_and_complete(spark, sf_dir):
+    a = td.docs_train_split(spark, sf_dir).collect()
+    b = td.docs_train_split(spark, sf_dir).collect()
+    assert a == b
+    frac = sum(1 for r in a if r.split == "train") / len(a)
+    assert 0.7 < frac < 0.9  # 80% ± sampling noise at small N
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    plan = (
+        td.docs_decontaminate(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_benchmark_docs_flag_themselves_if_included(spark, sf_dir):
+    """Sanity: every flagged doc is a non-benchmark doc with ≥1 hit."""
+    rows = td.docs_decontaminate(spark, sf_dir).collect()
+    assert all(r.doc_id % 50 != 0 and r.n_hits >= 1 for r in rows)
