@@ -87,8 +87,14 @@ FROM d GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with 3-gram shingle Jaccard ≥ 0.5: explode → equality
     self-join on shingle (the blocking key) → per-pair overlap count →
-    |A∪B| from per-doc sizes.  Exact, deterministic, oracle-checked."""
-    sh = _shingles(_docs(spark, sf_dir))
+    |A∪B| from per-doc sizes.  Exact, deterministic, oracle-checked.
+    The docs repartition spreads the 1-row-group local file across the
+    executor threads so shingling isn't a serial scan task (no-op to omit
+    on a properly partitioned deployment input)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = _shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -131,12 +137,15 @@ DEDUP_JACCARD_ORACLE = f"{JACCARD_PAIRS_BODY} ORDER BY da, db"
 # -- MinHash + LSH (the scale path) ------------------------------------------
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig: array<long>) — component i = min over shingles of
-    xxhash64(i, shingle).  One groupBy over the exploded shingles; the k
-    mins are computed as k parallel partial aggregates (map-side combined)."""
+    xxhash64(i, shingle).  One groupBy over the exploded shingles: the k
+    hashes are flat codegen'd column expressions (NOT higher-order-function
+    lambdas, which evaluate interpreted and cost ~7× here), and map-side
+    partial mins mean the shuffle carries only n_docs × k longs per map
+    partition — the exploded shingle stream itself never crosses the wire."""
     mins = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = _shingles(docs).groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
@@ -161,8 +170,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose signature agreement ≥ threshold.  Deterministic (xxhash64 seeds are
     fixed) but not SQL-expressible — rows-only driver check; pytest measures
     recall against dedup_ngram_jaccard."""
-    sh = _shingles(_docs(spark, sf_dir))
-    sig = minhash_signatures(sh)
+    # The sf0.1 documents file is a single row group ⇒ a 1-task scan that
+    # would serialize all k×|shingles| hashing; spread docs across the
+    # executor threads first (at deployment scale the input is already
+    # many-partitioned and this repartition is a no-op to omit).
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # Signatures are tiny (n_docs × k × 8 B); localCheckpoint materializes
+    # them once so the band self-join and the two estimate-joins below reuse
+    # the computed table instead of re-deriving it (the single-job analog of
+    # writing a signatures table at deployment scale).
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
     bands = minhash_bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
