@@ -205,6 +205,34 @@ FROM datasets GROUP BY orgUUID ORDER BY orgUUID
 """
 
 
+def _uri_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/§2.7 parity: the delete-cascade's URI dissection — scheme check
+    (metadata_entry.py:82-86 validation) and database-id extraction
+    `targetUri.split('/')[-2]` (dataset_delete.py:99-103), plus the source
+    host via the parse_url builtin.  All scalar, one map-side projection."""
+    from pyspark.sql import functions as F
+
+    return (
+        datasets_df(spark, sf_dir)
+        .select(
+            "id",
+            F.element_at(F.split("targetUri", "://"), 1).alias("target_scheme"),
+            F.element_at(F.split("targetUri", "/"), -2).alias("database_id"),
+            F.parse_url("sourceUri", F.lit("HOST")).alias("source_host"),
+        )
+        .orderBy(F.col("id").cast("bigint"))
+    )
+
+
+URI_PARTS_ORACLE = f"""{ORACLE_DATASETS_CTE}
+SELECT id,
+       string_split(targetUri, '://')[1] AS target_scheme,
+       string_split(targetUri, '/')[-2] AS database_id,
+       string_split(sourceUri, '/')[3] AS source_host
+FROM datasets ORDER BY CAST(id AS BIGINT)
+"""
+
+
 def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, case in CATALOG_CASES.items():
@@ -212,6 +240,7 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_point_lookup"] = _point_lookup
     out["cat_fuzzy_title"] = _fuzzy_search
     out["cat_org_stats"] = _org_stats
+    out["cat_uri_parts"] = _uri_parts
     # Facet / count surfaces (A1-A4) on representative cases.
     out["cat_facet_categories"] = _facet_query(CATALOG_CASES["cat_filter_term"], "categories")
     out["cat_facet_formats"] = _facet_query(CATALOG_CASES["cat_filter_term"], "formats")
@@ -231,6 +260,7 @@ def catalog_oracles() -> dict[str, str]:
     out["cat_point_lookup"] = POINT_LOOKUP_ORACLE
     out["cat_fuzzy_title"] = FUZZY_ORACLE
     out["cat_org_stats"] = ORG_STATS_ORACLE
+    out["cat_uri_parts"] = URI_PARTS_ORACLE
     cq_term = compile_query(*CATALOG_CASES["cat_filter_term"])
     cq_text = compile_query(*CATALOG_CASES["cat_text_search"])
     cq_all = compile_query(*CATALOG_CASES["cat_match_all"])

@@ -186,3 +186,51 @@ FROM reach GROUP BY a ORDER BY doc_id
 
 register("corpus_training_filter", corpus_training_filter, _corpus_filter_oracle())
 register("dup_clusters", dup_clusters, DUP_CLUSTERS_ORACLE)
+
+
+# -- set algebra over document selections -------------------------------------
+
+
+def docs_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT of two corpus selections (English docs vs
+    docs from source 'src0'), reported as per-operator cardinalities.  Uses
+    Spark's native set operators (distinct-semantics union/intersect/
+    exceptAll→distinct): each is one shuffle on doc_id; the three 1-row
+    aggregates union into a single result frame.  (SURVEY §2.6 notes the
+    reference has none of these — north-star breadth.)"""
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("lang") == "en").select("doc_id")
+    b = docs.where(F.col("source") == "src0").select("doc_id")
+    rows = [
+        a.union(b).distinct().groupBy().agg(
+            F.lit("union").alias("op"), F.count(F.lit(1)).alias("n")
+        ),
+        a.intersect(b).groupBy().agg(
+            F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("n")
+        ),
+        a.distinct().exceptAll(b.distinct()).groupBy().agg(
+            F.lit("except").alias("op"), F.count(F.lit(1)).alias("n")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("op")
+
+
+SET_OPS_ORACLE = """
+WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+     b AS (SELECT doc_id FROM documents WHERE source = 'src0')
+SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)
+UNION ALL
+SELECT 'intersect', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+UNION ALL
+SELECT 'except', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+ORDER BY op
+"""
+
+
+register("docs_set_ops", docs_set_ops, SET_OPS_ORACLE)

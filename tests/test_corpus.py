@@ -38,3 +38,22 @@ def test_dup_clusters_transitive(spark, sf_dir):
     for doc, cl in labels.items():
         assert cl <= doc
         assert labels[cl] == cl  # the representative is its own cluster id
+
+
+def test_docs_set_ops_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+
+    assert_same(corpus.docs_set_ops(spark, sf_dir), ddb, corpus.SET_OPS_ORACLE)
+
+
+def test_docs_set_ops_algebra(spark, sf_dir):
+    """|A∪B| + |A∩B| = |A| + |B| (inclusion–exclusion), and except = A−A∩B."""
+    from data_catalog_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    n = {r.op: r.n for r in corpus.docs_set_ops(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents")
+    na = docs.where(F.col("lang") == "en").count()
+    nb = docs.where(F.col("source") == "src0").count()
+    assert n["union"] + n["intersect"] == na + nb
+    assert n["except"] == na - n["intersect"]

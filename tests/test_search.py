@@ -164,3 +164,20 @@ def test_org_stats_totals(spark, sf_dir):
     ds = datasets_df(spark, sf_dir)
     assert sum(r.n_datasets for r in rows) == ds.count()
     assert all(0 <= r.n_public <= r.n_datasets for r in rows)
+
+
+def test_uri_parts_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.entries import URI_PARTS_ORACLE, _uri_parts
+
+    assert_same(_uri_parts(spark, sf_dir), ddb, URI_PARTS_ORACLE)
+
+
+def test_uri_parts_values(spark, sf_dir):
+    """The extracted database-id is the partkey path segment and the scheme
+    matches the URI prefix — the dataset_delete.py:99-103 contract."""
+    from data_catalog_spark.entries import _uri_parts as up
+
+    for r in up(spark, sf_dir).collect():
+        assert r.target_scheme == "hdfs"
+        assert r.database_id == r.id
+        assert r.source_host == "www.catalog.com"
