@@ -42,6 +42,7 @@ def _load_all() -> None:
         pandas_ops,
         profiling,
         sampling,
+        scd2,
         sessionize,
         similarity,
         skew,

@@ -92,3 +92,57 @@ ORDER BY p.user_id
 
 
 register("stream_purchase_click_pairs", stream_purchase_click_pairs, STREAM_JOIN_ORACLE)
+
+
+# -- stream-static dimension enrichment --------------------------------------
+
+
+def enriched_events_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of events joins the static
+    customer dimension (user_id == c_custkey).  The static side is
+    BROADCAST — no state, no watermark needed (stream-static inner joins
+    are stateless by construction), and the stream side never shuffles for
+    the join.  At deployment scale the dimension is re-read per trigger,
+    picking up slowly-changing updates for free."""
+    dim = customers.select("c_custkey", "c_mktsegment")
+    return events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+
+
+def stream_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: availableNow pass of the stream-static join, rolled up
+    to per-(market segment, event type) counts and value sums."""
+    import uuid
+
+    from ..io import read_table
+
+    name = f"ss_static_{uuid.uuid4().hex[:8]}"
+    enriched = enriched_events_stream(
+        read_events_stream(spark, sf_dir), read_table(spark, sf_dir, "customer")
+    )
+    q = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+STREAM_STATIC_ORACLE = """
+SELECT c_mktsegment, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
+register("stream_segment_rollup", stream_segment_rollup, STREAM_STATIC_ORACLE)

@@ -40,3 +40,40 @@ def test_stream_dedup_stats_parity(spark, sf_dir, ddb):
     assert_same(
         sd.stream_dedup_type_stats(spark, sf_dir), ddb, sd.STREAM_DEDUP_ORACLE
     )
+
+
+def test_salted_join_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import skew
+    from conftest import assert_same
+
+    assert_same(
+        skew.salted_join_priority_stats(spark, sf_dir), ddb, skew.SALTED_JOIN_ORACLE
+    )
+
+
+def test_salted_join_key_is_composite(spark, sf_dir):
+    """The physical join key must include the salt (no reducer owns a whole
+    priority) — visible as the dim-side explode of SALT_BUCKETS rows."""
+    from data_catalog_spark.operators import skew
+
+    df = skew.salted_join_priority_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
+
+
+def test_scd2_history_invariants(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import scd2
+    from conftest import assert_same
+
+    assert_same(scd2.scd2_dataset_formats(spark, sf_dir), ddb, scd2.SCD2_ORACLE)
+    rows = scd2.scd2_dataset_formats(spark, sf_dir).collect()
+    by_id: dict[str, list] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    for rid, versions in by_id.items():
+        current = [v for v in versions if v.is_current]
+        assert len(current) == 1  # exactly one open version per key
+        assert current[0].valid_to is None
+        closed = [v for v in versions if not v.is_current]
+        for c in closed:
+            assert c.valid_to == scd2.CHANGE_TS  # every closed row is bounded

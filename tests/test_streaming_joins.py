@@ -42,3 +42,27 @@ def test_stream_join_matches_batch_join(spark, sf_dir):
     }
     assert got == {r.user_id: r["count"] for r in want}
     assert got, "must match some purchase/click pairs"
+
+
+def test_stream_static_rollup_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+
+    assert_same(
+        sj.stream_segment_rollup(spark, sf_dir), ddb, sj.STREAM_STATIC_ORACLE
+    )
+
+
+def test_stream_static_join_is_stateless_broadcast(spark, sf_dir):
+    """A stream-static inner join needs no state store: the logical plan
+    joins the streaming source to a broadcast-hinted static relation, and
+    no watermark is required for it to make progress (the parity test above
+    already proved completion without one)."""
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.streaming.events import read_events_stream
+
+    df = sj.enriched_events_stream(
+        read_events_stream(spark, sf_dir), read_table(spark, sf_dir, "customer")
+    )
+    assert df.isStreaming
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "c_mktsegment" in plan
