@@ -231,3 +231,126 @@ register("events_value_histogram", events_value_histogram, HISTOGRAM_ORACLE)
 register("cohort_weekly_retention", cohort_weekly_retention, COHORT_ORACLE)
 register("events_value_percentiles", events_value_percentiles, PERCENTILES_ORACLE)
 register("events_day_type_pivot", events_day_type_pivot, PIVOT_ORACLE)
+
+
+# -- cascading multi-resolution rollup (continuous-aggregate pattern) --------
+
+
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour and day aggregates derived by CASCADE: events → minute buckets →
+    hours (from minutes) → days (from hours), then unioned with a
+    `resolution` tag.  The hypertable/continuous-aggregate pattern: each
+    coarser level reads the (much smaller) finer aggregate, never the base
+    table — at 100 TB the day rollup aggregates |hours| rows, not 10^12
+    events.  Counts and DECIMAL sums compose exactly, so cascade == direct
+    (which is exactly what the oracle computes from the base table)."""
+    ev = _ev(spark, sf_dir)
+    minutes = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+        )
+    )
+    hours = (
+        minutes.groupBy(F.date_trunc("hour", "bucket").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_dec").alias("sum_dec"))
+    )
+    days = (
+        hours.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_dec").alias("sum_dec"))
+    )
+    out_cols = lambda df, res: df.select(  # noqa: E731
+        F.lit(res).alias("resolution"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+    return (
+        out_cols(hours, "hour")
+        .union(out_cols(days, "day"))
+        .orderBy("resolution", "bucket_start")
+    )
+
+
+MULTIRES_ORACLE = """
+SELECT * FROM (
+  SELECT 'hour' AS resolution,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 2
+  UNION ALL
+  SELECT 'day',
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+  FROM events GROUP BY 2
+)
+ORDER BY resolution, bucket_start
+"""
+
+
+# -- robust outlier detection (median / MAD) ---------------------------------
+
+
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: median, MAD (median absolute deviation), and the
+    count of |value − median| > 3·1.4826·MAD outliers.  Two aggregate
+    passes with a broadcast join of the tiny per-type medians between them
+    — the robust-statistics shape that plain stddev z-scores (which the
+    outliers themselves corrupt) can't deliver."""
+    ev = _ev(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    # The outlier threshold needs the finished MAD, so count in a third
+    # lightweight pass (broadcast of per-type (med, mad) onto the scan).
+    thr = dev.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("median"),
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("median")) > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         round(any_value(m.med), 6) AS median,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type, any_value(s.median) AS median, any_value(s.mad) AS mad,
+       CAST(SUM(CASE WHEN abs(e.value - s.median) > 3 * 1.4826 * s.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad s USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+register("events_multires_rollup", events_multires_rollup, MULTIRES_ORACLE)
+register("events_outliers_mad", events_outliers_mad, MAD_ORACLE)

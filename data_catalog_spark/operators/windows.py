@@ -229,3 +229,52 @@ register(
 register("events_moving_avg", events_moving_avg, MOVING_AVG_ORACLE)
 register("events_users_exact", events_users_exact, USERS_EXACT_ORACLE)
 register("events_users_approx", events_users_approx, None)  # rows-only: HLL sketch
+
+
+# -- full ranking-family showcase (ntile / percent_rank / cume_dist / lead /
+#    first_value) — the window shapes the other entries don't touch ----------
+
+
+def customer_balance_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: decile (ntile), percent_rank, cume_dist, the gap
+    to the next-richer customer (lead) and distance to the segment top
+    (first_value).  ONE shuffle on the segment key serves all five window
+    functions (same partitioning + ordering ⇒ one Window exec); ordering
+    carries c_custkey as tiebreaker so every function is deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(
+                F.col("c_acctbal") - F.lead("c_acctbal").over(w), 2
+            ).alias("gap_to_next"),
+            F.round(
+                F.first("c_acctbal").over(w) - F.col("c_acctbal"), 2
+            ).alias("below_top"),
+        )
+        .orderBy("c_mktsegment", F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+BALANCE_TILES_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(ntile(10) OVER w AS INT) AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(c_acctbal - lead(c_acctbal) OVER w, 2) AS gap_to_next,
+       round(first_value(c_acctbal) OVER w - c_acctbal, 2) AS below_top
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+"""
+
+
+register("customer_balance_tiles", customer_balance_tiles, BALANCE_TILES_ORACLE)

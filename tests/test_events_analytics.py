@@ -60,3 +60,40 @@ def test_histogram_covers_all_events(spark, sf_dir):
     rows = ea.events_value_histogram(spark, sf_dir).collect()
     assert sum(r.n for r in rows) == read_table(spark, sf_dir, "events").count()
     assert all(0 <= r.bucket <= ea.HIST_BINS + 1 for r in rows)
+
+
+def test_multires_rollup_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import events_analytics as ea
+    from conftest import assert_same
+
+    assert_same(ea.events_multires_rollup(spark, sf_dir), ddb, ea.MULTIRES_ORACLE)
+
+
+def test_multires_day_equals_sum_of_hours(spark, sf_dir):
+    """The cascade invariant: each day bucket equals the sum of its hour
+    buckets (counts and sums compose exactly through DECIMAL)."""
+    from collections import defaultdict
+
+    from data_catalog_spark.operators import events_analytics as ea
+
+    rows = ea.events_multires_rollup(spark, sf_dir).collect()
+    hours = defaultdict(lambda: [0, 0.0])
+    days = {}
+    for r in rows:
+        if r.resolution == "hour":
+            d = r.bucket_start[:10]
+            hours[d][0] += r.n_events
+            hours[d][1] += r.sum_value
+        else:
+            days[r.bucket_start[:10]] = (r.n_events, r.sum_value)
+    assert set(hours) == set(days)
+    for d, (n, s) in days.items():
+        assert hours[d][0] == n
+        assert abs(hours[d][1] - s) < 1e-6
+
+
+def test_mad_outliers_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import events_analytics as ea
+    from conftest import assert_same
+
+    assert_same(ea.events_outliers_mad(spark, sf_dir), ddb, ea.MAD_ORACLE)

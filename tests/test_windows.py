@@ -57,3 +57,24 @@ def test_monthly_growth_first_month_null(spark, sf_dir):
     rows = W.orders_monthly_growth(spark, sf_dir).collect()
     assert rows[0].growth_pct is None  # no prior month
     assert all(r.growth_pct is not None for r in rows[1:])
+
+
+def test_balance_tiles_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import windows as wd
+    from conftest import assert_same
+
+    assert_same(wd.customer_balance_tiles(spark, sf_dir), ddb, wd.BALANCE_TILES_ORACLE)
+
+
+def test_balance_tiles_single_window_exchange(spark, sf_dir):
+    """All five ranking functions share one partitioning+ordering, so the
+    plan must contain exactly ONE window exchange (shuffle on segment)."""
+    from data_catalog_spark.operators import windows as wd
+
+    plan = (
+        wd.customer_balance_tiles(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") <= 2  # Window exec + possible WindowGroupLimit
