@@ -83,3 +83,60 @@ def compact_parquet(
     shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def read_json_entries(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """S6's actual connector: JSON-lines ingest of metadata entries with the
+    DECLARED entry schema (never inferSchema — SURVEY §1.2) in PERMISSIVE
+    mode.  Rows that don't parse land in ``_corrupt_record`` and come back
+    as the second frame (the rejects table of elastic_admin.py:54-83's
+    "skip invalid rows" semantics); schema-valid rows come back first.
+
+    Scale: the JSON source splits by line across executors; the declared
+    schema means no inference pre-pass over the data (inference would be a
+    full extra scan at 100 TB)."""
+    from .schema import DATASETS_SCHEMA
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        DATASETS_SCHEMA.fields + [T2.StructField("_corrupt_record", T2.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()  # one pass serves both splits (corrupt-record access rule)
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = raw.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, rejects
+
+
+def write_json_entries(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export — the reference's only interchange format
+    (flask JSON in/out, metadata_entry.py:153)."""
+    df.write.mode(mode).json(path)
+
+
+def read_csv_table(spark: SparkSession, path: str, schema) -> tuple[DataFrame, DataFrame]:
+    """CSV connector with declared schema + rejects capture, same contract
+    as ``read_json_entries`` (header expected, PERMISSIVE parse)."""
+    from pyspark.sql import types as T2
+
+    full = T2.StructType(
+        list(schema.fields) + [T2.StructField("_corrupt_record", T2.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = raw.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, rejects
+
+
+def write_csv_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)

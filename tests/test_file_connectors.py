@@ -1,0 +1,118 @@
+"""JSON / CSV connectors: declared-schema ingest, rejects capture, and
+round-trip fidelity (S6 bulk-load semantics — elastic_admin.py:54-83 skips
+invalid rows; our rejects frame preserves them)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from data_catalog_spark import io as dio
+
+VALID = {
+    "id": "1",
+    "title": "cold widget",
+    "category": "brand#13",
+    "dataSample": "id,name",
+    "format": "csv",
+    "recordCount": 100,
+    "size": 2048,
+    "sourceUri": "http://www.catalog.com/cold/widget",
+    "targetUri": "hdfs://namenode:8200/warehouse/brand%2313/1/000000_1",
+    "storeType": "hdfs",
+    "isPublic": True,
+    "orgUUID": "org01",
+    "creationTime": "2014-05-01T10:00:00",
+}
+
+
+def test_json_ingest_splits_good_and_rejects(spark, tmp_path):
+    p = tmp_path / "entries.jsonl"
+    rows = [
+        json.dumps(VALID),
+        json.dumps({**VALID, "id": "2", "recordCount": 200}),
+        '{"id": "3", "recordCount": "not-a-number"}',  # type clash -> corrupt
+        "{broken json",  # parse failure -> corrupt
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    good, rejects = dio.read_json_entries(spark, str(p))
+    assert sorted(r.id for r in good.collect()) == ["1", "2"]
+    rej = [r._corrupt_record for r in rejects.collect()]
+    assert len(rej) == 2
+    assert any("broken" in r for r in rej)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    src.write_text(json.dumps(VALID) + "\n")
+    good, _ = dio.read_json_entries(spark, str(src))
+    out = tmp_path / "out"
+    dio.write_json_entries(good, str(out))
+    back, rejects = dio.read_json_entries(spark, str(out))
+    assert rejects.count() == 0
+    a = {k: v for k, v in back.collect()[0].asDict().items()}
+    assert a == VALID
+
+
+def test_csv_ingest_schema_and_rejects(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    p = tmp_path / "t.csv"
+    p.write_text("k,name,score\n1,alpha,0.5\n2,beta,0.75\nxx,gamma,oops\n")
+    good, rejects = dio.read_csv_table(spark, str(p), schema)
+    assert sorted((r.k, r.name) for r in good.collect()) == [(1, "alpha"), (2, "beta")]
+    assert rejects.count() == 1
+
+
+def test_csv_roundtrip_preserves_values(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    p = tmp_path / "t.csv"
+    p.write_text("k,name,score\n1,alpha,0.5\n2,beta,0.75\n")
+    good, _ = dio.read_csv_table(spark, str(p), schema)
+    out = tmp_path / "out"
+    dio.write_csv_table(good, str(out))
+    back, rejects = dio.read_csv_table(spark, str(out), schema)
+    assert rejects.count() == 0
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, good.collect()))
+
+
+def test_json_ingest_feeds_bulk_upsert(spark, tmp_path):
+    """The S6 path end-to-end: JSONL file → declared-schema read → catalog
+    bulk merge; invalid line skipped, valid rows land under their ids."""
+    from data_catalog_spark.catalog import DatasetsCatalog
+
+    p = tmp_path / "bulk.jsonl"
+    p.write_text(
+        json.dumps(VALID)
+        + "\n"
+        + json.dumps({**VALID, "id": "9", "title": "blue rod"})
+        + "\n{nope\n"
+    )
+    good, rejects = dio.read_json_entries(spark, str(p))
+    cat = DatasetsCatalog(spark, os.path.join(str(tmp_path), "catalog"))
+    cat.create_if_not_exists()
+    # storeType is physical-mapping-only (not Cerberus-writable —
+    # SURVEY §1.2), so strip it before the PUT-path validation.
+    created, bad = cat.bulk_upsert(
+        [
+            (r["id"], {k: v for k, v in r.asDict().items() if k not in ("id", "storeType")})
+            for r in good.collect()
+        ],
+        skip_invalid=True,
+    )
+    assert created == {"1", "9"}
+    assert rejects.count() == 1
+    assert cat.count() == 2
