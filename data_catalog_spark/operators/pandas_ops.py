@@ -105,3 +105,71 @@ ORDER BY event_id
 
 register("user_event_zscore_pandas", user_event_zscore, None)  # rows-only
 register("user_event_zscore_sql", user_event_zscore_sql, ZSCORE_SQL_ORACLE)
+
+
+# -- cogrouped applyInPandas --------------------------------------------------
+
+COGROUP_SCHEMA = (
+    "user_id bigint, purchase_id bigint, clicks_before bigint"
+)
+
+
+def purchases_click_history_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase, the count of that user's clicks at or before it —
+    via ``cogroup(...).applyInPandas``: purchases and clicks shuffle ONCE
+    each on user_id, then arrive as two aligned pandas frames per user.
+    The pandas body is a searchsorted (vectorized, Arrow-batched); use this
+    API when per-key logic needs BOTH sides materialized (merge_asof-style
+    alignment) and can't be a join + window.
+
+    The SQL twin (oracle) proves the semantics are relationally expressible
+    here — the entry exists to exercise/benchmark the cogroup path itself."""
+    import numpy as np
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+
+    def align(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                {"user_id": [], "purchase_id": [], "clicks_before": []}
+            ).astype({"user_id": "int64", "purchase_id": "int64", "clicks_before": "int64"})
+        ct = np.sort(c["ts"].values) if not c.empty else np.array([], dtype="datetime64[us]")
+        n = np.searchsorted(ct, p["ts"].values, side="right")
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"].values,
+                "purchase_id": p["purchase_id"].values,
+                "clicks_before": n.astype("int64"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(align, schema=COGROUP_SCHEMA)
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+COGROUP_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       CAST(COUNT(c.ts) AS BIGINT) AS clicks_before
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, purchase_id
+"""
+
+
+register(
+    "purchases_click_history_cogroup",
+    purchases_click_history_cogroup,
+    COGROUP_ORACLE,
+)

@@ -58,3 +58,25 @@ def test_sessionize_native_matches_lag_based(spark, sf_dir):
         for r in sessionize_events(spark, sf_dir).collect()
     }
     assert native == lagged
+
+
+def test_cogroup_click_history_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import pandas_ops as po
+    from conftest import assert_same
+
+    assert_same(
+        po.purchases_click_history_cogroup(spark, sf_dir), ddb, po.COGROUP_ORACLE
+    )
+
+
+def test_cogroup_counts_are_monotone_per_user(spark, sf_dir):
+    """Within a user, clicks_before is non-decreasing in purchase time."""
+    from collections import defaultdict
+
+    from data_catalog_spark.operators import pandas_ops as po
+
+    rows = po.purchases_click_history_cogroup(spark, sf_dir).collect()
+    seen = defaultdict(int)
+    for r in rows:  # already ordered by (user_id, purchase_id)
+        assert r.clicks_before >= 0
+        seen[r.user_id] = max(seen[r.user_id], r.clicks_before)
