@@ -44,6 +44,7 @@ def _load_all() -> None:
         sampling,
         scd2,
         sessionize,
+        sketches,
         similarity,
         skew,
         text,
