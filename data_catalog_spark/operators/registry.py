@@ -47,6 +47,7 @@ def _load_all() -> None:
         sketches,
         similarity,
         skew,
+        temporal,
         text,
         tfidf,
         tpch_extra,
