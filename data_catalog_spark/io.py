@@ -140,3 +140,27 @@ def read_csv_table(spark: SparkSession, path: str, schema) -> tuple[DataFrame, D
 
 def write_csv_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_orc_table(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_cols: list[str] | None = None
+) -> None:
+    """ORC sink (zlib, the Spark default) — the columnar interchange format
+    for Hive-era warehouses.  Same layout rules as the parquet sink:
+    optional low-cardinality hive partitioning for pruning."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source with an optionally DECLARED schema (same no-inference
+    policy as JSON/CSV; ORC embeds its schema so `schema=None` is still a
+    metadata read, not a data scan).  ORC scans get the same vectorized
+    reader + predicate pushdown as parquet (`spark.sql.orc.filterPushdown`
+    is on in our session), so filters land in the file reader."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

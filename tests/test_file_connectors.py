@@ -116,3 +116,41 @@ def test_json_ingest_feeds_bulk_upsert(spark, tmp_path):
     assert created == {"1", "9"}
     assert rejects.count() == 1
     assert cat.count() == 2
+
+
+def test_orc_roundtrip_lineitem_sample(spark, sf_dir, tmp_path):
+    """ORC sink/source round-trip preserves values and schema exactly."""
+    src = dio.read_table(spark, sf_dir, "nation")
+    out = tmp_path / "nation_orc"
+    dio.write_orc_table(src, str(out))
+    back = dio.read_orc_table(spark, str(out))
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-partitioned ORC layout: a filter on the partition column shows
+    up as a partition filter (pruned directories), not a row filter."""
+    src = dio.read_table(spark, sf_dir, "orders")
+    out = tmp_path / "orders_orc"
+    dio.write_orc_table(src, str(out), partition_cols=["o_orderpriority"])
+    back = dio.read_orc_table(spark, str(out))
+    q = back.where(back.o_orderpriority == "1-URGENT")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    want = src.where(src.o_orderpriority == "1-URGENT").count()
+    assert q.count() == want
+
+
+def test_orc_predicate_pushdown_reaches_scan(spark, sf_dir, tmp_path):
+    """Non-partition predicates land in the ORC reader as PushedFilters."""
+    src = dio.read_table(spark, sf_dir, "orders")
+    out = tmp_path / "orders_orc_flat"
+    dio.write_orc_table(src, str(out))
+    back = dio.read_orc_table(spark, str(out))
+    q = back.where(back.o_totalprice > 100000.0).select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in plan else ""
+    assert "o_totalprice" in pushed
