@@ -154,6 +154,26 @@ def write_orc_table(
     w.orc(path)
 
 
+def write_parquet_observed(
+    df: DataFrame, path: str, metrics: dict[str, "F.Column"], mode: str = "overwrite"
+) -> dict:
+    """Parquet sink with piggybacked data-quality metrics via Spark's
+    Observation API: the metric aggregates ride the write pass itself —
+    ZERO extra scans, unlike a profile-then-write pipeline that reads the
+    input twice.  This is the ingest-audit primitive (row counts, null
+    counts, domain bounds) every production load wants at 100 TB, where a
+    second scan is the difference between one pass and two.
+
+    ``metrics`` maps metric name → aggregate Column; returns the observed
+    values as a plain dict after the write commits."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest")
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return obs.get
+
+
 def read_orc_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC source with an optionally DECLARED schema (same no-inference
     policy as JSON/CSV; ORC embeds its schema so `schema=None` is still a

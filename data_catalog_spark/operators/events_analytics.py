@@ -354,3 +354,109 @@ ORDER BY e.event_type
 
 register("events_multires_rollup", events_multires_rollup, MULTIRES_ORACLE)
 register("events_outliers_mad", events_outliers_mad, MAD_ORACLE)
+
+
+# -- equi-depth histogram (quantile-bounded buckets) -------------------------
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+def events_value_deciles_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of `value`: bucket bounds are the exact global
+    deciles (one tiny agg, broadcast back), assignment is a case-chain —
+    no global window / ntile, so it scales where `ntile(10) OVER ()` (a
+    single-partition sort) cannot.  Bounds are rounded to 6dp before the
+    comparison so both engines bucket identically."""
+    ev = _ev(spark, sf_dir)
+    bounds = ev.select(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"b{i+1}")
+            for i, q in enumerate(_DECILES)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(_DECILES)):
+        bucket = bucket + F.when(F.col("value") > F.col(f"b{i+1}"), 1).otherwise(0)
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EQDEPTH_ORACLE = """
+WITH bounds AS (
+  SELECT round(quantile_cont(value, 0.1), 6) AS b1,
+         round(quantile_cont(value, 0.2), 6) AS b2,
+         round(quantile_cont(value, 0.3), 6) AS b3,
+         round(quantile_cont(value, 0.4), 6) AS b4,
+         round(quantile_cont(value, 0.5), 6) AS b5,
+         round(quantile_cont(value, 0.6), 6) AS b6,
+         round(quantile_cont(value, 0.7), 6) AS b7,
+         round(quantile_cont(value, 0.8), 6) AS b8,
+         round(quantile_cont(value, 0.9), 6) AS b9
+  FROM events
+)
+SELECT 1 + CAST(value > b1 AS INTEGER) + CAST(value > b2 AS INTEGER)
+         + CAST(value > b3 AS INTEGER) + CAST(value > b4 AS INTEGER)
+         + CAST(value > b5 AS INTEGER) + CAST(value > b6 AS INTEGER)
+         + CAST(value > b7 AS INTEGER) + CAST(value > b8 AS INTEGER)
+         + CAST(value > b9 AS INTEGER) AS bucket,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM events CROSS JOIN bounds
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+# -- winsorized moments ------------------------------------------------------
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type moments: clamp `value` to the [p05, p95] band of its
+    own type, then mean/stddev.  Per-group bounds are a small agg joined
+    back (broadcast at any scale — |types| rows)."""
+    ev = _ev(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("wv"), 6).alias("wmean"),
+            F.round(F.stddev_samp("wv"), 6).alias("wstd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSOR_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS wmean,
+       round(stddev_samp(least(greatest(e.value, b.lo), b.hi)), 6) AS wstd
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+register("events_value_deciles_eqdepth", events_value_deciles_eqdepth, EQDEPTH_ORACLE)
+register("events_winsorized_stats", events_winsorized_stats, WINSOR_ORACLE)

@@ -95,3 +95,41 @@ def _profile_oracle() -> str:
 
 
 register("profile_lineitem", profile_lineitem, _profile_oracle())
+
+
+# -- correlation / covariance profile ---------------------------------------
+
+
+def lineitem_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag linear-relationship profile of quantity vs extended
+    price: Pearson correlation, sample covariance, and both means — one
+    hash-aggregate pass (all four are partial-aggregatable moments, so the
+    map-side combine does the heavy lifting at scale)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+CORR_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+register("lineitem_corr_profile", lineitem_corr_profile, CORR_ORACLE)

@@ -193,10 +193,69 @@ FROM counts ORDER BY src, dst
 """
 
 
+# -- time to conversion ------------------------------------------------------
+
+
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: first signup, first purchase at-or-after it, and the
+    latency in hours (NULL when never converted).  Two per-user min-aggs
+    on the same shuffle key plus a left join — no window needed."""
+    ev = _ev(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purchase = (
+        purchases.join(signups, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        signups.join(first_purchase, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.round(
+                (
+                    F.col("purchase_ts").cast("double")
+                    - F.col("signup_ts").cast("double")
+                )
+                / 3600.0,
+                3,
+            ).alias("hours_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CONVERSION_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s.user_id,
+       strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round((epoch(p.purchase_ts) - epoch(s.signup_ts)) / 3600.0, 3)
+         AS hours_to_convert
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+ORDER BY s.user_id
+"""
+
+
 register(
     "clicks_before_purchase_interval",
     clicks_before_purchase_interval,
     INTERVAL_JOIN_ORACLE,
 )
 register("user_activity_streaks", user_activity_streaks, STREAKS_ORACLE)
+register("time_to_conversion", time_to_conversion, CONVERSION_ORACLE)
 register("event_type_transitions", event_type_transitions, TRANSITIONS_ORACLE)

@@ -97,3 +97,46 @@ def test_mad_outliers_parity(spark, sf_dir, ddb):
     from conftest import assert_same
 
     assert_same(ea.events_outliers_mad(spark, sf_dir), ddb, ea.MAD_ORACLE)
+
+
+def test_eqdepth_parity(spark, sf_dir, ddb):
+    assert_same(
+        ea.events_value_deciles_eqdepth(spark, sf_dir),
+        ddb,
+        ea.EQDEPTH_ORACLE,
+    )
+
+
+def test_eqdepth_buckets_roughly_equal(spark, sf_dir):
+    rows = ea.events_value_deciles_eqdepth(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert abs(r.n - total / 10) <= max(2, total * 0.02), (r.bucket, r.n)
+    # buckets tile the value range in order
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_winsorized_parity(spark, sf_dir, ddb):
+    assert_same(
+        ea.events_winsorized_stats(spark, sf_dir),
+        ddb,
+        ea.WINSOR_ORACLE,
+    )
+
+
+def test_winsorized_tames_spread(spark, sf_dir):
+    """Winsorized stddev must not exceed the raw stddev per type."""
+    from data_catalog_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    raw = {
+        r.event_type: r.s
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.stddev_samp("value").alias("s"))
+        .collect()
+    }
+    for r in ea.events_winsorized_stats(spark, sf_dir).collect():
+        assert r.wstd <= raw[r.event_type] + 1e-9

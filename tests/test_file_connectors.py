@@ -154,3 +154,30 @@ def test_orc_predicate_pushdown_reaches_scan(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     pushed = plan.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in plan else ""
     assert "o_totalprice" in pushed
+
+
+def test_observed_write_metrics_match_separate_agg(spark, sf_dir, tmp_path):
+    """Observation metrics collected during the write equal a standalone
+    aggregation over the same input."""
+    from pyspark.sql import functions as F
+
+    src = dio.read_table(spark, sf_dir, "orders")
+    got = dio.write_parquet_observed(
+        src,
+        str(tmp_path / "orders_observed"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_price": F.sum(F.col("o_totalprice").isNull().cast("long")),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    want = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("n_null_price"),
+        F.max("o_totalprice").alias("max_price"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n_rows
+    assert got["n_null_price"] == want.n_null_price
+    assert got["max_price"] == want.max_price
+    # and the write really landed
+    assert spark.read.parquet(str(tmp_path / "orders_observed")).count() == want.n_rows

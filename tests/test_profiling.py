@@ -34,3 +34,20 @@ def test_profile_is_single_scan(spark, sf_dir):
         .toString()
     )
     assert plan.count("FileScan parquet") == 1
+
+
+def test_corr_profile_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import profiling
+
+    assert_same(profiling.lineitem_corr_profile(spark, sf_dir), ddb, profiling.CORR_ORACLE)
+
+
+def test_corr_profile_bounds(spark, sf_dir):
+    from data_catalog_spark.operators import profiling
+
+    rows = profiling.lineitem_corr_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr_qty_price <= 1.0
+        # correlation and covariance must agree in sign
+        assert (r.corr_qty_price >= 0) == (r.covar_qty_price >= 0)

@@ -75,3 +75,34 @@ def test_transitions_rows_sum_to_one(spark, sf_dir):
     assert ev_count > 0
     for src, total_p in by_src.items():
         assert abs(total_p - 1.0) < 1e-4, (src, total_p)
+
+
+def test_conversion_parity(spark, sf_dir, ddb):
+    assert_same(
+        temporal.time_to_conversion(spark, sf_dir), ddb, temporal.CONVERSION_ORACLE
+    )
+
+
+def test_conversion_semantics(spark, sf_dir):
+    rows = temporal.time_to_conversion(spark, sf_dir).collect()
+    assert rows, "expect users with signups"
+    converted = [r for r in rows if r.purchase_ts is not None]
+    assert converted, "some users must convert"
+    assert all(r.hours_to_convert >= 0 for r in converted)
+    # unconverted users keep NULL latency (left-join semantics)
+    assert all(
+        r.hours_to_convert is None for r in rows if r.purchase_ts is None
+    )
+
+
+def test_interval_join_plan_is_equi_join(spark, sf_dir):
+    """The time band must ride an equi-key join, never a broadcast
+    nested-loop / cartesian product."""
+    plan = (
+        temporal.clicks_before_purchase_interval(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
