@@ -56,19 +56,70 @@ class DatasetsCatalog:
 
     def drop(self) -> None:
         """S8: drop the whole table (elastic_admin.py:41-52)."""
-        if self._exists():
+        if os.path.isdir(self.path):
             shutil.rmtree(self.path)
 
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        return self._latest_version() is not None
+
+    # -- version log -------------------------------------------------------
+    #
+    # Each commit writes a NEW immutable snapshot directory and then
+    # atomically repoints a VERSION file — the minimal shape of a
+    # Delta/Iceberg transaction log.  Readers holding an old snapshot keep
+    # a consistent view (snapshot isolation); ``df(version=n)`` is time
+    # travel; ``vacuum`` is retention.
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.path, "snapshots", f"v{version:06d}")
+
+    def _latest_version(self) -> int | None:
+        vf = os.path.join(self.path, "VERSION")
+        try:
+            with open(vf) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def versions(self) -> list[int]:
+        """All retained snapshot versions, oldest first."""
+        snapdir = os.path.join(self.path, "snapshots")
+        if not os.path.isdir(snapdir):
+            return []
+        out = []
+        for name in os.listdir(snapdir):
+            if name.startswith("v"):
+                try:
+                    out.append(int(name[1:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (never the
+        current one); returns the versions removed."""
+        keep_last = max(1, keep_last)
+        vs = self.versions()
+        current = self._latest_version()
+        removed = []
+        for v in vs[:-keep_last] if len(vs) > keep_last else []:
+            if v == current:
+                continue
+            shutil.rmtree(self._snapshot_dir(v), ignore_errors=True)
+            removed.append(v)
+        return removed
 
     # -- reads -------------------------------------------------------------
 
-    def df(self) -> DataFrame:
+    def df(self, version: int | None = None) -> DataFrame:
+        """Current table, or a time-travel read of an older snapshot."""
         self.create_if_not_exists()
-        return self.spark.read.schema(DATASETS_SCHEMA).parquet(self.path)
+        if version is None:
+            version = self._latest_version()
+        snap = self._snapshot_dir(version)
+        if not os.path.isdir(snap):
+            raise EntryNotFoundError(f"version {version}")
+        return self.spark.read.schema(DATASETS_SCHEMA).parquet(snap)
 
     def get(self, entry_id: str) -> dict:
         """S2: point lookup by id; EntryNotFoundError -> 404."""
@@ -168,20 +219,23 @@ class DatasetsCatalog:
     # -- storage -----------------------------------------------------------
 
     def _commit(self, df: DataFrame) -> None:
-        """Atomic-ish copy-on-write: write post-image to a temp dir, swap.
-
-        Stand-in for a Delta/Iceberg transactional commit; the swap keeps
-        readers consistent on a single node.
+        """Versioned copy-on-write commit: write the post-image as a new
+        immutable snapshot, then atomically repoint the VERSION file
+        (write-temp + rename).  Old snapshots stay readable until
+        ``vacuum`` — genuine snapshot isolation, the single-node shape of a
+        Delta/Iceberg commit.
         """
-        parent = os.path.dirname(os.path.abspath(self.path)) or "."
-        os.makedirs(parent, exist_ok=True)
+        os.makedirs(os.path.join(self.path, "snapshots"), exist_ok=True)
+        new_version = (self._latest_version() or 0) + 1
+        snap = self._snapshot_dir(new_version)
         tmp = os.path.join(
-            tempfile.mkdtemp(dir=parent), f"datasets-{uuid.uuid4().hex}"
+            tempfile.mkdtemp(dir=os.path.join(self.path, "snapshots")),
+            f"commit-{uuid.uuid4().hex}",
         )
         df.write.mode("overwrite").parquet(tmp)
-        old = self.path + f".old-{uuid.uuid4().hex}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        shutil.move(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(tmp, snap)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+        vtmp = os.path.join(self.path, f".VERSION.{uuid.uuid4().hex}")
+        with open(vtmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(vtmp, os.path.join(self.path, "VERSION"))

@@ -147,3 +147,49 @@ def test_bulk_duplicate_ids_last_write_wins(cat):
     assert created == {"a"} and not rejects
     assert cat.count() == 1  # no duplicate rows under one id
     assert cat.get("a")["title"] == "second"
+
+
+# -- version log / time travel ----------------------------------------------
+
+
+def test_time_travel_reads_old_snapshot(cat):
+    c = cat
+    c.upsert("1", dict(ENTRY))
+    v1 = c._latest_version()
+    c.upsert("2", {**ENTRY, "title": "second thing"})
+    v2 = c._latest_version()
+    assert v2 > v1
+    assert c.df(version=v1).count() == 1
+    assert c.df(version=v2).count() == 2
+    assert c.df().count() == 2  # default = latest
+
+
+def test_versions_and_vacuum(cat):
+    c = cat
+    c.upsert("1", dict(ENTRY))
+    c.upsert("2", {**ENTRY, "title": "second"})
+    c.upsert("3", {**ENTRY, "title": "third"})
+    vs = c.versions()
+    assert len(vs) >= 3 and vs == sorted(vs)
+    removed = c.vacuum(keep_last=1)
+    assert removed and set(removed) == set(vs[:-1])
+    assert c.versions() == [vs[-1]]
+    # current read still works; time-travel to vacuumed version errors
+    assert c.df().count() == 3
+    import pytest as _pytest
+    from data_catalog_spark.errors import EntryNotFoundError
+
+    with _pytest.raises(EntryNotFoundError):
+        c.df(version=vs[0])
+
+
+def test_delete_preserves_prior_snapshot(cat):
+    c = cat
+    c.upsert("1", dict(ENTRY))
+    c.upsert("2", {**ENTRY, "title": "second"})
+    before = c._latest_version()
+    c.delete("1")
+    assert c.count() == 1
+    # the pre-delete snapshot is still consistent and readable
+    old = c.df(version=before)
+    assert sorted(r.id for r in old.collect()) == ["1", "2"]
