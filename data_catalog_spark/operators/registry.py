@@ -53,6 +53,7 @@ def _load_all() -> None:
         tpch_extra,
         tpch_final,
         traindata,
+        udtf_ops,
         windows,
     )
     from ..streaming import dedup as streaming_dedup  # noqa: F401
