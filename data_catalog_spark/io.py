@@ -154,6 +154,16 @@ def write_orc_table(
     w.orc(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the footer schemas of every file in the
+    directory (``mergeSchema``), so batches written before a column was
+    added surface it as NULL.  This is the additive-evolution contract of
+    a long-lived ingest directory; mergeSchema costs a footer read per
+    file (metadata, not data), which is why it's an explicit opt-in here
+    rather than the default read path."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_parquet_observed(
     df: DataFrame, path: str, metrics: dict[str, "F.Column"], mode: str = "overwrite"
 ) -> dict:

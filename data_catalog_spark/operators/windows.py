@@ -278,3 +278,47 @@ ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
 
 
 register("customer_balance_tiles", customer_balance_tiles, BALANCE_TILES_ORACLE)
+
+
+# -- time-RANGE window frame -------------------------------------------------
+
+
+def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: count and sum of the same user's events in the trailing
+    hour — a RANGE frame over event-time (microsecond precision), the
+    time-based sibling of the ROWS moving average.  One shuffle on
+    user_id; frame evaluation is a per-partition ordered sweep, so cost is
+    O(rows) regardless of frame width."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 4
+            ).alias("sum_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+TRAILING_HOUR_ORACLE = """
+SELECT user_id, event_id,
+       CAST(count(*) OVER wr AS BIGINT) AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER wr AS DOUBLE), 4) AS sum_1h
+FROM events
+WINDOW wr AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+register(
+    "events_trailing_hour_stats", events_trailing_hour_stats, TRAILING_HOUR_ORACLE
+)

@@ -213,3 +213,23 @@ def search(df: DataFrame, cq: CompiledQuery) -> SearchResult:
     hit_rows = [r.asDict() for r in hits(df, cq).collect()]
     cats, fmts, n = facets_and_total(df, cq)
     return SearchResult(hits=hit_rows, total=n, categories=cats, formats=fmts)
+
+
+def create_secure_view(
+    spark, df: DataFrame, name: str, org_uuids, filtering_mode, *, is_admin: bool = False
+) -> DataFrame:
+    """Row-level security as a VIEW: register ``name`` exposing only the
+    rows visible under the caller's security context (P6's injected
+    predicate — query_translation.py:180-196 — with no user filters).
+
+    This is the Spark-native deployment shape for multi-tenant access:
+    grant on the per-tenant view, never the base table; every SQL query a
+    tenant runs against the view inherits the predicate, and Catalyst
+    pushes it into the scan (partition pruning when the table is laid out
+    by isPublic/orgUUID)."""
+    from .query import compile_query
+
+    cq = compile_query(None, org_uuids, filtering_mode, is_admin=is_admin)
+    secured = df.where(query_predicate(cq))
+    secured.createOrReplaceTempView(name)
+    return secured

@@ -181,3 +181,33 @@ def test_observed_write_metrics_match_separate_agg(spark, sf_dir, tmp_path):
     assert got["max_price"] == want.max_price
     # and the write really landed
     assert spark.read.parquet(str(tmp_path / "orders_observed")).count() == want.n_rows
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Batches written before a column existed surface it as NULL under
+    the mergeSchema read."""
+    from pyspark.sql import types as T2
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")],
+        T2.StructType(
+            [T2.StructField("k", T2.LongType()), T2.StructField("name", T2.StringType())]
+        ),
+    )
+    new = spark.createDataFrame(
+        [(3, "c", 0.5)],
+        T2.StructType(
+            [
+                T2.StructField("k", T2.LongType()),
+                T2.StructField("name", T2.StringType()),
+                T2.StructField("score", T2.DoubleType()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "evolving")
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = dio.read_parquet_evolved(spark, path)
+    assert set(merged.columns) == {"k", "name", "score"}
+    got = {r.k: r.score for r in merged.collect()}
+    assert got[3] == 0.5 and got[1] is None and got[2] is None

@@ -181,3 +181,31 @@ def test_uri_parts_values(spark, sf_dir):
         assert r.target_scheme == "hdfs"
         assert r.database_id == r.id
         assert r.source_host == "www.catalog.com"
+
+
+def test_secure_view_hides_foreign_private_rows(spark, sf_dir):
+    """The RLS view shows exactly: own-org rows plus public rows
+    (PRIVATE_AND_PUBLIC mode), and tenant SQL through the view inherits
+    the predicate."""
+    ds = datasets_df(spark, sf_dir)
+    secured = search.create_secure_view(
+        spark, ds, "datasets_org01", ["org01"], M.PRIVATE_AND_PUBLIC
+    )
+    rows = secured.collect()
+    assert rows
+    assert all(r.orgUUID == "org01" or r.isPublic for r in rows)
+    # something was actually filtered out
+    assert len(rows) < ds.count()
+    # plain SQL over the view sees the same row set
+    n = spark.sql("SELECT count(*) AS n FROM datasets_org01").collect()[0].n
+    assert n == len(rows)
+
+
+def test_secure_view_only_private(spark, sf_dir):
+    ds = datasets_df(spark, sf_dir)
+    secured = search.create_secure_view(
+        spark, ds, "datasets_priv", ["org02"], M.ONLY_PRIVATE
+    )
+    rows = secured.collect()
+    assert rows
+    assert all(r.orgUUID == "org02" and not r.isPublic for r in rows)

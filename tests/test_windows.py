@@ -78,3 +78,18 @@ def test_balance_tiles_single_window_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Window") <= 2  # Window exec + possible WindowGroupLimit
+
+
+def test_trailing_hour_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import windows as W
+
+    assert_same(
+        W.events_trailing_hour_stats(spark, sf_dir), ddb, W.TRAILING_HOUR_ORACLE
+    )
+
+
+def test_trailing_hour_includes_self(spark, sf_dir):
+    from data_catalog_spark.operators import windows as W
+
+    rows = W.events_trailing_hour_stats(spark, sf_dir).collect()
+    assert all(r.n_1h >= 1 for r in rows)  # frame always contains the row itself
