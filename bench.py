@@ -49,6 +49,13 @@ HEADLINE = [
     "docs_chunk_tokens",
     "docs_decontaminate",
     "ann_bruteforce_topk",
+    "clicks_before_purchase_interval",
+    "events_trailing_hour_stats",
+    "events_value_deciles_eqdepth",
+    "time_to_conversion",
+    "lineitem_corr_profile",
+    "docs_kwic",
+    "training_corpus_e2e",
 ]
 
 

@@ -121,6 +121,30 @@ class DatasetsCatalog:
             raise EntryNotFoundError(f"version {version}")
         return self.spark.read.schema(DATASETS_SCHEMA).parquet(snap)
 
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data capture between two snapshots: one row per changed
+        id with ``change`` ∈ {insert, delete, update} (the time-travel
+        complement — Delta CDF's read shape).  Full-outer join on id with
+        a whole-row fingerprint; both sides are snapshot scans, so the
+        diff is itself a plain distributed plan."""
+        old = self.df(version=v_from)
+        new = self.df(version=v_to)  # None → latest
+        fp = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in COLUMN_ORDER]))
+        o = old.select(F.col("id").alias("o_id"), fp.alias("o_fp"))
+        n = new.select(F.col("id").alias("n_id"), fp.alias("n_fp"))
+        j = o.join(n, o.o_id == n.n_id, "full_outer")
+        return (
+            j.select(
+                F.coalesce("o_id", "n_id").alias("id"),
+                F.when(F.col("o_id").isNull(), "insert")
+                .when(F.col("n_id").isNull(), "delete")
+                .when(F.col("o_fp") != F.col("n_fp"), "update")
+                .alias("change"),
+            )
+            .where(F.col("change").isNotNull())
+            .orderBy("id")
+        )
+
     def get(self, entry_id: str) -> dict:
         """S2: point lookup by id; EntryNotFoundError -> 404."""
         rows = self.df().where(F.col("id") == F.lit(entry_id)).limit(1).collect()

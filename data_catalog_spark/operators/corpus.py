@@ -234,3 +234,51 @@ ORDER BY op
 
 
 register("docs_set_ops", docs_set_ops, SET_OPS_ORACLE)
+
+
+# -- end-to-end training-corpus pipeline --------------------------------------
+
+
+def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep DAG in one declarative plan: quality/lang/
+    dedup gates (corpus_training_filter) ∘ benchmark decontamination
+    (anti-join on the 8-gram hit list) ∘ deterministic hash split, reduced
+    to a per-split doc/token budget.  Each stage is the already-tested
+    operator — composition is plain DataFrame algebra, so Catalyst fuses
+    the whole thing into one job with no intermediate materialisation."""
+    from .traindata import docs_decontaminate, docs_train_split
+
+    kept = corpus_training_filter(spark, sf_dir)
+    contaminated = docs_decontaminate(spark, sf_dir).select("doc_id")
+    split = docs_train_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        kept.join(contaminated, "doc_id", "left_anti")
+        .join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_subword_tokens").alias("n_subword_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def _e2e_oracle() -> str:
+    from .traindata import DECONTAMINATE_ORACLE, SPLIT_ORACLE
+
+    return f"""
+WITH kept AS ({_corpus_filter_oracle()}),
+cont AS ({DECONTAMINATE_ORACLE}),
+sp AS ({SPLIT_ORACLE})
+SELECT sp.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept.n_subword_tokens) AS BIGINT) AS n_subword_tokens
+FROM kept
+JOIN sp ON kept.doc_id = sp.doc_id
+LEFT JOIN cont ON kept.doc_id = cont.doc_id
+WHERE cont.doc_id IS NULL
+GROUP BY sp.split ORDER BY sp.split
+"""
+
+
+register("training_corpus_e2e", training_corpus_e2e, _e2e_oracle())

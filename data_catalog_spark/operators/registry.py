@@ -56,6 +56,7 @@ def _load_all() -> None:
         udtf_ops,
         windows,
     )
+    from ..streaming import cms as streaming_cms  # noqa: F401
     from ..streaming import dedup as streaming_dedup  # noqa: F401
     from ..streaming import joins as streaming_joins  # noqa: F401
     from ..streaming import sink as streaming_sink  # noqa: F401

@@ -1,0 +1,114 @@
+"""Streaming count-min sketch — mergeable-sketch state across micro-batches.
+
+The batch CMS (operators/sketches.py) is built with one groupBy because its
+counters are ADDITIVE; this module exercises exactly that property as a
+stream: each micro-batch contributes a partial d×w counter table, and the
+foreachBatch sink merges by per-cell addition.  The final sketch is
+bit-identical to the batch-built sketch over the same corpus — which is the
+whole argument for sketch-shaped streaming state at 100 TB: state size is
+d×w counters forever, independent of vocabulary, watermarks unnecessary
+because addition commutes.
+
+Rows-only driver check (hash sketch, like the batch CMS); pytest asserts
+exact equality of streaming-merged vs batch-built heavy hitters.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.registry import register
+from ..operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HH_THRESHOLD_FRAC,
+    cms_build,
+)
+from ..operators.text import SPARK_TOKENS
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def merge_sketch_into(out_dir: str):
+    """foreachBatch callback: per-cell ADD the micro-batch's partial
+    sketch into the running counter table (atomic swap commit)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        partial = cms_build(batch_df.select(F.explode(F.expr(SPARK_TOKENS)).alias("tok")))
+        target = os.path.join(out_dir, "sketch")
+        if os.path.exists(target):
+            current = batch_df.sparkSession.read.parquet(target)
+            merged = (
+                current.unionByName(partial)
+                .groupBy("seed", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = partial
+        tmp = os.path.join(out_dir, f"commit-{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target + ".old"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return merge
+
+
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay documents as two micro-batches through the additive sketch
+    sink, then probe the merged sketch for heavy hitters — same threshold
+    and probe as the batch CMS, so the outputs must agree exactly."""
+    stage = tempfile.mkdtemp(prefix="docs-split-")
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    pdf = table.to_pandas().sort_values("doc_id")
+    mid = len(pdf) // 2
+    pdf.iloc[:mid].to_parquet(os.path.join(stage, "part-0.parquet"), index=False)
+    pdf.iloc[mid:].to_parquet(os.path.join(stage, "part-1.parquet"), index=False)
+
+    out_dir = tempfile.mkdtemp(prefix="cms-merge-")
+    raw = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge_sketch_into(out_dir))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sketch = spark.read.parquet(os.path.join(out_dir, "sketch"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = docs.select(F.explode(F.expr(SPARK_TOKENS)).alias("tok"))
+    total = tokens.count()
+    probes = (
+        tokens.distinct()
+        .select(
+            "tok",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("seed", "tok"), F.lit(CMS_WIDTH)))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+        .where(F.col("est_count") >= int(total * HH_THRESHOLD_FRAC))
+        .orderBy(F.desc("est_count"), "tok")
+    )
+
+
+register("stream_cms_heavy_hitters", stream_cms_heavy_hitters, None)  # rows-only: hash sketch

@@ -193,3 +193,22 @@ def test_delete_preserves_prior_snapshot(cat):
     # the pre-delete snapshot is still consistent and readable
     old = c.df(version=before)
     assert sorted(r.id for r in old.collect()) == ["1", "2"]
+
+
+def test_diff_reports_cdc_changes(cat):
+    c = cat
+    c.upsert("a", dict(ENTRY))
+    c.upsert("b", {**ENTRY, "title": "bee"})
+    v_base = c._latest_version()
+    c.upsert("b", {**ENTRY, "title": "bee v2"})  # update
+    c.upsert("c", {**ENTRY, "title": "cee"})  # insert
+    c.delete("a")  # delete
+    got = {(r.id, r.change) for r in c.diff(v_base).collect()}
+    assert got == {("a", "delete"), ("b", "update"), ("c", "insert")}
+
+
+def test_diff_between_identical_versions_is_empty(cat):
+    c = cat
+    c.upsert("a", dict(ENTRY))
+    v = c._latest_version()
+    assert c.diff(v, v).count() == 0

@@ -57,3 +57,36 @@ def test_docs_set_ops_algebra(spark, sf_dir):
     nb = docs.where(F.col("source") == "src0").count()
     assert n["union"] + n["intersect"] == na + nb
     assert n["except"] == na - n["intersect"]
+
+
+def test_training_corpus_e2e_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import corpus as C
+
+    assert_same(C.training_corpus_e2e(spark, sf_dir), ddb, C._e2e_oracle())
+
+
+def test_training_corpus_e2e_consistent_with_stages(spark, sf_dir):
+    """The composed pipeline's totals equal manually chaining the stage
+    operators."""
+    from data_catalog_spark.operators import corpus as C
+    from data_catalog_spark.operators.traindata import (
+        docs_decontaminate,
+        docs_train_split,
+    )
+
+    kept = {r.doc_id: r.n_subword_tokens for r in C.corpus_training_filter(spark, sf_dir).collect()}
+    contaminated = {r.doc_id for r in docs_decontaminate(spark, sf_dir).collect()}
+    split = {r.doc_id: r.split for r in docs_train_split(spark, sf_dir).collect()}
+    manual: dict[str, tuple[int, int]] = {}
+    for d, ntok in kept.items():
+        if d in contaminated:
+            continue
+        s = split[d]
+        n, t = manual.get(s, (0, 0))
+        manual[s] = (n + 1, t + ntok)
+    got = {
+        r.split: (r.n_docs, r.n_subword_tokens)
+        for r in C.training_corpus_e2e(spark, sf_dir).collect()
+    }
+    assert got == manual
+    assert set(got) <= {"train", "val", "test"}

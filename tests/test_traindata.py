@@ -66,3 +66,19 @@ def test_benchmark_docs_flag_themselves_if_included(spark, sf_dir):
     """Sanity: every flagged doc is a non-benchmark doc with ≥1 hit."""
     rows = td.docs_decontaminate(spark, sf_dir).collect()
     assert all(r.doc_id % 50 != 0 and r.n_hits >= 1 for r in rows)
+
+
+def test_split_scan_prunes_text_column(spark, sf_dir):
+    """docs_train_split needs only doc_id+lang — the parquet scan must NOT
+    read the (dominant) text column."""
+    from data_catalog_spark.operators.traindata import docs_train_split
+
+    plan = (
+        docs_train_split(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema
