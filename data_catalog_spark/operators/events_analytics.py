@@ -460,3 +460,76 @@ GROUP BY e.event_type ORDER BY e.event_type
 
 register("events_value_deciles_eqdepth", events_value_deciles_eqdepth, EQDEPTH_ORACLE)
 register("events_winsorized_stats", events_winsorized_stats, WINSOR_ORACLE)
+
+
+# -- semi-structured props via VARIANT ---------------------------------------
+
+
+def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats over the semi-structured ``props`` column using
+    Spark 4's VARIANT type: ``parse_json`` once into a binary variant,
+    ``variant_get`` with a typed path for extraction.  Variant keeps the
+    parsed tree in a compact binary form, so repeated path extraction
+    doesn't re-parse the JSON text per access (the schema-on-read path
+    for heterogeneous props at scale — no fixed from_json schema to
+    maintain)."""
+    ev = _ev(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(count(CAST(props ->> 'k' AS INTEGER)) AS BIGINT) AS n_with_k,
+       round(avg(CAST(props ->> 'k' AS INTEGER)), 6) AS avg_k,
+       CAST(max(CAST(props ->> 'k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+register(
+    "events_props_variant_stats", events_props_variant_stats, PROPS_VARIANT_ORACLE
+)
+
+
+# -- unpivot (melt) -----------------------------------------------------------
+
+
+def events_day_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the day×type pivot back to long form with ``unpivot`` — the
+    wide→long reshape (ids=day, values=type columns).  Round-tripping the
+    pivot proves both directions are lossless; unpivot is a narrow
+    projection (no shuffle)."""
+    wide = events_day_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("day", EVENT_TYPES, "event_type", "n")
+        .where(F.col("n") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY day, event_type
+HAVING count(*) > 0
+ORDER BY day, event_type
+"""
+
+
+register("events_day_type_unpivot", events_day_type_unpivot, UNPIVOT_ORACLE)

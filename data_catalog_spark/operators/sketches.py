@@ -76,3 +76,30 @@ def corpus_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_heavy_hitters_cms", corpus_heavy_hitters_cms, None)  # rows-only: hash sketch
+
+
+# -- mergeable HLL (Datasketches) ---------------------------------------------
+
+
+def users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type AND overall — the overall estimate
+    computed by UNIONING the per-type HLL sketches, never rescanning:
+    the same mergeable-state contract as the CMS (per-partition /
+    per-partition-of-time sketches union into rollups at any grain).
+    Estimates carry Datasketches' ~1-2% relative error at lgK=12; the
+    pytest pins the error bound against exact counts."""
+    ev = read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return typed.unionByName(overall).orderBy("event_type")
+
+
+register("users_hll_mergeable", users_hll_mergeable, None)  # rows-only: sketch estimate

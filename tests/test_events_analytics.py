@@ -140,3 +140,48 @@ def test_winsorized_tames_spread(spark, sf_dir):
     }
     for r in ea.events_winsorized_stats(spark, sf_dir).collect():
         assert r.wstd <= raw[r.event_type] + 1e-9
+
+
+def test_props_variant_parity(spark, sf_dir, ddb):
+    assert_same(
+        ea.events_props_variant_stats(spark, sf_dir),
+        ddb,
+        ea.PROPS_VARIANT_ORACLE,
+    )
+
+
+def test_props_variant_counts(spark, sf_dir):
+    rows = ea.events_props_variant_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_with_k <= r.n
+        if r.n_with_k:
+            assert r.avg_k <= r.max_k
+
+
+def test_unpivot_parity(spark, sf_dir, ddb):
+    assert_same(
+        ea.events_day_type_unpivot(spark, sf_dir), ddb, ea.UNPIVOT_ORACLE
+    )
+
+
+def test_unpivot_roundtrips_pivot(spark, sf_dir):
+    """melt(pivot(x)) recovers the plain groupBy counts."""
+    from data_catalog_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    direct = {
+        (r.day, r.event_type): r.n
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    melted = {
+        (r.day, r.event_type): r.n
+        for r in ea.events_day_type_unpivot(spark, sf_dir).collect()
+    }
+    assert melted == direct

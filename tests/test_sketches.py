@@ -45,3 +45,32 @@ def test_cms_state_is_bounded(spark, sf_dir):
     """The sketch has at most d×w rows no matter the vocabulary."""
     tokens = sk._token_stream(spark, sf_dir)
     assert sk.cms_build(tokens).count() <= sk.CMS_DEPTH * sk.CMS_WIDTH
+
+
+def test_hll_mergeable_error_bound(spark, sf_dir):
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators.sketches import users_hll_mergeable
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    got = {r.event_type: r.approx_users for r in users_hll_mergeable(spark, sf_dir).collect()}
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_hll_union_never_below_max_component(spark, sf_dir):
+    """The union estimate must be >= every per-type estimate (set union
+    can't shrink)."""
+    from data_catalog_spark.operators.sketches import users_hll_mergeable
+
+    rows = {r.event_type: r.approx_users for r in users_hll_mergeable(spark, sf_dir).collect()}
+    overall = rows.pop("ALL")
+    assert overall >= max(rows.values()) - 1e-9
