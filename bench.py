@@ -56,6 +56,7 @@ HEADLINE = [
     "lineitem_corr_profile",
     "docs_kwic",
     "training_corpus_e2e",
+    "hybrid_search_rrf",
 ]
 
 

@@ -478,3 +478,133 @@ register("embedding_label_stats", embedding_label_stats, EMB_STATS_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
 register("ann_lsh_topk", ann_lsh_topk, None)  # rows-only: seeded LSH sketch
 register("ann_ivf_topk", ann_ivf_topk, None)  # rows-only: learned quantizer
+
+
+# -- hybrid retrieval: text + vector via reciprocal-rank fusion ---------------
+
+RRF_K = 60  # standard RRF dampening constant
+RRF_TOP = 20
+RRF_CAND = 1000  # per-leg candidate-list depth (rank within top-RRF_CAND)
+RRF_QID = 0  # the query vector; its tf-idf twin is tfidf.QUERY_TERMS
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical (tf·idf) ranking and the dense
+    (cosine) ranking with reciprocal-rank fusion —
+    ``rrf = Σ 1/(K + rank_list)`` over the lists a doc appears in.  This
+    is the standard shape of modern corpus search (sparse + dense, fused
+    rank-side so the two score scales never need calibration).
+
+    Both legs stay distributed: tf·idf is the postings pipeline
+    (broadcast query terms), cosine is the broadcast-query brute-force
+    scan; the fusion itself is a full-outer join of two slim (doc_id,
+    rank) frames.  doc_id ≡ vec_id in the driver corpus."""
+    from .tfidf import QUERY_TERMS, doc_postings
+
+    docs = _docs_table(spark, sf_dir)
+    n_docs = docs.count()
+    postings = doc_postings(docs)
+    q = spark.createDataFrame([(t,) for t in QUERY_TERMS], "term string")
+    matched = postings.join(F.broadcast(q), "term")
+    df_t = matched.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tscore = (
+        matched.join(F.broadcast(df_t), "term")
+        .withColumn("w", F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("tscore"))
+    )
+    # Rank within the top-RRF_CAND candidates only: the cut is a
+    # distributed TakeOrderedAndProject, so the global row_number runs on a
+    # bounded frame (standard RRF fuses top-k lists, not full rankings).
+    wt = Window.orderBy(F.col("tscore").desc(), F.col("doc_id"))
+    text_ranked = (
+        tscore.orderBy(F.col("tscore").desc(), F.col("doc_id"))
+        .limit(RRF_CAND)
+        .select("doc_id", F.row_number().over(wt).alias("trank"))
+    )
+
+    e = _with_norm(_emb(spark, sf_dir))
+    qv = e.where(F.col("vec_id") == RRF_QID)
+    corpus = e.where(F.col("vec_id") >= N_QUERIES)
+    scored = (
+        F.broadcast(qv).alias("a")
+        .crossJoin(corpus.alias("b"))
+        .select(F.col("b.vec_id").alias("doc_id"), F.round(_cos(), 6).alias("cos"))
+    )
+    wv = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    vec_ranked = (
+        scored.orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(RRF_CAND)
+        .select("doc_id", F.row_number().over(wv).alias("vrank"))
+    )
+
+    fused = (
+        text_ranked.join(vec_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("trank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            "trank",
+            "vrank",
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+    )
+    return fused
+
+
+def _docs_table(spark: SparkSession, sf_dir: str):
+    from ..io import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+def _hybrid_oracle() -> str:
+    from .tfidf import DUCK_TOKENS, QUERY_TERMS
+
+    terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    return f"""
+WITH postings AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, term
+), q(term) AS (VALUES {terms}),
+matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tscore AS (
+  SELECT doc_id, round(SUM(tf * ln((n_docs + 1) / (df + 1))), 6) AS tscore
+  FROM matched JOIN df_t USING (term) CROSS JOIN n GROUP BY doc_id
+),
+text_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY tscore DESC, doc_id) AS INTEGER) AS trank
+  FROM tscore ORDER BY tscore DESC, doc_id LIMIT {RRF_CAND}
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+nm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cs AS (SELECT b.vec_id AS doc_id,
+              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       FROM nm a JOIN nm b ON b.vec_id >= {N_QUERIES}
+       WHERE a.vec_id = {RRF_QID}),
+vec_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS vrank
+  FROM cs ORDER BY cos DESC, doc_id LIMIT {RRF_CAND}
+)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({RRF_K} + t.trank), 0)
+             + COALESCE(1.0 / ({RRF_K} + v.vrank), 0), 6) AS rrf,
+       t.trank, v.vrank
+FROM text_ranked t FULL OUTER JOIN vec_ranked v ON t.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
+
+register("hybrid_search_rrf", hybrid_search_rrf, _hybrid_oracle())

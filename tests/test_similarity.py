@@ -120,3 +120,22 @@ def test_pq_shape_and_determinism(spark, sf_dir):
     assert all(r.nid >= similarity.N_QUERIES for r in a)
     b = similarity.ann_pq_topk(spark, sf_dir).collect()
     assert a == b
+
+
+def test_hybrid_rrf_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import similarity as sim
+
+    assert_same(sim.hybrid_search_rrf(spark, sf_dir), ddb, sim._hybrid_oracle())
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    from data_catalog_spark.operators import similarity as sim
+
+    rows = sim.hybrid_search_rrf(spark, sf_dir).collect()
+    assert len(rows) == sim.RRF_TOP
+    # scores non-increasing; every fused doc has at least one leg rank
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.trank is not None or r.vrank is not None for r in rows)
+    # fusion actually mixes: some doc carries both ranks
+    assert any(r.trank is not None and r.vrank is not None for r in rows)
