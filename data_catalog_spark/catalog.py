@@ -257,6 +257,11 @@ class DatasetsCatalog:
             f"commit-{uuid.uuid4().hex}",
         )
         df.write.mode("overwrite").parquet(tmp)
+        # an orphan snap dir (commit crashed after the move but before the
+        # VERSION repoint) was never referenced — clear it, else
+        # shutil.move would nest the new data INSIDE it
+        if os.path.isdir(snap):
+            shutil.rmtree(snap)
         shutil.move(tmp, snap)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
         vtmp = os.path.join(self.path, f".VERSION.{uuid.uuid4().hex}")

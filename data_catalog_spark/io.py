@@ -189,7 +189,7 @@ def read_orc_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     policy as JSON/CSV; ORC embeds its schema so `schema=None` is still a
     metadata read, not a data scan).  ORC scans get the same vectorized
     reader + predicate pushdown as parquet (`spark.sql.orc.filterPushdown`
-    is on in our session), so filters land in the file reader."""
+    defaults on), so filters land in the file reader."""
     r = spark.read
     if schema is not None:
         r = r.schema(schema)

@@ -252,7 +252,12 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = docs_decontaminate(spark, sf_dir).select("doc_id")
     split = docs_train_split(spark, sf_dir).select("doc_id", "split")
     return (
-        kept.join(contaminated, "doc_id", "left_anti")
+        # benchmark membership (doc_id % 50 == 0) is excluded by
+        # construction — decontamination flags only NON-benchmark docs
+        # sharing grams, so without this the eval set itself would leak
+        # into the corpus verbatim
+        kept.where(F.col("doc_id") % 50 != 0)
+        .join(contaminated, "doc_id", "left_anti")
         .join(split, "doc_id")
         .groupBy("split")
         .agg(
@@ -276,7 +281,7 @@ SELECT sp.split,
 FROM kept
 JOIN sp ON kept.doc_id = sp.doc_id
 LEFT JOIN cont ON kept.doc_id = cont.doc_id
-WHERE cont.doc_id IS NULL
+WHERE cont.doc_id IS NULL AND kept.doc_id % 50 <> 0
 GROUP BY sp.split ORDER BY sp.split
 """
 

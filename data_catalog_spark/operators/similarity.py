@@ -499,20 +499,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast query terms), cosine is the broadcast-query brute-force
     scan; the fusion itself is a full-outer join of two slim (doc_id,
     rank) frames.  doc_id ≡ vec_id in the driver corpus."""
-    from .tfidf import QUERY_TERMS, doc_postings
+    from .tfidf import tfidf_scores
 
-    docs = _docs_table(spark, sf_dir)
-    n_docs = docs.count()
-    postings = doc_postings(docs)
-    q = spark.createDataFrame([(t,) for t in QUERY_TERMS], "term string")
-    matched = postings.join(F.broadcast(q), "term")
-    df_t = matched.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    tscore = (
-        matched.join(F.broadcast(df_t), "term")
-        .withColumn("w", F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("tscore"))
-    )
+    # Both legs rank the SAME universe: doc_id ≡ vec_id, and vec_ids
+    # 0..N_QUERIES-1 are reserved as query vectors, so the text leg
+    # excludes them too — otherwise those docs could never earn a vector
+    # rank (halved rrf) and the query's own document could surface.
+    docs = _docs_table(spark, sf_dir).where(F.col("doc_id") >= N_QUERIES)
+    tscore = tfidf_scores(spark, docs).withColumnRenamed("score", "tscore")
     # Rank within the top-RRF_CAND candidates only: the cut is a
     # distributed TakeOrderedAndProject, so the global row_number runs on a
     # bounded frame (standard RRF fuses top-k lists, not full rankings).
@@ -567,15 +561,17 @@ def _hybrid_oracle() -> str:
 
     terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
     return f"""
-WITH postings AS (
-  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+WITH corpus_docs AS (
+  SELECT * FROM documents WHERE doc_id >= {N_QUERIES}
+), postings AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM corpus_docs
 ), tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM postings GROUP BY doc_id, term
 ), q(term) AS (VALUES {terms}),
 matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
 df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
-n AS (SELECT count(*) AS n_docs FROM documents),
+n AS (SELECT count(*) AS n_docs FROM corpus_docs),
 tscore AS (
   SELECT doc_id, round(SUM(tf * ln((n_docs + 1) / (df + 1))), 6) AS tscore
   FROM matched JOIN df_t USING (term) CROSS JOIN n GROUP BY doc_id

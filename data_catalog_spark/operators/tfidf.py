@@ -44,10 +44,10 @@ def doc_postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k documents for QUERY_TERMS by Σ tf·idf, deterministic ties on
-    doc_id."""
-    docs = read_table(spark, sf_dir, "documents")
+def tfidf_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, score): Σ tf·idf of QUERY_TERMS over ``docs`` — the ONE
+    definition of the scoring pipeline (smoothed idf, 6dp rounding);
+    ranked retrieval and the hybrid RRF fusion both consume it."""
     n_docs = docs.count()  # 1-scalar driver value, like any planner stat
     postings = doc_postings(docs)
     q = spark.createDataFrame([(t,) for t in QUERY_TERMS], "term string")
@@ -61,6 +61,15 @@ def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+
+
+def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents for QUERY_TERMS by Σ tf·idf, deterministic ties on
+    doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        tfidf_scores(spark, docs)
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(TOP_K)
     )

@@ -227,8 +227,17 @@ def create_secure_view(
     tenant runs against the view inherits the predicate, and Catalyst
     pushes it into the scan (partition pruning when the table is laid out
     by isPublic/orgUUID)."""
-    from .query import compile_query
+    from .query import DataSetFiltering, compile_query
 
+    # An org-less non-admin caller in PRIVATE_AND_PUBLIC mode is entitled
+    # to exactly the public rows; compiling an empty orgUUID IN-list would
+    # instead 400 (P8 validation), so degrade the mode here.
+    if (
+        not org_uuids
+        and not is_admin
+        and filtering_mode == DataSetFiltering.PRIVATE_AND_PUBLIC
+    ):
+        filtering_mode = DataSetFiltering.ONLY_PUBLIC
     cq = compile_query(None, org_uuids, filtering_mode, is_admin=is_admin)
     secured = df.where(query_predicate(cq))
     secured.createOrReplaceTempView(name)

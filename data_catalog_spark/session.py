@@ -36,7 +36,6 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert
         # (data_catalog_spark.io.read_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.orc.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # managed-table home (bucketed-layout tests); keep out of the repo

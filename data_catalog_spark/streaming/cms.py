@@ -16,7 +16,6 @@ exact equality of streaming-merged vs batch-built heavy hitters.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 import pyarrow.parquet as pq
@@ -39,11 +38,14 @@ DOCS_STREAM_SCHEMA = (
 
 def merge_sketch_into(out_dir: str):
     """foreachBatch callback: per-cell ADD the micro-batch's partial
-    sketch into the running counter table (atomic swap commit)."""
+    sketch into the running counter table (shared swap commit with
+    crash recovery — sink.recover_target/swap_commit)."""
+    from .sink import recover_target, swap_commit
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         partial = cms_build(batch_df.select(F.explode(F.expr(SPARK_TOKENS)).alias("tok")))
         target = os.path.join(out_dir, "sketch")
+        recover_target(target)
         if os.path.exists(target):
             current = batch_df.sparkSession.read.parquet(target)
             merged = (
@@ -53,14 +55,7 @@ def merge_sketch_into(out_dir: str):
             )
         else:
             merged = partial
-        tmp = os.path.join(out_dir, f"commit-{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        old = target + ".old"
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        swap_commit(merged, target, batch_id)
 
     return merge
 

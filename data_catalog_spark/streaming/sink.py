@@ -28,28 +28,44 @@ from .events import EVENTS_STREAM_SCHEMA, hourly_rollup_stream
 MERGE_KEYS = ["hour", "event_type"]
 
 
+def recover_target(target: str) -> None:
+    """Heal a crash between the two renames of ``swap_commit``: if the
+    live dir is gone but its ``.old`` survivor exists, restore it —
+    otherwise accumulated state would silently reset to empty."""
+    old = target + ".old"
+    if not os.path.exists(target) and os.path.exists(old):
+        os.rename(old, target)
+
+
+def swap_commit(merged: DataFrame, target: str, batch_id: int) -> None:
+    """Write ``merged`` beside ``target`` and swap it in (the streaming
+    sinks' shared commit; pair with ``recover_target`` at merge start)."""
+    import shutil
+
+    tmp = os.path.join(os.path.dirname(target), f"commit-{batch_id}")
+    merged.write.mode("overwrite").parquet(tmp)
+    old = target + ".old"
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def merge_batch_into(spark: SparkSession, out_dir: str):
     """Returns the foreachBatch callback: upsert on MERGE_KEYS into
     ``out_dir`` (anti-join + union + swap — catalog._commit's pattern)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         target = os.path.join(out_dir, "table")
+        recover_target(target)
         if os.path.exists(target):
             current = batch_df.sparkSession.read.parquet(target)
             keys = batch_df.select(*MERGE_KEYS)
             merged = current.join(keys, MERGE_KEYS, "left_anti").unionByName(batch_df)
         else:
             merged = batch_df
-        tmp = os.path.join(out_dir, f"commit-{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        old = target + ".old"
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        if os.path.exists(old):
-            import shutil
-
-            shutil.rmtree(old)
+        swap_commit(merged, target, batch_id)
 
     return merge
 

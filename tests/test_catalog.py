@@ -212,3 +212,19 @@ def test_diff_between_identical_versions_is_empty(cat):
     c.upsert("a", dict(ENTRY))
     v = c._latest_version()
     assert c.diff(v, v).count() == 0
+
+
+def test_commit_clears_orphan_snapshot_dir(cat, tmp_path):
+    """A snapshot dir left by a crashed commit (moved into place but never
+    referenced by VERSION) must not corrupt the next commit."""
+    import os
+
+    c = cat
+    c.upsert("1", dict(ENTRY))
+    orphan = c._snapshot_dir((c._latest_version() or 0) + 1)
+    os.makedirs(orphan)  # simulate the crash leftovers
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("partial")
+    c.upsert("2", {**ENTRY, "title": "two"})
+    assert c.count() == 2
+    assert sorted(r.id for r in c.df().collect()) == ["1", "2"]

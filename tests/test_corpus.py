@@ -79,7 +79,7 @@ def test_training_corpus_e2e_consistent_with_stages(spark, sf_dir):
     split = {r.doc_id: r.split for r in docs_train_split(spark, sf_dir).collect()}
     manual: dict[str, tuple[int, int]] = {}
     for d, ntok in kept.items():
-        if d in contaminated:
+        if d in contaminated or d % 50 == 0:  # gram hit OR benchmark member
             continue
         s = split[d]
         n, t = manual.get(s, (0, 0))

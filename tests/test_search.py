@@ -209,3 +209,15 @@ def test_secure_view_only_private(spark, sf_dir):
     rows = secured.collect()
     assert rows
     assert all(r.orgUUID == "org02" and not r.isPublic for r in rows)
+
+
+def test_secure_view_orgless_caller_gets_public_only(spark, sf_dir):
+    """No orgs + PRIVATE_AND_PUBLIC must degrade to the public-only view,
+    not raise a validation error."""
+    ds = datasets_df(spark, sf_dir)
+    secured = search.create_secure_view(
+        spark, ds, "datasets_orgless", [], M.PRIVATE_AND_PUBLIC
+    )
+    rows = secured.collect()
+    assert rows
+    assert all(r.isPublic for r in rows)

@@ -36,3 +36,17 @@ def test_stream_cms_estimates_upper_bound_truth(spark, sf_dir):
     }
     for r in scms.stream_cms_heavy_hitters(spark, sf_dir).collect():
         assert r.est_count >= exact[r.tok]
+
+
+def test_recover_target_heals_crash_window(spark, tmp_path):
+    """If a crash strands the live dir as .old, the next merge restores it
+    instead of silently restarting from empty state."""
+    import os
+    from data_catalog_spark.streaming.sink import recover_target
+
+    target = str(tmp_path / "table")
+    spark.range(3).write.parquet(target)
+    os.rename(target, target + ".old")  # simulate crash between renames
+    recover_target(target)
+    assert spark.read.parquet(target).count() == 3
+    assert not os.path.exists(target + ".old")
