@@ -222,3 +222,102 @@ ORDER BY media_id
 
 register("media_feature_stats", media_feature_stats, MEDIA_FEATURES_ORACLE)
 register("media_frame_stats", media_frame_stats, MEDIA_FRAMES_ORACLE)
+
+
+# -- resize ------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 224, 224
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """Resize plumbing for image blobs via mapInPandas: target RESIZE_W ×
+    RESIZE_H, never upscaling.  REAL RESAMPLING NOT AVAILABLE (no
+    pillow/opencv in this environment) — the stand-in keeps the byte
+    budget of the target resolution by taking the proportional PREFIX of
+    the blob (deterministic, SQL-checkable); the Arrow batch shape,
+    binary handling, and metadata arithmetic are the real thing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
+            for _, row in pdf.iterrows():
+                blob = bytes(row["content"])
+                w, h = int(row["width"]), int(row["height"])
+                nw, nh = min(w, RESIZE_W), min(h, RESIZE_H)
+                n_in = len(blob)
+                n_out = max(1, (n_in * nw * nh) // (w * h))
+                rows["media_id"].append(row["media_id"])
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["n_in"].append(n_in)
+                rows["n_out"].append(n_out)
+                rows["resized"].append(blob[:n_out])
+            yield pd.DataFrame(rows)
+
+    images = media.where(F.col("kind") == "image").select(
+        "media_id",
+        "content",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return images.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images end-to-end, projected to SQL-checkable columns (the
+    synthetic blobs are ASCII text bytes, so the DuckDB oracle reproduces
+    the prefix slice + md5 with substr)."""
+    resized = resize_images(synth_media(spark, sf_dir))
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        "new_width",
+        "new_height",
+        "n_in",
+        "n_out",
+        F.md5("resized").alias("out_md5"),
+    ).orderBy("media_id")
+
+
+MEDIA_RESIZE_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+         CAST(n_chars % 480 + 16 AS INTEGER) AS height,
+         text,
+         octet_length(encode(text)) AS n_in
+  FROM documents WHERE doc_id % 3 = 0
+), dims AS (
+  SELECT *,
+         CAST(least(width, {RESIZE_W}) AS INTEGER) AS new_width,
+         CAST(least(height, {RESIZE_H}) AS INTEGER) AS new_height
+  FROM img
+)
+SELECT media_id, width, height, new_width, new_height,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(greatest(1, (n_in * new_width * new_height) // (width * height))
+            AS BIGINT) AS n_out,
+       md5(substr(text, 1,
+           CAST(greatest(1, (n_in * new_width * new_height) // (width * height))
+                AS INTEGER))) AS out_md5
+FROM dims
+ORDER BY media_id
+"""
+
+
+register("media_resize_stats", media_resize_stats, MEDIA_RESIZE_ORACLE)

@@ -7,6 +7,8 @@ import pytest
 
 from data_catalog_spark.operators import multimodal as mm
 
+from conftest import assert_same
+
 
 @pytest.fixture(scope="module")
 def media(spark, sf_dir):
@@ -81,3 +83,17 @@ def test_media_frame_stats_parity(spark, sf_dir, ddb):
     from conftest import assert_same
 
     assert_same(media_frame_stats(spark, sf_dir), ddb, MEDIA_FRAMES_ORACLE)
+
+
+def test_resize_parity(spark, sf_dir, ddb):
+    assert_same(mm.media_resize_stats(spark, sf_dir), ddb, mm.MEDIA_RESIZE_ORACLE)
+
+
+def test_resize_never_upscales(spark, sf_dir):
+    rows = mm.resize_images(mm.synth_media(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.new_width <= min(r.width, mm.RESIZE_W)
+        assert r.new_height <= min(r.height, mm.RESIZE_H)
+        assert 1 <= r.n_out <= r.n_in
+        assert len(r.resized) == r.n_out
