@@ -194,3 +194,22 @@ def read_orc_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def write_clustered(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int = 8
+) -> None:
+    """Clustered layout for min/max data skipping: range-partition the
+    rows across ``n_files`` files and sort within each by the same keys —
+    every parquet row group then covers a narrow, non-overlapping slice
+    of the cluster key domain, so a point/range predicate prunes whole
+    files via footer statistics before any data I/O (the linear-key
+    stand-in for OPTIMIZE ZORDER).  At 100 TB this is the difference
+    between scanning the table and scanning the few files whose [min,max]
+    intersect the predicate."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -33,6 +33,7 @@ def oracles() -> dict[str, str]:
 def _load_all() -> None:
     # Import for side effect: each module registers its entries.
     from . import (  # noqa: F401
+        agg_extras,
         analytics,
         corpus,
         dedup,

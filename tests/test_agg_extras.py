@@ -1,0 +1,41 @@
+"""Aggregate extras: array agg, ratio-to-report, FILTER clause."""
+
+from __future__ import annotations
+
+from data_catalog_spark.operators import agg_extras as ax
+
+from conftest import assert_same
+
+
+def test_priority_profile_parity(spark, sf_dir, ddb):
+    assert_same(
+        ax.customer_priority_profile(spark, sf_dir), ddb, ax.PRIORITY_PROFILE_ORACLE
+    )
+
+
+def test_priority_profile_arrays_sorted_distinct(spark, sf_dir):
+    rows = ax.customer_priority_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:100]:
+        assert r.priorities == sorted(set(r.priorities))
+
+
+def test_revenue_share_parity(spark, sf_dir, ddb):
+    assert_same(ax.nation_revenue_share(spark, sf_dir), ddb, ax.REVENUE_SHARE_ORACLE)
+
+
+def test_revenue_shares_sum_to_one(spark, sf_dir):
+    rows = ax.nation_revenue_share(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+
+
+def test_filtered_aggs_parity(spark, sf_dir, ddb):
+    assert_same(ax.orders_filtered_aggs(spark, sf_dir), ddb, ax.FILTER_AGG_SQL)
+
+
+def test_filtered_aggs_partition_counts(spark, sf_dir):
+    rows = ax.orders_filtered_aggs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_finished + r.n_open <= r.n  # P status also exists

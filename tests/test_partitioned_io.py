@@ -54,3 +54,50 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     assert n_files <= 4
     after = spark.read.parquet(path).selectExpr("sum(event_id) s", "count(*) n").collect()[0]
     assert (after.s, after.n) == (checksum.s, checksum.n)
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """After write_clustered on o_custkey, per-file [min,max] key ranges
+    must not overlap — the property footer-based data skipping needs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_catalog_spark.io import read_table, write_clustered
+
+    src = read_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_clustered")
+    write_clustered(src, out, ["o_custkey"], n_files=8)
+
+    ranges = []
+    for fname in os.listdir(out):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, fname)).metadata
+        idx = md.schema.names.index("o_custkey")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # disjoint (boundary equality allowed)
+
+    # and the layout round-trips all rows
+    assert spark.read.parquet(out).count() == src.count()
+
+
+def test_clustered_read_prunes_with_pushed_filter(spark, sf_dir, tmp_path):
+    """A selective predicate on the cluster key reaches the scan as a
+    pushed filter (row-group skipping applies it against footer stats)."""
+    from data_catalog_spark.io import read_table, write_clustered
+
+    src = read_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_clustered2")
+    write_clustered(src, out, ["o_custkey"], n_files=8)
+    q = spark.read.parquet(out).where("o_custkey = 7").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in plan else ""
+    assert "o_custkey" in pushed
+    want = src.where("o_custkey = 7").count()
+    assert q.count() == want
