@@ -123,3 +123,133 @@ def orders_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("customer_priority_profile", customer_priority_profile, PRIORITY_PROFILE_ORACLE)
 register("nation_revenue_share", nation_revenue_share, REVENUE_SHARE_ORACLE)
 register("orders_filtered_aggs", orders_filtered_aggs, FILTER_AGG_SQL)
+
+
+# -- linear-regression aggregates --------------------------------------------
+
+
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of `value` over event time via the ANSI
+    regression aggregates (regr_slope/intercept/r2) — one-pass moment
+    aggregates, same partial-aggregation contract as avg/stddev, so they
+    scale like any hash aggregate.  Time axis: hours since epoch."""
+    ev = read_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") / 3600.0
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_TREND_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(regr_slope(value, epoch(ts) / 3600.0), 6) AS slope,
+       round(regr_intercept(value, epoch(ts) / 3600.0), 4) AS intercept,
+       round(regr_r2(value, epoch(ts) / 3600.0), 6) AS r2
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- distribution-position windows (cume_dist / percent_rank) -----------------
+
+
+def customer_balance_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's position within their market segment's balance
+    distribution: percent_rank (share strictly below) and cume_dist
+    (share at-or-below).  One shuffle on the segment key."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+BALANCE_POSITION_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment,
+       round(c_acctbal, 2) AS acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# -- item-item co-occurrence similarity ---------------------------------------
+
+
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering primitive over the user×type
+    incidence matrix: for each event-type pair, the number of users doing
+    both and the cosine similarity n_ab / sqrt(n_a·n_b).  The user-type
+    matrix is tiny after the distinct (users × ≤5 types); the self-join
+    shuffles on user_id once."""
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    counts = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+COOCCURRENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+counts AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_both,
+       round(n_both / sqrt(ca.n * cb.n), 6) AS cosine
+FROM pairs
+JOIN counts ca ON pairs.type_a = ca.event_type
+JOIN counts cb ON pairs.type_b = cb.event_type
+ORDER BY type_a, type_b
+"""
+
+
+register("events_value_trend", events_value_trend, VALUE_TREND_ORACLE)
+register("customer_balance_position", customer_balance_position, BALANCE_POSITION_ORACLE)
+register("event_type_cooccurrence", event_type_cooccurrence, COOCCURRENCE_ORACLE)

@@ -39,3 +39,40 @@ def test_filtered_aggs_partition_counts(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_finished + r.n_open <= r.n  # P status also exists
+
+
+def test_value_trend_parity(spark, sf_dir, ddb):
+    assert_same(ax.events_value_trend(spark, sf_dir), ddb, ax.VALUE_TREND_ORACLE)
+
+
+def test_value_trend_r2_bounds(spark, sf_dir):
+    for r in ax.events_value_trend(spark, sf_dir).collect():
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_balance_position_parity(spark, sf_dir, ddb):
+    assert_same(
+        ax.customer_balance_position(spark, sf_dir), ddb, ax.BALANCE_POSITION_ORACLE
+    )
+
+
+def test_balance_position_bounds(spark, sf_dir):
+    rows = ax.customer_balance_position(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert r.pct_rank <= r.cume <= 1.0
+
+
+def test_cooccurrence_parity(spark, sf_dir, ddb):
+    assert_same(
+        ax.event_type_cooccurrence(spark, sf_dir), ddb, ax.COOCCURRENCE_ORACLE
+    )
+
+
+def test_cooccurrence_cosine_bounds(spark, sf_dir):
+    rows = ax.event_type_cooccurrence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b  # canonical pair order, no self-pairs
+        assert 0.0 < r.cosine <= 1.0
