@@ -359,3 +359,58 @@ register("q3_top_revenue_orders", q3_top_revenue_orders, Q3_ORACLE)
 register("q5_supplier_nation_revenue", q5_supplier_nation_revenue, Q5_ORACLE)
 register("top3_orders_per_customer", top3_orders_per_customer, TOP3_ORACLE)
 register("events_hourly_rollup", events_hourly_rollup, EVENTS_HOURLY_ORACLE)
+
+
+# -- day-of-week seasonality --------------------------------------------------
+
+
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue seasonality by day-of-week: order count, revenue, and a
+    seasonal index (revenue share vs a flat 1/7 baseline; >1 = heavy day).
+
+    Portability note: engines disagree on day-of-week numbering (Spark
+    ``dayofweek`` is 1=Sunday, DuckDB ``dow`` is 0=Sunday), so the day
+    number is computed as plain integer arithmetic on days-since-epoch
+    (1970-01-01 was a Thursday ⇒ +4 mod 7 lands Sunday=0) — identical in
+    both engines and immune to locale/session settings."""
+    o = _t(spark, sf_dir, "orders")
+    by_dow = o.groupBy(
+        ((F.datediff("o_orderdate", F.lit("1970-01-01")) + 4) % 7).alias("dow_num"),
+        F.date_format("o_orderdate", "EEEE").alias("dow_name"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"),
+    )
+    total = by_dow.agg(F.sum("rev_dec").alias("tot")).select("tot")
+    return (
+        by_dow.join(F.broadcast(total))
+        .select(
+            "dow_num",
+            "dow_name",
+            "n_orders",
+            F.col("rev_dec").cast("double").alias("sum_revenue"),
+            F.round((F.col("rev_dec") / F.col("tot")).cast("double") * 7, 6).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("dow_num")
+    )
+
+
+DOW_SEASONALITY_ORACLE = """
+WITH by_dow AS (
+  SELECT (date_diff('day', DATE '1970-01-01', o_orderdate) + 4) % 7 AS dow_num,
+         strftime(o_orderdate, '%A') AS dow_name,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY dow_num, dow_name
+), total AS (SELECT sum(rev_dec) AS tot FROM by_dow)
+SELECT dow_num, dow_name, n_orders,
+       CAST(rev_dec AS DOUBLE) AS sum_revenue,
+       round(CAST(rev_dec / tot * 7 AS DOUBLE), 6) AS seasonal_index
+FROM by_dow, total
+ORDER BY dow_num
+"""
+
+
+register("orders_dow_seasonality", orders_dow_seasonality, DOW_SEASONALITY_ORACLE)

@@ -533,3 +533,115 @@ ORDER BY day, event_type
 
 
 register("events_day_type_unpivot", events_day_type_unpivot, UNPIVOT_ORACLE)
+
+
+# -- calendar densification (gap fill) ---------------------------------------
+
+
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts densified over the full [min_day, max_day] calendar
+    — missing days appear with zeros (the time-series 'gap fill' every
+    dashboarding stack needs; naive GROUP BY silently drops empty days).
+
+    Shape: the calendar is generated from ONE aggregate row via
+    ``sequence()`` + ``explode`` (driver never loops), then LEFT-joined to
+    the daily aggregate.  Both sides are tiny post-aggregation frames — the
+    join broadcasts; the only real shuffle is the daily groupBy of the base
+    scan, which map-side combines first."""
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+    )
+    calendar = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    return (
+        calendar.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("sum_dec").cast("double"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sum_dec
+  FROM events GROUP BY day
+), cal AS (
+  SELECT unnest(generate_series(min(CAST(ts AS DATE)),
+                                max(CAST(ts AS DATE)),
+                                INTERVAL 1 DAY)) AS day
+  FROM events
+)
+SELECT strftime(CAST(cal.day AS DATE), '%Y-%m-%d') AS day,
+       CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(CAST(daily.sum_dec AS DOUBLE), 0.0) AS sum_value
+FROM cal LEFT JOIN daily ON CAST(cal.day AS DATE) = daily.day
+ORDER BY day
+"""
+
+
+# -- full-outer reconciliation -----------------------------------------------
+
+
+def events_daily_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two independently-aggregated daily series (clicks vs
+    purchases) with a FULL OUTER join — days present in either side survive,
+    absent sides coalesce to 0 (the ledger-comparison shape: neither side is
+    authoritative, so inner/left joins would drop rows).
+
+    Scale: both inputs are post-aggregation day-grain frames (≤ thousands of
+    rows at any SF); the full-outer join is a single small shuffle on day."""
+    ev = _ev(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, "day", "full_outer")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+            (
+                F.coalesce("n_clicks", F.lit(0)) - F.coalesce("n_purchases", F.lit(0))
+            )
+            .cast("long")
+            .alias("click_excess"),
+        )
+        .orderBy("day")
+    )
+
+
+RECONCILE_ORACLE = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY day
+), p AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY day
+)
+SELECT strftime(coalesce(c.day, p.day), '%Y-%m-%d') AS day,
+       CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(c.n_clicks, 0) - coalesce(p.n_purchases, 0) AS BIGINT)
+         AS click_excess
+FROM c FULL OUTER JOIN p ON c.day = p.day
+ORDER BY day
+"""
+
+
+register("events_gapfill_daily", events_gapfill_daily, GAPFILL_ORACLE)
+register("events_daily_reconcile", events_daily_reconcile, RECONCILE_ORACLE)

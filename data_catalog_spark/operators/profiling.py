@@ -133,3 +133,54 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 register("lineitem_corr_profile", lineitem_corr_profile, CORR_ORACLE)
+
+
+# -- language-mix entropy per source -----------------------------------------
+
+
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: document count, distinct languages, and the Shannon
+    entropy (nats) of its language distribution — the corpus-composition
+    profile a multilingual training mix is tuned against (a source with
+    entropy ≈ 0 is monolingual; high entropy = balanced mix).
+
+    Shape: groupBy(source, lang) map-side combines the scan down to a tiny
+    (sources × langs) frame; the per-source normalization is a window over
+    that frame, not the base table — at 100 TB the heavy aggregate is one
+    shuffle and everything after is negligible."""
+    from pyspark.sql import Window
+
+    c = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("source")
+    return (
+        c.withColumn("p", F.col("n") / F.sum("n").over(tot))
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(F.sum(-F.col("p") * F.log("p")), 6).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+LANG_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), p AS (
+  SELECT source, n, n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS p
+  FROM c
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(sum(-p * ln(p)), 6) AS lang_entropy
+FROM p GROUP BY source ORDER BY source
+"""
+
+
+register("source_lang_entropy", source_lang_entropy, LANG_ENTROPY_ORACLE)

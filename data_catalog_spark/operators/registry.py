@@ -42,6 +42,7 @@ def _load_all() -> None:
         multimodal,
         pandas_ops,
         profiling,
+        redaction,
         sampling,
         scd2,
         sessionize,

@@ -77,3 +77,56 @@ ORDER BY doc_id
 
 register("sample_documents_hash", sample_documents_hash, SAMPLE_ORACLE)
 register("stratified_sample_documents", stratified_sample_documents, STRATIFIED_ORACLE)
+
+
+# -- weighted sampling without replacement (A-Res) ---------------------------
+
+WEIGHTED_K = 50
+
+# Deterministic uniform in (0,1): first 8 md5 hex digits of the key, scaled.
+# The +0.5 keeps u strictly inside (0,1) so ln(u) is finite and nonzero.
+_SPARK_U = (
+    "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE)"
+    " + 0.5) / 4294967296.0"
+)
+_DUCK_U = (
+    "((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " + 0.5) / 4294967296.0)"
+)
+
+
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``WEIGHTED_K`` weighted sample without replacement, weight =
+    ``n_chars`` (Efraimidis–Spirakis A-Res: key = -ln(u)/w, keep the K
+    smallest keys ⇔ inclusion probability ∝ weight).
+
+    Distributed shape: the key is a map-only expression; the selection is a
+    global top-k (``TakeOrderedAndProject`` — per-partition heaps, driver
+    merges K rows, no sort shuffle).  Deterministic u (md5 of doc_id) makes
+    the 'random' sample reproducible at any parallelism — the property that
+    lets a 100 TB corpus job be resumed or audited."""
+    return (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(-F.log(F.expr(_SPARK_U)) / F.col("n_chars"), 10).alias("res_key"),
+        )
+        .orderBy("res_key", "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+WEIGHTED_ORACLE = f"""
+SELECT doc_id, lang, n_chars,
+       round(-ln({_DUCK_U}) / n_chars, 10) AS res_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY res_key, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
+register("weighted_sample_documents", weighted_sample_documents, WEIGHTED_ORACLE)

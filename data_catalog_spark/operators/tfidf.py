@@ -145,3 +145,77 @@ LIMIT {NGRAM_TOP_K}
 
 register("tfidf_search_topk", tfidf_search_topk, _tfidf_oracle())
 register("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE)
+
+
+# -- subword vocabulary build + coverage -------------------------------------
+
+# Small enough that the synthetic corpus (~60 distinct words) has genuine
+# OOV mass — coverage below 100% is what makes the operator's math visible.
+VOCAB_SIZE = 32
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a top-``VOCAB_SIZE`` subword vocabulary (BPE-ish pretokens, by
+    corpus frequency, ties broken by token text) and report per-language
+    coverage: total subword tokens, OOV tokens, OOV rate.
+
+    The tokenizer-training shape every LLM data pipeline runs: phase 1 is a
+    corpus-frequency aggregate + top-k (map-side combined, one shuffle on
+    token); phase 2 broadcasts the tiny vocab back over the token stream —
+    no second wide shuffle.  Determinism: (freq DESC, token ASC) makes the
+    vocabulary unique, so coverage is reproducible at any parallelism."""
+    from .text import BPE_PATTERN
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr(f'regexp_extract_all(text, "{BPE_PATTERN}", 0)')
+        ).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(VOCAB_SIZE)
+        .select("token")
+    )
+    return (
+        toks.join(F.broadcast(vocab).withColumn("in_vocab", F.lit(1)), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_subwords"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_subwords"), 6)
+        )
+        .orderBy("lang")
+    )
+
+
+def _vocab_oracle() -> str:
+    from .text import _BPE_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {VOCAB_SIZE}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_subwords,
+       CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks LEFT JOIN vocab USING (token)
+GROUP BY lang ORDER BY lang
+"""
+
+
+register("vocab_coverage", vocab_coverage, _vocab_oracle())

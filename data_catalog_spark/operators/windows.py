@@ -322,3 +322,55 @@ ORDER BY user_id, event_id
 register(
     "events_trailing_hour_stats", events_trailing_hour_stats, TRAILING_HOUR_ORACLE
 )
+
+
+# -- rolling 7-day active users (contribution expansion) ---------------------
+
+
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: distinct users active in the trailing 7 days (WAU).
+
+    A sliding COUNT(DISTINCT) has no efficient window form — the classic
+    rewrite is *contribution expansion*: dedupe to (user, day), explode each
+    pair into the 7 report-days it contributes to, then a plain groupBy
+    count-distinct.  The 7× expansion applies to the DEDUPED day-grain
+    frame (≪ raw events), and both shuffles are on small keys; at 100 TB
+    this is the only shape that avoids a per-day rescan."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    return (
+        pairs.select(
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("day"),
+            "user_id",
+        )
+        .join(F.broadcast(bounds), on=F.col("day") <= F.col("d1"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+ROLLING_WAU_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), expanded AS (
+  SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+           AS report_day,
+         user_id
+  FROM pairs
+), bounds AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events)
+SELECT strftime(CAST(report_day AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM expanded, bounds
+WHERE CAST(report_day AS DATE) <= d1
+GROUP BY day ORDER BY day
+"""
+
+
+register("events_rolling_wau", events_rolling_wau, ROLLING_WAU_ORACLE)
