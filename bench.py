@@ -57,6 +57,10 @@ HEADLINE = [
     "docs_kwic",
     "training_corpus_e2e",
     "hybrid_search_rrf",
+    "docs_pii_redact",
+    "vocab_coverage",
+    "events_rolling_wau",
+    "weighted_sample_documents",
 ]
 
 

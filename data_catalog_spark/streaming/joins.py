@@ -146,3 +146,116 @@ ORDER BY c_mktsegment, event_type
 
 
 register("stream_segment_rollup", stream_segment_rollup, STREAM_STATIC_ORACLE)
+
+
+# -- left-outer stream-stream join (watermark-gated null emission) -----------
+
+
+def purchases_louter_clicks_stream(events: DataFrame) -> DataFrame:
+    """LEFT OUTER variant of the purchase⋈click stream join: purchases with
+    no qualifying click eventually emit with a NULL click side — but only
+    once the watermark proves no match can still arrive.  This is the
+    streaming-specific semantics the inner join doesn't exercise: null
+    emission is *deferred state eviction*, not a per-batch anti-join."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS")
+        ),
+        "left_outer",
+    )
+
+
+def stream_purchase_click_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: availableNow left-outer pass, then per-user counts of
+    matched pairs vs orphan purchases (NULL click side).
+
+    The oracle encodes Spark's exact emission rule rather than pretending
+    the stream equals a batch LEFT JOIN: matched pairs always emit, but an
+    orphan emits only when the final global watermark — ``min`` over both
+    inputs of (max event time − 1 h delay) — has passed its ``p_ts``, i.e.
+    no future click could still satisfy ``c_ts <= p_ts``.  Purchases
+    younger than the final watermark stay buffered in state forever (the
+    stream never ends), so they are absent from BOTH engines' results."""
+    import uuid
+
+    name = f"ss_louter_{uuid.uuid4().hex[:8]}"
+    q = (
+        purchases_louter_clicks_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.sum(F.when(F.col("click_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_LOUTER_ORACLE = f"""
+WITH wm AS (
+  SELECT least(max(ts) FILTER (event_type = 'click'),
+               max(ts) FILTER (event_type = 'purchase'))
+         - INTERVAL 1 HOUR AS w
+  FROM events
+), emitted AS (
+  SELECT p.user_id, c.event_id AS click_id
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {JOIN_WINDOW_SEC} SECONDS
+  WHERE p.event_type = 'purchase'
+  UNION ALL
+  SELECT p.user_id, NULL AS click_id
+  FROM events p, wm
+  WHERE p.event_type = 'purchase'
+    AND p.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {JOIN_WINDOW_SEC} SECONDS)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM emitted
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+register("stream_purchase_click_louter", stream_purchase_click_louter, STREAM_LOUTER_ORACLE)

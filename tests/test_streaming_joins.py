@@ -66,3 +66,46 @@ def test_stream_static_join_is_stateless_broadcast(spark, sf_dir):
     assert df.isStreaming
     plan = df._jdf.queryExecution().logical().toString()
     assert "c_mktsegment" in plan
+
+
+def test_stream_louter_parity(spark, sf_dir, ddb):
+    assert_same(
+        sj.stream_purchase_click_louter(spark, sf_dir),
+        ddb,
+        sj.STREAM_LOUTER_ORACLE,
+    )
+
+
+def test_stream_louter_orphans_respect_watermark(spark, sf_dir):
+    """Matched pairs equal the inner join exactly; orphans are the batch
+    anti-join MINUS purchases still inside the final watermark horizon
+    (state not yet evictable ⇒ nothing emitted for them)."""
+    out = {r.user_id: r for r in sj.stream_purchase_click_louter(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events")
+    wm = ev.selectExpr(
+        "least(max(CASE WHEN event_type='click' THEN ts END),"
+        "      max(CASE WHEN event_type='purchase' THEN ts END))"
+        " - INTERVAL 1 HOUR AS w"
+    ).first()[0]
+    p = ev.where("event_type = 'purchase'")
+    c = ev.where("event_type = 'click'").selectExpr(
+        "user_id AS cu", "ts AS c_ts"
+    )
+    cond = (
+        (p.user_id == F.col("cu"))
+        & (F.col("c_ts") <= p.ts)
+        & (F.col("c_ts") >= p.ts - F.expr(f"INTERVAL {sj.JOIN_WINDOW_SEC} SECONDS"))
+    )
+    unmatched = p.join(c, cond, "left_anti")
+    evictable = {
+        r.user_id: r.n
+        for r in unmatched.where(F.col("ts") < F.lit(wm))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_orphans = {u: r.n_orphans for u, r in out.items() if r.n_orphans > 0}
+    assert got_orphans == {u: n for u, n in evictable.items() if n > 0}
+    # at least one purchase must be withheld for the semantics to be visible
+    withheld = unmatched.where(F.col("ts") >= F.lit(wm)).count()
+    assert withheld >= 1
