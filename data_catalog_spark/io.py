@@ -31,6 +31,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # tz-naive parquet timestamps arrive as TIMESTAMP_NTZ; normalize to
+    # session-tz (UTC) TIMESTAMP so epoch arithmetic (cast to double) works
+    # and matches DuckDB's epoch() on the same wall-clock values.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
