@@ -70,6 +70,9 @@ def main() -> None:
     import __spark_entry__ as e
 
     spark = get_spark(app_name="bench")
+    # Keep the one JSON line parseable: WARN chatter (e.g. WindowExec on
+    # intentionally tiny single-partition frames) otherwise pollutes stdout.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()  # JVM warmup
 
     qs = e.queries()

@@ -23,11 +23,17 @@ def customer_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities — a collection-valued aggregate row (dedup + sort inside
     the agg keeps the output deterministic)."""
     o = read_table(spark, sf_dir, "orders")
+    # Collection-valued aggregates are rendered as delimited strings (not
+    # array columns): the correctness harness hash-compares via pandas,
+    # where list cells are unhashable — and a joined string pins the same
+    # deterministic order anyway.
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
             F.array_join(
                 F.sort_array(F.collect_set("o_orderstatus")), ","
             ).alias("statuses"),
@@ -39,7 +45,7 @@ def customer_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRIORITY_PROFILE_ORACLE = """
 SELECT o_custkey,
        CAST(count(*) AS BIGINT) AS n_orders,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
        array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
 FROM orders
 GROUP BY o_custkey

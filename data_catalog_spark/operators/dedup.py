@@ -1,11 +1,18 @@
 """Deduplication operators over the documents table — exact, n-gram Jaccard,
 MinHash+LSH, SimHash.  (Embedding-cosine near-dup lives in similarity.py.)
 
-Exact and n-gram Jaccard are fully SQL-expressible and oracle-checked; the
-sketch-based ones (MinHash, SimHash) are the *scale paths* — deterministic
-but hash-seeded, so the driver records rows-only checks and pytest verifies
-them against the exact Jaccard ground truth (recall on the planted near-dup
-pairs).
+All four are fully oracle-checked: the sketch-based ones (MinHash, SimHash)
+use a PORTABLE hash scheme — one md5 digest per shingle/token, parsed into
+an integer from the hex (Spark ``conv(hex,16,10)`` ≡ DuckDB
+``('0x'||hex)::BIGINT``).  The k MinHash permutations are the universal
+family ``h_i = (a_i·h + b_i) mod p`` over the 32-bit base hash with fixed
+pseudorandom (a_i, b_i) and p = 2^61−1: products stay < 2^62 (no int64
+overflow in either engine) and the mod breaks cross-i monotonicity — a
+linear no-mod family like ``h1 + i·h2`` is NOT a valid MinHash family
+(argmin becomes the same shingle for every large i, so unrelated docs
+agree on most components).  One digest serves all k functions, cheaper
+than k independent string hashes.  pytest additionally verifies recall
+against the exact Jaccard ground truth.
 
 Scale design (100 TB):
 - exact dedup: one shuffle on a 16-byte hash — the cheapest possible
@@ -34,8 +41,29 @@ JACCARD_THRESHOLD = 0.5
 
 MINHASH_K = 64  # signature length
 MINHASH_BANDS = 16  # b bands of r = k/b rows
+SIMHASH_BITS = 60  # 15 hex chars of md5 — max portable int64-safe width
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 ⇒ ≥1 of 4 chunks equal
+
+# Portable md5-derived 32-bit base hash (identical semantics in DuckDB via
+# the 0x-cast; see module docstring) + the universal-family constants.
+_SPARK_H32 = "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+# First prime ABOVE the 2^32 base-hash universe.  p must sit just above the
+# universe: with a much larger p (say 2^61−1) a_i·h + b_i almost never
+# wraps, the map stays monotone in h, and every component's argmin is the
+# same min-h shingle — silently degenerating the whole signature.
+_MINHASH_P = 4294967311
+
+
+def _minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Fixed pseudorandom (a_i, b_i) pairs; a_i < 2^30 keeps a_i·h < 2^62."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, _MINHASH_P)) for _ in range(k)]
+
+
+MINHASH_COEFFS = _minhash_coeffs()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,24 +167,36 @@ DEDUP_JACCARD_ORACLE = f"{JACCARD_PAIRS_BODY} ORDER BY da, db"
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig: array<long>) — component i = min over shingles of
-    xxhash64(i, shingle).  One groupBy over the exploded shingles: the k
-    hashes are flat codegen'd column expressions (NOT higher-order-function
-    lambdas, which evaluate interpreted and cost ~7× here), and map-side
-    partial mins mean the shuffle carries only n_docs × k longs per map
-    partition — the exploded shingle stream itself never crosses the wire."""
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(k)]
-    sig = _shingles(docs).groupBy("doc_id").agg(*mins)
+    ``(a_i·h + b_i) mod p`` where h is the md5-derived 32-bit base hash
+    (portable to the DuckDB oracle).  One groupBy over the exploded
+    shingles: the k hashes are flat codegen'd column expressions (NOT
+    higher-order-function lambdas, which evaluate interpreted and cost ~7×
+    here), and map-side partial mins mean the shuffle carries only
+    n_docs × k longs per map partition — the exploded shingle stream itself
+    never crosses the wire."""
+    hashed = _shingles(docs).select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
 def minhash_bands(sig: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, band, band_hash) — LSH bucket keys."""
+    """(doc_id, band, band_hash) — LSH bucket keys.  The bucket key is the
+    first 16 hex chars of md5 over the band's signature slice (portable;
+    64 bits of collision resistance keeps false buckets negligible while
+    halving the shuffle-key width of the full digest)."""
     r = k // bands
     rows = []
     for band in range(bands):
-        cols = [F.col("sig")[band * r + j] for j in range(r)]
+        cols = [F.col("sig")[band * r + j].cast("string") for j in range(r)]
         rows.append(
-            F.struct(F.lit(band).alias("band"), F.xxhash64(*cols).alias("band_hash"))
+            F.struct(
+                F.lit(band).alias("band"),
+                F.substring(F.md5(F.concat_ws("|", *cols)), 1, 16).alias("band_hash"),
+            )
         )
     return sig.select(
         "doc_id", F.explode(F.array(*rows)).alias("bk")
@@ -167,9 +207,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with signature-estimated Jaccard.
 
     Output: (da, db, est_jac) for candidate pairs whose banding collided and
-    whose signature agreement ≥ threshold.  Deterministic (xxhash64 seeds are
-    fixed) but not SQL-expressible — rows-only driver check; pytest measures
-    recall against dedup_ngram_jaccard."""
+    whose signature agreement ≥ threshold.  Fully deterministic and — thanks
+    to the portable md5 double-hash scheme — reproduced exactly by the
+    DuckDB oracle; pytest additionally measures recall against
+    dedup_ngram_jaccard."""
     # The sf0.1 documents file is a single row group ⇒ a 1-task scan that
     # would serialize all k×|shingles| hashing; spread docs across the
     # executor threads first (at deployment scale the input is already
@@ -197,8 +238,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
+    # Element-wise agreement as a flat sum of k comparisons (codegen'd),
+    # matching the oracle's CASE-sum exactly; /64 is binary-exact so the
+    # 6-dp round is identical in both engines.
     est = (
-        F.expr("aggregate(zip_with(sa.sig, sb.sig, (x, y) -> IF(x = y, 1, 0)), 0, (a, x) -> a + x)")
+        sum(
+            F.when(F.col("sa.sig")[i] == F.col("sb.sig")[i], 1).otherwise(0)
+            for i in range(MINHASH_K)
+        )
         / F.lit(MINHASH_K)
     )
     return (
@@ -214,7 +261,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp: long) — 64-bit SimHash over the token multiset.
+    """(doc_id, fp: long) — 60-bit SimHash over the token multiset (60 = 15
+    md5 hex chars, the widest md5 prefix that parses into a signed int64 in
+    both engines — the portability constraint sets the width).
 
     Map-only per doc: explode tokens, hash each, ±1 vote per bit weighted by
     token multiplicity, sign-pack.  The per-bit votes are plain aggregates so
@@ -224,17 +273,17 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode("t").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("h", F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"))
     )
     votes = [
         F.sum(
             F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
     packed = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         packed = term if packed is None else (packed + term)
@@ -244,9 +293,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming(fp_a, fp_b) ≤ 3.
 
-    Candidates via 16-bit chunk equality (pigeonhole blocking — no O(n²));
-    exact Hamming check with bit_count(xor).  Rows-only driver check; pytest
-    compares against Jaccard ground truth."""
+    Candidates via 15-bit chunk equality (pigeonhole blocking — no O(n²));
+    exact Hamming check with bit_count(xor).  Portable md5 hashing ⇒ full
+    DuckDB oracle; pytest compares against Jaccard ground truth."""
     fps = simhash_fingerprints(_docs(spark, sf_dir))
     chunks = fps.select(
         "doc_id",
@@ -256,7 +305,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.expr(f"(fp >> {16 * j}) & 65535").alias("c"),
+                        F.expr(f"(fp >> {15 * j}) & 32767").alias("c"),
                     )
                     for j in range(SIMHASH_CHUNKS)
                 ]
@@ -284,7 +333,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    """DuckDB rendering of the exact same MinHash+LSH computation (md5
+    double hashing makes every hash value engine-independent)."""
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    )
+    band_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, substr(md5(concat_ws('|', "
+        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
+        + ")), 1, 16) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
+hashed AS (SELECT doc_id,
+    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id),
+bands AS (
+  {band_arms}),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT da, db, round(({agree}) / {k}.0, 6) AS est_jac
+FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+WHERE ({agree}) / {k}.0 >= {JACCARD_THRESHOLD}
+ORDER BY da, db
+"""
+
+
+def _simhash_oracle(nbits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS) -> str:
+    """DuckDB rendering of the 60-bit SimHash pipeline."""
+    w = nbits // chunks  # chunk width in bits
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN cnt ELSE -cnt END) AS v{i}"
+        for i in range(nbits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(nbits)
+    )
+    chunk_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, fp, {j} AS j, (fp >> {w * j}) & {(1 << w) - 1} AS c FROM fps"
+        for j in range(chunks)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+tok AS (SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+hashed AS (SELECT doc_id, cnt,
+    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+votes AS (SELECT doc_id, {votes}
+          FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, {packed} AS fp FROM votes),
+chunks AS (
+  {chunk_arms})
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+GROUP BY 1, 2, 3
+ORDER BY da, db
+"""
+
+
+DEDUP_MINHASH_ORACLE = _minhash_oracle()
+DEDUP_SIMHASH_ORACLE = _simhash_oracle()
+
 register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE)
-register("dedup_minhash", dedup_minhash, None)  # rows-only: hash-seeded sketch
-register("dedup_simhash", dedup_simhash, None)  # rows-only: hash-seeded sketch
+register("dedup_minhash", dedup_minhash, DEDUP_MINHASH_ORACLE)
+register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.registry import register
-from .events import EVENTS_STREAM_SCHEMA
+from .events import events_stream_source
 
 # Covers the full event-time span of the test corpus (~30 days), so every
 # replayed duplicate is inside the horizon — semantics, not tuning; a real
@@ -45,12 +45,7 @@ def run_dedup_replay_available_now(
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(stage, f"copy-{i}.parquet"),
         )
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = events_stream_source(spark, stage)
     q = (
         dedup_events_stream(events)
         .writeStream.format("memory")

@@ -19,19 +19,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Explicit source schema (streaming reads cannot infer).  ``ts`` arrives as
-# LongType nanoseconds (spark.sql.legacy.parquet.nanosAsLong — the driver's
-# events.parquet stores TIMESTAMP(NANOS)).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _ts_unit(stage_dir: str) -> str:
+    """Probe the ``ts`` storage unit from the first parquet footer in the
+    directory — a driver-side metadata read (no data I/O), done once at
+    stream-definition time.  The driver has shipped events.parquet both as
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; a declared-schema
+    streaming source can't adapt per-file, so we pin the unit up front."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    first = sorted(
+        f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+    )[0]
+    t = pq.ParquetFile(os.path.join(stage_dir, first)).schema_arrow.field("ts").type
+    return getattr(t, "unit", "us")
+
+
+def events_stream_schema(ts_unit: str) -> T.StructType:
+    """Explicit source schema (streaming reads cannot infer).  ``ts`` is
+    LongType when the files store TIMESTAMP(NANOS) (surfaced as raw int64 by
+    ``spark.sql.legacy.parquet.nanosAsLong``), TimestampNTZType for µs/ms."""
+    ts_type = T.LongType() if ts_unit == "ns" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_stream_source(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files with
+    ``ts`` normalized to a session-tz (UTC) TIMESTAMP regardless of the
+    on-disk unit — the single entry point every streaming operator uses."""
+    unit = _ts_unit(stage_dir)
+    raw = (
+        spark.readStream.schema(events_stream_schema(unit))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    if unit == "ns":
+        # int64 ns → µs timestamp (integer div; float division would lose
+        # precision at 1e18), matching DuckDB's ns→µs truncation.
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,12 +80,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = tempfile.mkdtemp(prefix="events-stream-")
     os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return events_stream_source(spark, stage)
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

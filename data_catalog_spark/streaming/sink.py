@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.registry import register
-from .events import EVENTS_STREAM_SCHEMA, hourly_rollup_stream
+from .events import events_stream_source, hourly_rollup_stream
 
 MERGE_KEYS = ["hour", "event_type"]
 
@@ -80,12 +80,7 @@ def stream_rollup_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.iloc[:mid].to_parquet(os.path.join(stage, "part-0.parquet"), index=False)
     df.iloc[mid:].to_parquet(os.path.join(stage, "part-1.parquet"), index=False)
 
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = events_stream_source(spark, stage)
     out_dir = tempfile.mkdtemp(prefix="rollup-merge-")
     q = (
         hourly_rollup_stream(events)

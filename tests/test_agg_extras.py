@@ -17,7 +17,8 @@ def test_priority_profile_arrays_sorted_distinct(spark, sf_dir):
     rows = ax.customer_priority_profile(spark, sf_dir).collect()
     assert rows
     for r in rows[:100]:
-        assert r.priorities == sorted(set(r.priorities))
+        parts = r.priorities.split(",")
+        assert parts == sorted(set(parts))
 
 
 def test_revenue_share_parity(spark, sf_dir, ddb):

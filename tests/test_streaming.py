@@ -28,10 +28,8 @@ def test_checkpoint_prevents_double_processing(spark, sf_dir, tmp_path):
     because the source's processed-file log lives in the checkpoint."""
     import os
 
-    from pyspark.sql import functions as F
-
     from data_catalog_spark.streaming.events import (
-        EVENTS_STREAM_SCHEMA,
+        events_stream_source,
         hourly_rollup_stream,
     )
 
@@ -44,12 +42,7 @@ def test_checkpoint_prevents_double_processing(spark, sf_dir, tmp_path):
     out = str(tmp_path / "rollup_out")
 
     def run_once():
-        raw = (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(stage))
-        )
-        events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        events = events_stream_source(spark, str(stage))
         q = (
             hourly_rollup_stream(events)
             .writeStream.format("parquet")

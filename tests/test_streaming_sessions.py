@@ -10,7 +10,7 @@ import pyarrow.parquet as pq
 
 from data_catalog_spark.operators.sessionize import sessionize_events
 from data_catalog_spark.streaming import sessions as ss
-from data_catalog_spark.streaming.events import EVENTS_STREAM_SCHEMA
+from data_catalog_spark.streaming.events import events_stream_source
 
 
 def test_stream_sessions_match_batch_closed_sessions(spark, sf_dir):
@@ -37,8 +37,6 @@ def test_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
     the split only come out right if state genuinely carries over.  The
     emitted set must be identical to the single-batch run (batching-
     independent semantics)."""
-    from pyspark.sql import functions as F
-
     table = pq.read_table(f"{sf_dir}/events.parquet")
     df = table.to_pandas().sort_values("ts")
     mid = len(df) // 2
@@ -48,12 +46,7 @@ def test_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
     df.iloc[:mid].to_parquet(stage / "part-0.parquet", index=False)
     df.iloc[mid:].to_parquet(stage / "part-1.parquet", index=False)
 
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(stage))
-    )
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = events_stream_source(spark, str(stage))
     q = (
         ss.sessionize_stream(events)
         .writeStream.format("memory")
