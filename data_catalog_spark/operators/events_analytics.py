@@ -645,3 +645,54 @@ ORDER BY day
 
 register("events_gapfill_daily", events_gapfill_daily, GAPFILL_ORACLE)
 register("events_daily_reconcile", events_daily_reconcile, RECONCILE_ORACLE)
+
+
+# -- hopping (sliding) event-time windows ------------------------------------
+
+
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 1-hour window hopping every 15 minutes: event count and value
+    sum for 'purchase' events.  ``F.window(ts, '1 hour', '15 minutes')``
+    expands each event into the 4 overlapping windows it belongs to
+    (Expand node — the same map-side expansion Structured Streaming uses,
+    so this batch query is the exact backfill twin of the streaming one);
+    then a plain hash agg on the window struct.  At 100 TB the 4× expansion
+    happens AFTER the event_type filter pushdown, and the shuffle key is
+    (window), bounded by the time range, not the event count."""
+    ev = _ev(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start")
+    )
+
+
+# DuckDB twin: explode each event into its 4 slide-aligned windows via
+# generate_series over the offsets, mirroring Spark's Expand.
+HOPPING_ORACLE = """
+WITH p AS (SELECT ts, value FROM events WHERE event_type = 'purchase'),
+expanded AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+           - unnest([INTERVAL '0' MINUTE, INTERVAL '15' MINUTE,
+                     INTERVAL '30' MINUTE, INTERVAL '45' MINUTE]) AS win_start,
+         value
+  FROM p
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
+register("events_hopping_window", events_hopping_window, HOPPING_ORACLE)

@@ -232,6 +232,54 @@ ORDER BY returnflag, linestatus
 """
 
 
+# -- explicit GROUPING SETS + grouping_id ------------------------------------
+
+
+def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked GROUPING SETS — (flag, status), (flag), (ship-year) —
+    the shape ROLLUP/CUBE can't express (mixed dimensions, no cross
+    products you didn't ask for), plus grouping_id() to disambiguate which
+    set produced each row (needed because a NULL slot is ambiguous with a
+    NULL data value).  Same single Expand + hash agg execution as rollup:
+    one shuffle regardless of how many sets."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               coalesce(CAST(ship_year AS STRING), 'ALL') AS ship_year,
+               CAST(grouping_id(l_returnflag, l_linestatus, ship_year) AS INT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag),
+                                (ship_year))
+        ORDER BY gid, returnflag, linestatus, ship_year
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       coalesce(CAST(ship_year AS VARCHAR), 'ALL') AS ship_year,
+       CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM (SELECT *, CAST(year(l_shipdate) AS INT) AS ship_year FROM lineitem)
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag),
+                        (ship_year))
+ORDER BY gid, returnflag, linestatus, ship_year
+"""
+
+
 # -- range (band) join -------------------------------------------------------
 
 QUANTITY_BANDS = [
@@ -282,5 +330,6 @@ register("asof_purchases_last_click", purchases_with_last_click, ASOF_ORACLE)
 register("range_band_join_quantity", range_band_join_quantity, RANGE_BAND_ORACLE)
 register("q_rollup_lineitem", q_rollup_lineitem, ROLLUP_ORACLE)
 register("q_cube_lineitem", q_cube_lineitem, CUBE_ORACLE)
+register("q_grouping_sets_lineitem", q_grouping_sets_lineitem, GROUPING_SETS_ORACLE)
 register("q_distinct_parts_per_flag", q_distinct_parts_per_flag, DISTINCT_ORACLE)
 register("customers_without_urgent_orders", customers_without_urgent_orders, ANTI_ORACLE)

@@ -1,0 +1,140 @@
+"""Corpus n-gram language-model scoring — per-document bigram log-likelihood
+and perplexity under an add-one-smoothed LM trained on the corpus itself.
+
+The canonical model-free quality signal of an LLM-data pipeline (boilerplate
+and gibberish both score poorly against the corpus LM; cf. CCNet-style
+perplexity filtering): train unigram/bigram counts over all documents, then
+score each document by the average log-probability of its bigrams.
+
+Scale design (100 TB):
+- Training is two hash aggregations over the exploded bigram/unigram stream
+  (map-side partial counts; the model tables are |vocab| and |bigram vocab|
+  rows — tiny next to the corpus).
+- Scoring joins each doc's bigrams to the model tables: shuffle joins keyed
+  on the n-gram — co-partitioned, no broadcast of the corpus, and the model
+  side is reusable across scoring runs (write it once, score many).
+- All math is column expressions; the only subtlety is float determinism:
+  per-bigram ln() is truncated to DECIMAL(20,12) BEFORE the sum so the
+  aggregate is order-independent and engine-portable (a raw double sum
+  would differ in the last ulp between Spark's and DuckDB's reduction
+  orders).
+
+No reference counterpart (north-star extension; SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+from .text import DUCK_TOKENS, SPARK_TOKENS
+
+# Bigrams as (w1, w2) from consecutive tokens; rendered identically in both
+# engines from the shared token expression.
+SPARK_BIGRAMS = (
+    "arrays_zip(slice(t, 1, greatest(size(t) - 1, 0)),"
+    " slice(t, 2, greatest(size(t) - 1, 0)))"
+)
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per consecutive token pair."""
+    return (
+        docs.withColumn("t", F.expr(SPARK_TOKENS))
+        .select("doc_id", F.explode(F.expr(SPARK_BIGRAMS)).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg")["0"].alias("w1"),
+            F.col("bg")["1"].alias("w2"),
+        )
+    )
+
+
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: bigram count, average bigram log-probability, and
+    perplexity exp(-avg_logp), under the corpus add-one bigram LM:
+
+        p(w2 | w1) = (c(w1, w2) + 1) / (c(w1·) + V)
+
+    with V = |unigram vocabulary| and c(w1·) = count of w1 as a bigram
+    LEFT context (so the distribution sums to 1 over the vocabulary).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bg = _doc_bigrams(docs)
+
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.withColumn("t", F.expr(SPARK_TOKENS))
+        .select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+
+    # ln p per (w1,w2), truncated to decimal for order-independent summing.
+    model = (
+        bigram_counts.join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+            .cast("decimal(20,12)")
+            .alias("logp"),
+        )
+    )
+
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_raw"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_raw", 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("avg_raw")), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUCK_BIGRAMS_BODY = f"""
+toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+)
+"""
+
+BIGRAM_LM_ORACLE = f"""
+WITH {DUCK_BIGRAMS_BODY},
+bigram_counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+context_counts AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks)
+),
+model AS (
+  SELECT w1, w2,
+         CAST(ln((c12 + 1) / (c1 + v)) AS DECIMAL(20,12)) AS logp
+  FROM bigram_counts JOIN context_counts USING (w1) CROSS JOIN vocab
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(logp) AS DOUBLE) / count(*) AS avg_raw
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(avg_raw, 6) AS avg_logp,
+       round(exp(-avg_raw), 4) AS ppl
+FROM scored ORDER BY doc_id
+"""
+
+
+register("bigram_lm_perplexity", bigram_lm_perplexity, BIGRAM_LM_ORACLE)

@@ -39,6 +39,7 @@ def _load_all() -> None:
         dedup,
         events_analytics,
         joins,
+        langmodel,
         multimodal,
         pandas_ops,
         profiling,

@@ -185,3 +185,21 @@ def test_unpivot_roundtrips_pivot(spark, sf_dir):
         for r in ea.events_day_type_unpivot(spark, sf_dir).collect()
     }
     assert melted == direct
+
+
+def test_hopping_window_parity(spark, sf_dir, ddb):
+    assert_same(ea.events_hopping_window(spark, sf_dir), ddb, ea.HOPPING_ORACLE)
+
+
+def test_hopping_windows_cover_each_event_four_times(spark, sf_dir):
+    """Every purchase lands in exactly 4 hopping windows (1h / 15min), so
+    Σ n_events = 4 × purchase count."""
+    from pyspark.sql import functions as F
+
+    total = sum(r.n_events for r in ea.events_hopping_window(spark, sf_dir).collect())
+    n_purch = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total == 4 * n_purch

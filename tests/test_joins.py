@@ -90,3 +90,24 @@ def test_cube_grand_total_and_margins(spark, sf_dir):
     # both one-dimensional margins must each sum to the grand total
     assert sum(n for (rf, ls), n in rows.items() if rf == "ALL" and ls != "ALL") == total
     assert sum(n for (rf, ls), n in rows.items() if rf != "ALL" and ls == "ALL") == total
+
+
+def test_grouping_sets_parity(spark, sf_dir, ddb):
+    assert_same(
+        joins.q_grouping_sets_lineitem(spark, sf_dir), ddb, joins.GROUPING_SETS_ORACLE
+    )
+
+
+def test_grouping_sets_shape(spark, sf_dir):
+    """Three sets: (flag,status) has year=ALL; (flag) has status=year=ALL;
+    (year) has flag=status=ALL.  gid disambiguates NULL-slot vs data-NULL."""
+    rows = joins.q_grouping_sets_lineitem(spark, sf_dir).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {1, 3, 6}  # bitmask: year-only grouped, flag+status, flag
+    for r in rows:
+        if r.gid == 1:
+            assert r.ship_year == "ALL" and r.returnflag != "ALL"
+        elif r.gid == 3:
+            assert r.linestatus == "ALL" and r.ship_year == "ALL"
+        elif r.gid == 6:
+            assert r.returnflag == "ALL" and r.linestatus == "ALL"

@@ -1,0 +1,43 @@
+"""Corpus bigram LM perplexity scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_catalog_spark.operators import langmodel as lm
+from data_catalog_spark.operators.text import SPARK_TOKENS
+
+from conftest import assert_same
+
+
+def test_bigram_lm_parity(spark, sf_dir, ddb):
+    assert_same(
+        lm.bigram_lm_perplexity(spark, sf_dir), ddb, lm.BIGRAM_LM_ORACLE
+    )
+
+
+def test_bigram_counts_complete(spark, sf_dir):
+    """The LM is trained on the scored corpus itself, so every doc bigram is
+    in the model: n_bigrams must equal n_tokens - 1 exactly (no rows lost
+    in the model join)."""
+    from data_catalog_spark.io import read_table
+
+    got = {r.doc_id: r.n_bigrams for r in lm.bigram_lm_perplexity(spark, sf_dir).collect()}
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.expr(SPARK_TOKENS)).alias("n"))
+        .collect()
+    )
+    for r in toks:
+        if r.n >= 2:
+            assert got[r.doc_id] == r.n - 1, r.doc_id
+        else:
+            assert r.doc_id not in got
+
+
+def test_perplexity_positive_and_smoothed(spark, sf_dir):
+    rows = lm.bigram_lm_perplexity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ppl > 1.0  # add-one smoothing ⇒ p < 1 for every bigram
+        assert r.avg_logp < 0.0
