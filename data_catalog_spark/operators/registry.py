@@ -63,3 +63,4 @@ def _load_all() -> None:
     from ..streaming import dedup as streaming_dedup  # noqa: F401
     from ..streaming import joins as streaming_joins  # noqa: F401
     from ..streaming import sink as streaming_sink  # noqa: F401
+    from ..streaming import twstate as streaming_twstate  # noqa: F401

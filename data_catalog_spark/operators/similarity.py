@@ -154,8 +154,10 @@ def _signature(df: DataFrame, planes: np.ndarray) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors whose hyperplane
     signature is within Hamming 1 of the query's (multiprobe), exact cosine
-    re-rank inside the probed buckets.  Deterministic (seeded planes) but
-    not SQL-expressible — rows-only check + pytest recall vs brute force."""
+    re-rank inside the probed buckets.  The hyperplanes are FIXED literal
+    constants (seeded numpy), so the whole pipeline is SQL-expressible and
+    the DuckDB oracle reproduces it exactly; pytest additionally measures
+    recall vs brute force."""
     planes = _hyperplanes()
     e = _signature(_with_norm(_emb(spark, sf_dir)), planes)
     q = e.where(F.col("vec_id") < N_QUERIES)
@@ -476,7 +478,40 @@ register("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTE_ORACLE)
 register("ann_pq_topk", ann_pq_topk, None)  # rows-only: learned codebooks
 register("embedding_label_stats", embedding_label_stats, EMB_STATS_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
-register("ann_lsh_topk", ann_lsh_topk, None)  # rows-only: seeded LSH sketch
+def _lsh_oracle() -> str:
+    """DuckDB rendering of the identical LSH pipeline: the same plane
+    literals, sign-bit packing, Hamming-1 multiprobe, and re-rank."""
+    planes = _hyperplanes()
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane)
+        + f"]) > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << j})" for j in range(LSH_PLANES)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sg AS (SELECT vec_id, v, nrm, {sig_terms} AS sig FROM n),
+qp AS (SELECT vec_id, v, nrm, unnest([{probe_list}]) AS probe_sig
+       FROM sg WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+  FROM qp a JOIN sg b ON a.probe_sig = b.sig
+  WHERE b.vec_id >= {N_QUERIES}),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM cand)
+SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
+register("ann_lsh_topk", ann_lsh_topk, _lsh_oracle())
 register("ann_ivf_topk", ann_ivf_topk, None)  # rows-only: learned quantizer
 
 
