@@ -272,3 +272,83 @@ FROM s GROUP BY stem ORDER BY n_occurrences DESC, stem LIMIT 25
 
 
 register("corpus_top_stems", corpus_top_stems, TOP_STEMS_ORACLE)
+
+
+# -- boilerplate detection (corpus-frequent n-gram coverage) ------------------
+
+# Instance-level (non-distinct) 3-gram shingles: coverage must count every
+# occurrence, so this is the multiset twin of SPARK_SHINGLES.
+SPARK_SHINGLES_ALL = (
+    f"CASE WHEN size(t) >= {SHINGLE_N} THEN "
+    f"transform(sequence(0, size(t) - {SHINGLE_N}), "
+    f"i -> concat_ws(' ', slice(t, i + 1, {SHINGLE_N}))) "
+    f"ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+DUCK_SHINGLES_ALL = (
+    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]"
+)
+
+BOILERPLATE_MIN_DOCS = 5  # a gram in ≥5 docs is boilerplate
+
+
+def docs_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how much of it is corpus boilerplate — the fraction of
+    its 3-gram instances whose gram appears in ≥ BOILERPLATE_MIN_DOCS
+    distinct documents (RefinedWeb-style repetition filtering at the
+    n-gram granularity this corpus supports).
+
+    Two aggregations: document frequency per gram (distinct-doc count —
+    shuffle on the gram), then per-doc instance counts joined against the
+    frequent-gram set (broadcast-sized in any real corpus: the frequent
+    tail is tiny relative to the gram universe).  Output is scan-shaped,
+    one row per doc — the gate you'd filter on before training."""
+    docs = _docs(spark, sf_dir)
+    inst = (
+        docs.withColumn("t", F.expr(SPARK_TOKENS))
+        .select("doc_id", F.explode(F.expr(SPARK_SHINGLES_ALL)).alias("g"))
+    )
+    freq = (
+        inst.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= BOILERPLATE_MIN_DOCS)
+        .select("g")
+    )
+    marked = inst.join(F.broadcast(freq).withColumn("hit", F.lit(1)), "g", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+inst AS (SELECT doc_id, unnest({DUCK_SHINGLES_ALL}) AS g FROM toks),
+freq AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM inst GROUP BY g)
+  WHERE df >= {BOILERPLATE_MIN_DOCS}
+),
+marked AS (
+  SELECT i.doc_id, CASE WHEN f.g IS NULL THEN 0 ELSE 1 END AS hit
+  FROM inst i LEFT JOIN freq f ON i.g = f.g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(hit) AS BIGINT) AS n_boiler,
+       round(sum(hit) / count(*), 6) AS boiler_ratio
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+register("docs_boilerplate_ratio", docs_boilerplate_ratio, BOILERPLATE_ORACLE)

@@ -219,3 +219,72 @@ GROUP BY lang ORDER BY lang
 
 
 register("vocab_coverage", vocab_coverage, _vocab_oracle())
+
+
+# -- per-document keyword extraction ------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf — document tagging,
+    the inverse access pattern of ranked retrieval (all terms of one doc
+    instead of one term across all docs).
+
+    Same postings + df tables as the search path; the per-doc top-k is a
+    row_number window PARTITIONED by doc_id (never global), keyed ordering
+    (w desc, term) so the tag set is deterministic.  At 100 TB the df table
+    is |vocab|-sized (broadcastable); postings shuffle once on doc_id for
+    the window."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    postings = doc_postings(docs)
+    df_t = postings.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("term")
+    )
+    return (
+        postings.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "w",
+            F.round(
+                F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select(
+            "doc_id", "term", F.col("w").alias("tfidf"), F.col("rank").cast("int").alias("rank")
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+KEYWORDS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln((n_docs + 1) / (df + 1)), 6) AS tfidf
+  FROM postings JOIN df_t USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rank
+"""
+
+
+register("docs_tfidf_keywords", docs_tfidf_keywords, KEYWORDS_ORACLE)

@@ -91,3 +91,21 @@ def test_corpus_top_stems_parity(spark, sf_dir, ddb):
     from conftest import assert_same
 
     assert_same(corpus_top_stems(spark, sf_dir), ddb, TOP_STEMS_ORACLE)
+
+
+def test_boilerplate_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import text as tx
+
+    assert_same(tx.docs_boilerplate_ratio(spark, sf_dir), ddb, tx.BOILERPLATE_ORACLE)
+
+
+def test_boilerplate_ratio_bounds(spark, sf_dir):
+    from data_catalog_spark.operators import text as tx
+
+    rows = tx.docs_boilerplate_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.boiler_ratio <= 1.0
+        assert r.n_boiler <= r.n_grams
+    # the synthetic corpus plants near-dups, so boilerplate must exist
+    assert any(r.n_boiler > 0 for r in rows)

@@ -59,3 +59,22 @@ def test_top_bigrams_parity(spark, sf_dir, ddb):
 def test_bigram_df_bounded_by_occurrences(spark, sf_dir):
     for r in tfidf.corpus_top_bigrams(spark, sf_dir).collect():
         assert 1 <= r.n_docs <= r.n_occurrences
+
+
+def test_keywords_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import tfidf as ti
+
+    assert_same(ti.docs_tfidf_keywords(spark, sf_dir), ddb, ti.KEYWORDS_ORACLE)
+
+
+def test_keywords_per_doc_shape(spark, sf_dir):
+    from collections import Counter
+
+    from data_catalog_spark.operators import tfidf as ti
+
+    rows = ti.docs_tfidf_keywords(spark, sf_dir).collect()
+    per_doc = Counter(r.doc_id for r in rows)
+    assert all(n <= ti.KEYWORDS_PER_DOC for n in per_doc.values())
+    for r in rows:
+        assert 1 <= r.rank <= ti.KEYWORDS_PER_DOC
+        assert r.tfidf >= 0.0
