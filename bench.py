@@ -61,6 +61,13 @@ HEADLINE = [
     "vocab_coverage",
     "events_rolling_wau",
     "weighted_sample_documents",
+    # round 2 additions
+    "bigram_lm_perplexity",
+    "docs_boilerplate_ratio",
+    "docs_tfidf_keywords",
+    "q_grouping_sets_lineitem",
+    "events_hopping_window",
+    "ann_lsh_topk",
 ]
 
 
