@@ -184,3 +184,82 @@ FROM p GROUP BY source ORDER BY source
 
 
 register("source_lang_entropy", source_lang_entropy, LANG_ENTROPY_ORACLE)
+
+
+# -- declarative data-quality expectations ------------------------------------
+
+# (rule name, SQL predicate over orders that a VIOLATING row satisfies).
+# One shared definition renders both engines' queries, like the catalog
+# compiler: the expectation suite is DATA, not code.
+ORDER_EXPECTATIONS: list[tuple[str, str]] = [
+    ("totalprice_positive", "o_totalprice <= 0"),
+    ("orderdate_not_null", "o_orderdate IS NULL"),
+    ("status_in_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    (
+        "priority_format",
+        "o_orderpriority NOT IN "
+        "('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')",
+    ),
+]
+
+
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders: one row per rule with its
+    violation count plus a referential-integrity check (every o_custkey
+    resolves to a customer).
+
+    ONE scan evaluates every predicate rule (conditional-sum aggregation —
+    adding a rule adds a column expression, not a pass); the FK rule is a
+    broadcast-dim anti-join counted in the same job.  This is the
+    balance-line pattern of ingest gating at 100 TB: the report is O(rules)
+    rows, and nothing is collected but the report itself."""
+    o = read_table(spark, sf_dir, "orders")
+    rule_aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in ORDER_EXPECTATIONS
+    ]
+    wide = o.agg(*rule_aggs)
+    # wide (1 row) → long (rule, n_violations) via stack
+    n = len(ORDER_EXPECTATIONS)
+    stack_args = ", ".join(f"'{name}', {name}" for name, _ in ORDER_EXPECTATIONS)
+    long = wide.selectExpr(
+        f"stack({n}, {stack_args}) AS (rule, n_violations)"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    fk = (
+        o.select("o_custkey")
+        .join(F.broadcast(cust), "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("custkey_resolves").alias("rule"), "n_violations")
+    )
+    return (
+        long.unionByName(fk)
+        .select("rule", "n_violations", (F.col("n_violations") == 0).alias("pass"))
+        .orderBy("rule")
+    )
+
+
+def _quality_oracle() -> str:
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT '{name}' AS rule, "
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations "
+        f"FROM orders"
+        for name, pred in ORDER_EXPECTATIONS
+    )
+    return f"""
+WITH rules AS (
+  {arms}
+  UNION ALL
+  SELECT 'custkey_resolves' AS rule,
+         CAST(count(*) AS BIGINT) AS n_violations
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT rule, n_violations, n_violations = 0 AS pass
+FROM rules ORDER BY rule
+"""
+
+
+register("orders_quality_report", orders_quality_report, _quality_oracle())

@@ -639,3 +639,116 @@ LIMIT {RRF_TOP}
 
 
 register("hybrid_search_rrf", hybrid_search_rrf, _hybrid_oracle())
+
+
+# -- cluster quality (Davies-Bouldin over labels) -----------------------------
+
+
+def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per label: member count, within-cluster scatter (mean L2 distance to
+    the label centroid) and the Davies-Bouldin term
+    ``max_{j≠i} (s_i + s_j) / d(c_i, c_j)`` — the standard internal
+    clustering metric, computed as pure DataFrame algebra.
+
+    Plan: ONE posexplode pass builds per-(label, dim) DECIMAL-exact means
+    (the centroid table is |labels|×dim rows — broadcastable); vectors join
+    their centroid back for the scatter agg; the pairwise DB matrix is
+    |labels|² rows of driver-free column math.  Centroid components are
+    rounded to 9dp before any distance so both engines fold identical
+    inputs in identical (dim) order."""
+    e = read_table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("x").cast("decimal(28,10)")) / F.count(F.lit(1))
+                ).cast("double"),
+                9,
+            ).alias("m")
+        )
+    )
+    centroids = dims.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias("c")
+    )
+    dist = (
+        "sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - y) * "
+        "(CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    scatter = (
+        e.join(F.broadcast(centroids), "label")
+        .select("label", F.expr(dist.format(a="embedding", b="c")).alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                (F.sum(F.col("d").cast("decimal(28,10)")) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("scatter"),
+        )
+    )
+    a = scatter.join(centroids, "label").select(
+        F.col("label").alias("la"), F.col("scatter").alias("sa"), F.col("c").alias("ca")
+    )
+    b = scatter.join(centroids, "label").select(
+        F.col("label").alias("lb"), F.col("scatter").alias("sb"), F.col("c").alias("cb")
+    )
+    pair_dist = F.expr(
+        "sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    db = (
+        a.join(b, F.col("la") != F.col("lb"))
+        .select("la", "sa", ((F.col("sa") + F.col("sb")) / pair_dist).alias("term"))
+        .groupBy("la", "sa")
+        .agg(F.round(F.max("term"), 6).alias("db_index"))
+    )
+    return (
+        scatter.join(db, scatter.label == db.la)
+        .select("label", "n_vectors", "scatter", "db_index")
+        .orderBy("label")
+    )
+
+
+CLUSTER_QUALITY_ORACLE = """
+WITH dims AS (
+  SELECT label, i - 1 AS dim,
+         round(CAST(sum(CAST(embedding[i] AS DECIMAL(28,10))) / count(*)
+                    AS DOUBLE), 9) AS m
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+  GROUP BY label, dim
+),
+centroids AS (
+  SELECT label, list(m ORDER BY dim) AS c FROM dims GROUP BY label
+),
+scatter AS (
+  SELECT e.label,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         round(CAST(sum(CAST(
+             sqrt(list_sum([(CAST(e.embedding[i] AS DOUBLE) - ct.c[i])
+                            * (CAST(e.embedding[i] AS DOUBLE) - ct.c[i])
+                            for i in range(1, len(ct.c) + 1)]))
+           AS DECIMAL(28,10))) / count(*) AS DOUBLE), 6) AS scatter
+  FROM embeddings e JOIN centroids ct USING (label)
+  GROUP BY e.label
+),
+db AS (
+  SELECT a.label, a.scatter AS sa,
+         round(max((a.scatter + b.scatter) /
+             sqrt(list_sum([(ca.c[i] - cb.c[i]) * (ca.c[i] - cb.c[i])
+                            for i in range(1, len(ca.c) + 1)]))), 6) AS db_index
+  FROM scatter a JOIN centroids ca ON a.label = ca.label
+  JOIN scatter b ON a.label <> b.label
+  JOIN centroids cb ON b.label = cb.label
+  GROUP BY a.label, a.scatter
+)
+SELECT s.label, s.n_vectors, s.scatter, d.db_index
+FROM scatter s JOIN db d ON s.label = d.label
+ORDER BY s.label
+"""
+
+
+register("embedding_cluster_quality", embedding_cluster_quality, CLUSTER_QUALITY_ORACLE)

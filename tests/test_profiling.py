@@ -51,3 +51,39 @@ def test_corr_profile_bounds(spark, sf_dir):
         assert -1.0 <= r.corr_qty_price <= 1.0
         # correlation and covariance must agree in sign
         assert (r.corr_qty_price >= 0) == (r.covar_qty_price >= 0)
+
+
+def test_quality_report_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import profiling as pf
+
+    assert_same(pf.orders_quality_report(spark, sf_dir), ddb, pf._quality_oracle())
+
+
+def test_quality_report_clean_corpus(spark, sf_dir):
+    """The synthetic tables are clean: every expectation passes — which is
+    itself the assertion that the rules compile and count correctly."""
+    from data_catalog_spark.operators import profiling as pf
+
+    rows = pf.orders_quality_report(spark, sf_dir).collect()
+    assert len(rows) == len(pf.ORDER_EXPECTATIONS) + 1  # + FK rule
+    for r in rows:
+        assert r.n_violations == 0 and bool(r["pass"]) is True
+
+
+def test_quality_report_counts_planted_violations(spark, sf_dir):
+    """Plant dirty rows through the same rule set (rules are data, so the
+    suite must count violations, not just pass clean data)."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import profiling as pf
+
+    o = read_table(spark, sf_dir, "orders")
+    dirty = o.limit(3).withColumn("o_totalprice", F.lit(-1.0)).unionByName(o)
+    rule_aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in pf.ORDER_EXPECTATIONS
+    ]
+    row = dirty.agg(*rule_aggs).first()
+    assert row["totalprice_positive"] == 3
+    assert row["orderdate_not_null"] == 0

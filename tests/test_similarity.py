@@ -139,3 +139,20 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
     assert all(r.trank is not None or r.vrank is not None for r in rows)
     # fusion actually mixes: some doc carries both ranks
     assert any(r.trank is not None and r.vrank is not None for r in rows)
+
+
+def test_cluster_quality_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import similarity as sim
+
+    assert_same(
+        sim.embedding_cluster_quality(spark, sf_dir), ddb, sim.CLUSTER_QUALITY_ORACLE
+    )
+
+
+def test_cluster_quality_metrics_positive(spark, sf_dir):
+    from data_catalog_spark.operators import similarity as sim
+
+    rows = sim.embedding_cluster_quality(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.scatter > 0 and r.db_index > 0
