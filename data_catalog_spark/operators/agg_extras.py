@@ -259,3 +259,89 @@ ORDER BY type_a, type_b
 register("events_value_trend", events_value_trend, VALUE_TREND_ORACLE)
 register("customer_balance_position", customer_balance_position, BALANCE_POSITION_ORACLE)
 register("event_type_cooccurrence", event_type_cooccurrence, COOCCURRENCE_ORACLE)
+
+
+# -- argmax / ordered-set aggregates ------------------------------------------
+
+
+def nation_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: the customer holding the max account balance (max_by),
+    the one holding the min (min_by), plus median and mode-ish summary of
+    balances — the argmax-aggregate family in ONE hash aggregation (no
+    self-join back to the row, no window).  Ties on balance are broken
+    INSIDE the aggregate by packing (balance, custkey) into a struct and
+    max-ing the pair — max_by alone is tie-nondeterministic, which an
+    oracle-checked result can't tolerate."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr("max(struct(c_acctbal, c_custkey)).c_custkey").alias("richest_cust"),
+            F.expr("min(struct(c_acctbal, c_custkey)).c_custkey").alias("poorest_cust"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            "richest_cust",
+            "poorest_cust",
+            "median_bal",
+            "n_customers",
+        )
+        .orderBy("nationkey")
+    )
+
+
+ARGMAX_ORACLE = """
+SELECT CAST(c_nationkey AS INT) AS nationkey,
+       first(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS richest_cust,
+       first(c_custkey ORDER BY c_acctbal ASC, c_custkey ASC) AS poorest_cust,
+       round(median(c_acctbal), 4) AS median_bal,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
+register("nation_argmax_customer", nation_argmax_customer, ARGMAX_ORACLE)
+
+
+# -- bitmask rollup (bit_or aggregation) --------------------------------------
+
+
+def user_dow_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: a 7-bit day-of-week activity mask (bit i set ⟺ active on
+    dow i), assembled by OR-ing per-event one-hot masks — the bitmap-rollup
+    pattern: masks are fixed-width ints, the aggregate is associative and
+    commutative (map-side combinable), and set-cardinality questions become
+    bit_count on the packed value instead of a distinct-count shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    # dayofweek: Spark is 1=Sunday..7, DuckDB 0=Sunday..6; both oracles
+    # ISO-normalize to 0=Monday..6 before the shift.
+    return (
+        ev.groupBy("user_id")
+        .agg(F.expr(f"bit_or({_MASK_EXPR})").alias("dow_mask"))
+        .select(
+            "user_id",
+            "dow_mask",
+            F.expr("bit_count(dow_mask)").cast("int").alias("n_active_dows"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_MASK_EXPR = "shiftleft(CAST(1 AS BIGINT), (dayofweek(ts) + 5) % 7)"
+
+DOW_BITMASK_ORACLE = """
+SELECT user_id,
+       bit_or((CAST(1 AS BIGINT) << ((dayofweek(ts) + 6) % 7))) AS dow_mask,
+       CAST(bit_count(bit_or((CAST(1 AS BIGINT) << ((dayofweek(ts) + 6) % 7))))
+            AS INT) AS n_active_dows
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+register("user_dow_bitmask", user_dow_bitmask, DOW_BITMASK_ORACLE)

@@ -77,3 +77,34 @@ def test_cooccurrence_cosine_bounds(spark, sf_dir):
     for r in rows:
         assert r.type_a < r.type_b  # canonical pair order, no self-pairs
         assert 0.0 < r.cosine <= 1.0
+
+
+def test_argmax_parity(spark, sf_dir, ddb):
+    assert_same(ax.nation_argmax_customer(spark, sf_dir), ddb, ax.ARGMAX_ORACLE)
+
+
+def test_argmax_semantics(spark, sf_dir):
+    """richest/poorest must be the actual balance extremes per nation."""
+    from data_catalog_spark.io import read_table
+
+    cust = read_table(spark, sf_dir, "customer").collect()
+    by_nation = {}
+    for c in cust:
+        by_nation.setdefault(c.c_nationkey, []).append(c)
+    for r in ax.nation_argmax_customer(spark, sf_dir).collect():
+        grp = by_nation[r.nationkey]
+        max_bal = max(c.c_acctbal for c in grp)
+        assert any(
+            c.c_custkey == r.richest_cust and c.c_acctbal == max_bal for c in grp
+        )
+
+
+def test_dow_bitmask_parity(spark, sf_dir, ddb):
+    assert_same(ax.user_dow_bitmask(spark, sf_dir), ddb, ax.DOW_BITMASK_ORACLE)
+
+
+def test_dow_bitmask_bounds(spark, sf_dir):
+    for r in ax.user_dow_bitmask(spark, sf_dir).collect():
+        assert 1 <= r.dow_mask <= 127  # 7-bit mask, at least one day active
+        assert 1 <= r.n_active_dows <= 7
+        assert bin(r.dow_mask).count("1") == r.n_active_dows
