@@ -9,9 +9,12 @@ whose state is the vocabulary).  Estimate(token) = min over seeds of its
 bucket's counter — always an OVERestimate (collisions only add), within
 ε·N of truth with probability 1−δ for w = e/ε, d = ln(1/δ).
 
-Deterministic (fixed xxhash64 seeds) but not SQL-expressible in DuckDB
-(no xxhash64) → rows-only driver check; pytest verifies the one-sided
-error and the heavy-hitter recall against exact counts.
+Hashing uses the portable md5 universal family (see operators/dedup.py:
+one md5 digest → 32-bit base hash, row i's bucket = ((a_i·h + b_i) mod p)
+mod w with p just above 2^32), so the ENTIRE sketch — counters, probes,
+min-estimates, threshold — renders to DuckDB SQL and is exact-oracle
+checked; pytest additionally verifies the one-sided error and the
+heavy-hitter recall against exact counts.
 
 No reference counterpart (SURVEY §2.6) — north-star scale breadth.
 """
@@ -29,6 +32,44 @@ CMS_DEPTH = 4  # d hash rows
 CMS_WIDTH = 1024  # w buckets per row  (ε ≈ e/w ≈ 0.27%)
 HH_THRESHOLD_FRAC = 0.005  # report tokens with est ≥ 0.5% of the stream
 
+# Portable hash family (same construction & rationale as dedup.py).
+_CMS_P = 4294967311
+_CMS_H32 = "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"
+
+
+def _cms_coeffs(d: int = CMS_DEPTH) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, _CMS_P)) for _ in range(d)]
+
+
+CMS_COEFFS = _cms_coeffs()
+
+
+def _seed_buckets() -> "F.Column":
+    """array<struct<seed,bucket>> for one token's d bucket coordinates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                (((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_CMS_P)) % F.lit(CMS_WIDTH)).alias(
+                    "bucket"
+                ),
+            )
+            for s, (a, b) in enumerate(CMS_COEFFS)
+        ]
+    )
+
+
+def cms_probes(tokens_distinct: DataFrame) -> DataFrame:
+    """(tok, seed, bucket) probe coordinates for a vocabulary frame."""
+    return (
+        tokens_distinct.select("tok", F.expr(_CMS_H32).alias("h"))
+        .select("tok", F.explode(_seed_buckets()).alias("sb"))
+        .select("tok", F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+    )
+
 
 def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").repartition(
@@ -41,13 +82,10 @@ def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cms_build(tokens: DataFrame) -> DataFrame:
     """(seed, bucket, c) — the d×w counter table."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
     return (
-        tokens.select("tok", seeds)
-        .select(
-            "seed",
-            F.pmod(F.xxhash64("seed", "tok"), F.lit(CMS_WIDTH)).alias("bucket"),
-        )
+        tokens.select(F.expr(_CMS_H32).alias("h"))
+        .select(F.explode(_seed_buckets()).alias("sb"))
+        .select(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
         .groupBy("seed", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -61,10 +99,7 @@ def corpus_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _token_stream(spark, sf_dir)
     sketch = cms_build(tokens).localCheckpoint(eager=False)
     total = tokens.count()  # scalar; one lightweight count job
-    vocab = tokens.distinct()
-    probes = vocab.select(
-        "tok", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed")
-    ).withColumn("bucket", F.pmod(F.xxhash64("seed", "tok"), F.lit(CMS_WIDTH)))
+    probes = cms_probes(tokens.distinct())
     est = (
         probes.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("tok")
@@ -75,7 +110,35 @@ def corpus_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est
 
 
-register("corpus_heavy_hitters_cms", corpus_heavy_hitters_cms, None)  # rows-only: hash sketch
+def cms_oracle() -> str:
+    """DuckDB rendering of the identical sketch: a VALUES table carries the
+    (seed, a, b) family; build and probe share it."""
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(CMS_COEFFS))
+    from .text import DUCK_TOKENS
+
+    return f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+stream AS (SELECT unnest(t) AS tok FROM toks),
+hashed AS (SELECT tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM stream),
+seeds(seed, a, b) AS (VALUES {seed_rows}),
+cells AS (SELECT seed, ((a * h + b) % {_CMS_P}) % {CMS_WIDTH} AS bucket
+          FROM hashed CROSS JOIN seeds),
+sketch AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM cells GROUP BY 1, 2),
+total AS (SELECT count(*) AS n FROM stream),
+vocab AS (SELECT DISTINCT tok, h FROM hashed),
+probes AS (SELECT tok, seed, ((a * h + b) % {_CMS_P}) % {CMS_WIDTH} AS bucket
+           FROM vocab CROSS JOIN seeds),
+est AS (SELECT tok, min(c) AS est_count
+        FROM probes JOIN sketch USING (seed, bucket) GROUP BY tok)
+SELECT tok, est_count
+FROM est, total
+WHERE est_count >= floor(n * {HH_THRESHOLD_FRAC})
+ORDER BY est_count DESC, tok
+"""
+
+
+register("corpus_heavy_hitters_cms", corpus_heavy_hitters_cms, cms_oracle())
 
 
 # -- mergeable HLL (Datasketches) ---------------------------------------------

@@ -9,8 +9,10 @@ whole argument for sketch-shaped streaming state at 100 TB: state size is
 d×w counters forever, independent of vocabulary, watermarks unnecessary
 because addition commutes.
 
-Rows-only driver check (hash sketch, like the batch CMS); pytest asserts
-exact equality of streaming-merged vs batch-built heavy hitters.
+Exact-oracle checked (the portable md5 hash family makes the sketch
+SQL-expressible — same oracle as the batch CMS, which the merged sketch
+must reproduce bit-identically); pytest asserts exact equality of
+streaming-merged vs batch-built heavy hitters.
 """
 
 from __future__ import annotations
@@ -24,10 +26,10 @@ from pyspark.sql import functions as F
 
 from ..operators.registry import register
 from ..operators.sketches import (
-    CMS_DEPTH,
-    CMS_WIDTH,
     HH_THRESHOLD_FRAC,
     cms_build,
+    cms_oracle,
+    cms_probes,
 )
 from ..operators.text import SPARK_TOKENS
 
@@ -89,14 +91,7 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tokens = docs.select(F.explode(F.expr(SPARK_TOKENS)).alias("tok"))
     total = tokens.count()
-    probes = (
-        tokens.distinct()
-        .select(
-            "tok",
-            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed"),
-        )
-        .withColumn("bucket", F.pmod(F.xxhash64("seed", "tok"), F.lit(CMS_WIDTH)))
-    )
+    probes = cms_probes(tokens.distinct())
     return (
         probes.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("tok")
@@ -106,4 +101,4 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("stream_cms_heavy_hitters", stream_cms_heavy_hitters, None)  # rows-only: hash sketch
+register("stream_cms_heavy_hitters", stream_cms_heavy_hitters, cms_oracle())
