@@ -220,3 +220,88 @@ register("docs_chunk_tokens", docs_chunk_tokens, CHUNK_ORACLE)
 register("docs_train_split", docs_train_split, SPLIT_ORACLE)
 register("docs_intra_dedup", docs_intra_dedup, INTRA_DEDUP_ORACLE)
 register("docs_decontaminate", docs_decontaminate, DECONTAMINATE_ORACLE)
+
+
+# -- greedy token-budget shard packing ---------------------------------------
+
+SHARD_TOKEN_BUDGET = 2000  # tokens per output shard
+PACK_BUCKET = 64  # doc_ids per prefix-sum bucket
+
+
+def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into fixed-token-budget shards —
+    the final step of a training-data pipeline: shard i holds the docs
+    whose PRECEDING cumulative token count lies in [i·B, (i+1)·B).  A doc
+    larger than the budget still lands in one shard (docs never split).
+
+    The cumulative sum is the textbook DISTRIBUTED TWO-PHASE PREFIX SUM —
+    a naive `sum() OVER (ORDER BY doc_id)` moves the whole table to one
+    partition (the WindowExec single-partition trap):
+      1. within-bucket running sums, window PARTITIONED by bucket
+         (doc_id div 64 — range-aligned, parallel);
+      2. per-bucket totals (tiny: n_docs/64 rows), cumulated with a window
+         over that aggregated frame only;
+      3. broadcast the bucket offsets back and add.
+    The oracle states the SEMANTICS with the naive global window — result
+    equality is the proof the distributed decomposition is exact."""
+    from .text import SPARK_TOKENS
+
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    sized = docs.select(
+        "doc_id",
+        F.size(F.expr(SPARK_TOKENS)).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = sized.withColumn("run_in", F.sum("n_tokens").over(w_in))
+    totals = sized.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn("off", F.sum("tot").over(w_b) - F.col("tot")).select(
+        "bucket", "off"
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("off") + F.col("run_in") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+            .cast("long")
+            .alias("shard"),
+            (F.col("off") + F.col("run_in") - F.col("n_tokens")).alias("offset_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, len({{DUCK_TOKENS}}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         sum(CAST(n_tokens AS BIGINT))
+             OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(n_tokens AS BIGINT) AS before
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(before / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard,
+       CAST(before AS BIGINT) AS offset_tokens
+FROM c ORDER BY doc_id
+"""
+
+
+def _pack_oracle() -> str:
+    from .text import DUCK_TOKENS
+
+    return PACK_ORACLE.replace("{DUCK_TOKENS}", DUCK_TOKENS)
+
+
+register("docs_pack_shards", docs_pack_shards, _pack_oracle())

@@ -82,3 +82,40 @@ def test_split_scan_prunes_text_column(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "lang" in read_schema
     assert "text" not in read_schema
+
+
+def test_pack_shards_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import traindata as td
+
+    assert_same(td.docs_pack_shards(spark, sf_dir), ddb, td._pack_oracle())
+
+
+def test_pack_shards_greedy_invariants(spark, sf_dir):
+    """Shards are contiguous in doc order, offsets are the exact running
+    sum, and every shard's preceding-offset span stays within one budget."""
+    from data_catalog_spark.operators import traindata as td
+
+    rows = td.docs_pack_shards(spark, sf_dir).collect()
+    running = 0
+    prev_shard = 0
+    for r in rows:
+        assert r.offset_tokens == running
+        assert r.shard == running // td.SHARD_TOKEN_BUDGET
+        assert r.shard >= prev_shard  # monotone shard ids in doc order
+        prev_shard = r.shard
+        running += r.n_tokens
+
+
+def test_pack_shards_no_single_partition_window(spark, sf_dir):
+    """The scale property itself: no WindowExec with an empty partition
+    spec over the DOCUMENT-scale frame (the bucket-offset window runs on
+    the tiny aggregated frame only, which is the design)."""
+    from data_catalog_spark.operators import traindata as td
+
+    import re
+
+    plan = td.docs_pack_shards(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    doc_scale = [w for w in windows if "n_tokens" in w and "bucket" not in w]
+    assert not doc_scale, f"doc-scale global window found: {doc_scale}"
