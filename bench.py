@@ -68,6 +68,12 @@ HEADLINE = [
     "q_grouping_sets_lineitem",
     "events_hopping_window",
     "ann_lsh_topk",
+    "docs_pack_shards",
+    "orders_quality_report",
+    "embedding_cluster_quality",
+    "nation_argmax_customer",
+    "user_dow_bitmask",
+    "corpus_heavy_hitters_cms",
 ]
 
 
