@@ -75,3 +75,32 @@ def test_state_carries_across_micro_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == single
+
+
+def test_sessions_identical_under_rocksdb_state_store(spark, sf_dir):
+    """State-store provider is a deployment choice, not a semantics choice:
+    the RocksDB provider (the production backend — state spills to disk
+    instead of living on the JVM heap) must produce byte-identical session
+    output to the default HDFS-backed store."""
+    baseline = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in ss.run_sessionize_available_now(spark, sf_dir, "t_sess_hdfs").collect()
+    }
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {
+            (r.user_id, r.session_start, r.n_events, r.duration_sec)
+            for r in ss.run_sessionize_available_now(
+                spark, sf_dir, "t_sess_rocks"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert rocks == baseline and rocks
