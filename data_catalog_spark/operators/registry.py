@@ -62,5 +62,6 @@ def _load_all() -> None:
     from ..streaming import cms as streaming_cms  # noqa: F401
     from ..streaming import dedup as streaming_dedup  # noqa: F401
     from ..streaming import joins as streaming_joins  # noqa: F401
+    from ..streaming import sessions as streaming_sessions  # noqa: F401
     from ..streaming import sink as streaming_sink  # noqa: F401
     from ..streaming import twstate as streaming_twstate  # noqa: F401

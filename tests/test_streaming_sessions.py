@@ -104,3 +104,52 @@ def test_sessions_identical_under_rocksdb_state_store(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert rocks == baseline and rocks
+
+
+def test_timer_flush_emits_idle_sessions(spark, sf_dir):
+    """EventTimeTimeout sessionizer: every session closed by a successor
+    event emits as usual, AND each user's final (idle) session emits iff
+    the final watermark (max event time − 1 h) passed its gap edge
+    (last_ts + gap) — i.e. timers evict idle state the NoTimeout version
+    would hold forever."""
+    import pyarrow.parquet as pq
+
+    q = (
+        ss.sessionize_stream_timered(ss.read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("t_timered")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # batch formats session_start at whole seconds — compare at that grain
+    got = {
+        (r.user_id, int(r.session_start), r.n_events, round(r.duration_sec, 3))
+        for r in spark.table("t_timered").collect()
+    }
+
+    batch = sessionize_events(spark, sf_dir).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    max_ts = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()["ts"].max().timestamp()
+    wm_final = max_ts - 3600.0  # TIMER_WATERMARK
+
+    def epoch(r):
+        # batch emits formatted session_start; recover epoch from start+dur
+        from datetime import datetime, timezone
+
+        return datetime.strptime(r.session_start, "%Y-%m-%d %H:%M:%S").replace(
+            tzinfo=timezone.utc
+        ).timestamp()
+
+    want = set()
+    for r in batch:
+        start = epoch(r)
+        is_final = r.session_seq == last_seq[r.user_id]
+        flushes = (start + r.duration_sec + ss.SESSION_GAP_SEC) < wm_final
+        if (not is_final) or flushes:
+            want.add((r.user_id, int(start), r.n_events, round(r.duration_sec, 3)))
+    assert got == want
+    assert len(got) > sum(1 for r in batch if r.session_seq != last_seq[r.user_id])
