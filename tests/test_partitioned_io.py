@@ -101,3 +101,54 @@ def test_clustered_read_prunes_with_pushed_filter(spark, sf_dir, tmp_path):
     assert "o_custkey" in pushed
     want = src.where("o_custkey = 7").count()
     assert q.count() == want
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: joining a date-partitioned fact to a FILTERED dim must prune
+    fact partitions at RUNTIME from the dim's filter results (a
+    dynamicpruning subquery on the fact scan), so the fact never reads
+    non-qualifying dates even though the date set is only known after the
+    dim filter runs — at 100 TB this keeps star-join scans proportional to
+    the selected slice.  Note the predicate must be a real comparison
+    (a bare boolean attribute does not count as 'selective' to the DPP
+    rule), and the tiny local tables need useStats=false or the benefit
+    heuristic rejects pruning."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    fact = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(fact)
+
+    days = ev.select("day").distinct().withColumn(
+        "region", F.when(F.col("day") <= "2024-01-03", "hot").otherwise("cold")
+    )
+    dim = str(tmp_path / "day_dim")
+    days.write.parquet(dim)
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        f = spark.read.parquet(fact)
+        d = spark.read.parquet(dim).where(F.col("region") == "hot")
+        joined = (
+            f.join(F.broadcast(d), "day")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+        got = {(r.event_type, r.n) for r in joined.collect()}
+    finally:
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    want = {
+        (r.event_type, r.n)
+        for r in ev.where(F.col("day") <= "2024-01-03")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
