@@ -28,18 +28,9 @@ TABLE_NAMES = [
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The NTZ->TIMESTAMP cast below reinterprets wall-clock values in the
-    # session timezone; only UTC matches DuckDB's epoch() on the same data,
-    # so enforce the invariant instead of assuming the session came from
-    # session.get_spark().
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise ValueError(
-            f"read_table requires spark.sql.session.timeZone=UTC (got {tz!r}); "
-            "build the session via data_catalog_spark.session.get_spark"
-        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        _require_utc(spark)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # tz-naive parquet timestamps arrive as TIMESTAMP_NTZ; normalize to
     # session-tz (UTC) TIMESTAMP so epoch arithmetic (cast to double) works
@@ -49,8 +40,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rewrite (transform/withField) — add it if a nested-NTZ source appears.
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
+            _require_utc(spark)
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+def _require_utc(spark: SparkSession) -> None:
+    """The NTZ->TIMESTAMP cast reinterprets wall-clock values in the session
+    timezone; only UTC matches DuckDB's epoch() on the same data.  Enforced
+    ONLY when a conversion actually happens — timestamp-free tables must
+    not fail on a non-UTC session where their results would be correct."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"timestamp normalization requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}); build the session via data_catalog_spark.session.get_spark"
+        )
 
 
 def write_partitioned(

@@ -174,13 +174,12 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     here), and map-side partial mins mean the shuffle carries only
     n_docs × k longs per map partition — the exploded shingle stream itself
     never crosses the wire."""
-    # Shingle dedup stays INSIDE the row (array_distinct) instead of a
-    # (doc_id, s) DISTINCT: explode is a narrow op, so when the input is
-    # partitioned by doc_id the groupBy needs no exchange — the whole
-    # signature computation is shuffle-free after the initial doc spread.
-    sh = _tokens(docs).select(
-        "doc_id", F.explode(F.array_distinct(F.expr(SPARK_SHINGLES))).alias("s")
-    )
+    # Shingle dedup stays INSIDE the row (SPARK_SHINGLES applies
+    # array_distinct itself) instead of a (doc_id, s) DISTINCT: explode is
+    # a narrow op, so when the input is partitioned by doc_id the groupBy
+    # needs no exchange — the whole signature computation is shuffle-free
+    # after the initial doc spread.
+    sh = _tokens(docs).select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("s"))
     hashed = sh.select("doc_id", F.expr(_SPARK_H32).alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")

@@ -62,7 +62,11 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT context (so the distribution sums to 1 over the vocabulary).
     """
     docs = read_table(spark, sf_dir, "documents")
-    bg = _doc_bigrams(docs)
+    # bg feeds both training aggregations AND the scoring join — three
+    # consumers; materialize the exploded stream once instead of three
+    # tokenize+zip+explode corpus passes (at 100 TB this is the "write the
+    # postings once" rule; locally, localCheckpoint is its stand-in).
+    bg = _doc_bigrams(docs).localCheckpoint(eager=False)
 
     bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

@@ -669,9 +669,12 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
+    # centroids feeds the scatter join AND both sides of the pairwise DB
+    # matrix; scatter feeds a/b and the final join — materialize both tiny
+    # frames once (same pattern as q21's lines / minhash's sig).
     centroids = dims.groupBy("label").agg(
         F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     dist = (
         "sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - y) * "
         "(CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
@@ -689,7 +692,7 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("scatter"),
         )
-    )
+    ).localCheckpoint(eager=False)
     a = scatter.join(centroids, "label").select(
         F.col("label").alias("la"), F.col("scatter").alias("sa"), F.col("c").alias("ca")
     )

@@ -65,7 +65,10 @@ def export_paged_json(df: DataFrame, out_dir: str, page_size: int = 100) -> int:
             {
                 "file": fname,
                 "n": len(page),
-                "orgs": sorted({r["orgUUID"] for r in page if r["orgUUID"]}),
+                # `is not None`, NOT truthiness: an empty-string orgUUID is a
+                # legal value a pushed filter may target — dropping it from
+                # the stats would prune pages that contain matching rows.
+                "orgs": sorted({r["orgUUID"] for r in page if r["orgUUID"] is not None}),
             }
         )
         page.clear()
@@ -94,12 +97,20 @@ class PagedCatalogReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Claim equality/IN filters on orgUUID (page-prunable via the
-        manifest); everything else is returned for Spark to evaluate."""
+        manifest); everything else is returned for Spark to evaluate.
+        Multiple claimed filters are conjuncts — INTERSECT their value
+        sets (keeping only the last would silently widen the result)."""
+
+        def claim(values: set) -> None:
+            self.org_values = (
+                values if self.org_values is None else self.org_values & values
+            )
+
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("orgUUID",):
-                self.org_values = {f.value}
+                claim({f.value})
             elif isinstance(f, In) and f.attribute == ("orgUUID",):
-                self.org_values = set(f.value)
+                claim(set(f.value))
             else:
                 yield f
 

@@ -70,12 +70,17 @@ class UserActivityProcessor(StatefulProcessor):
         n_events, n_purchases, cents = (
             tuple(self._state.get()) if self._state.exists() else (0, 0, 0)
         )
+        import numpy as np
+
         for pdf in rows:
             n_events += len(pdf)
             purch = pdf[pdf["event_type"] == "purchase"]
             n_purchases += len(purch)
-            # exact: per-row cents, summed as ints
-            cents += int(round(purch["value"].mul(100).round().sum()))
+            # exact: per-row cents summed as ints.  Half-away-from-zero
+            # rounding to match DuckDB's round() — pandas .round() is
+            # banker's (half-to-even) and diverges on exact .5 ties.
+            v = purch["value"].to_numpy() * 100.0
+            cents += int((np.floor(np.abs(v) + 0.5) * np.sign(v)).sum())
         self._state.update((n_events, n_purchases, cents))
         yield pd.DataFrame(
             {

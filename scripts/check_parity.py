@@ -22,7 +22,9 @@ def canon(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True).round(6)
+    # round BEFORE sorting: sub-1e-6 cross-engine float noise must not
+    # reorder near-equal rows and misalign the row-wise compare
+    return df.round(6).sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def main() -> None:

@@ -124,3 +124,23 @@ def test_stream_change_feed_incremental(spark, sf_dir, tmp_path):
     run_pass()
     n2 = spark.read.parquet(sink).count()
     assert n2 == src.count()  # exactly the delta was appended, no replay
+
+
+def test_conjunct_org_filters_intersect(spark, sf_dir, tmp_path):
+    """Two AND-ed orgUUID constraints must intersect — a source that keeps
+    only the last claimed filter silently widens the result."""
+    out, _ = _export(spark, sf_dir, tmp_path)
+    back = read_paged_catalog(spark, out)
+    got = back.where(
+        F.col("orgUUID").isin("org01", "org02")
+        & F.col("orgUUID").isin("org02", "org03")
+    ).count()
+    want = (
+        datasets_df(spark, sf_dir)
+        .where(
+            F.col("orgUUID").isin("org01", "org02")
+            & F.col("orgUUID").isin("org02", "org03")
+        )
+        .count()
+    )
+    assert got == want > 0
