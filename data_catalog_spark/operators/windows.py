@@ -374,3 +374,74 @@ GROUP BY day ORDER BY day
 
 
 register("events_rolling_wau", events_rolling_wau, ROLLING_WAU_ORACLE)
+
+
+# -- latest record per key (QUALIFY-style dedup-by-recency) -------------------
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's most recent order — the single most common warehouse
+    dedup shape (CDC snapshots, SCD current-row extraction): row_number
+    over (key ORDER BY recency DESC, unique tiebreak) filtered to 1.  One
+    shuffle on the key; at 100 TB prefer this over groupBy+max+self-join
+    (one pass, no second scan)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+LATEST_ORDER_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY o_custkey
+"""
+
+
+register("latest_order_per_customer", latest_order_per_customer, LATEST_ORDER_ORACLE)
+
+
+# -- approximate percentiles (t-digest-style sketch) --------------------------
+
+
+def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per event type — the bounded-memory sketch twin of
+    the exact percentile operator: partial sketches merge map-side, state
+    is O(accuracy) per group instead of O(rows), which is the only viable
+    shape for percentiles at 100 TB.  Sketch internals are engine-specific
+    ⇒ rows-only driver check; pytest bounds the rank error against the
+    exact twin."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("p")
+        )
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register("events_value_percentiles_approx", events_value_percentiles_approx, None)

@@ -93,3 +93,56 @@ def test_trailing_hour_includes_self(spark, sf_dir):
 
     rows = W.events_trailing_hour_stats(spark, sf_dir).collect()
     assert all(r.n_1h >= 1 for r in rows)  # frame always contains the row itself
+
+
+def test_latest_order_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import windows as wd
+
+    assert_same(
+        wd.latest_order_per_customer(spark, sf_dir), ddb, wd.LATEST_ORDER_ORACLE
+    )
+
+
+def test_latest_order_is_max_date(spark, sf_dir):
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import windows as wd
+
+    latest = {r.o_custkey: r.orderdate for r in wd.latest_order_per_customer(spark, sf_dir).collect()}
+    from pyspark.sql import functions as F
+
+    maxd = {
+        r.o_custkey: r.d
+        for r in read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("d"))
+        .collect()
+    }
+    assert latest == maxd
+
+
+def test_approx_percentiles_bounded_error(spark, sf_dir):
+    """The sketch's guarantee is on RANK, not value: each reported
+    percentile must be an actual data value whose empirical quantile is
+    within a small neighborhood of the target (tail values can differ a
+    lot in VALUE space while being rank-adjacent)."""
+    import bisect
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import windows as wd
+
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in wd.events_value_percentiles_approx(spark, sf_dir).collect()
+    }
+    vals = {}
+    for r in read_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(vals)
+    for t, (p50, p90, p99) in approx.items():
+        v = sorted(vals[t])
+        n = len(v)
+        for q, a in [(0.5, p50), (0.9, p90), (0.99, p99)]:
+            lo = bisect.bisect_left(v, a) / n
+            hi = bisect.bisect_right(v, a) / n
+            # target quantile must touch the value's rank interval ±2/n
+            assert lo - 2 / n <= q <= hi + 2 / n, (t, q, a, lo, hi)
