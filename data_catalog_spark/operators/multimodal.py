@@ -321,3 +321,78 @@ ORDER BY media_id
 
 
 register("media_resize_stats", media_resize_stats, MEDIA_RESIZE_ORACLE)
+
+
+# -- audio: fixed-size sample windows (waveform chunking plumbing) ------------
+
+AUDIO_WINDOW = 64  # fake samples (bytes) per analysis window
+
+
+def window_audio(media: DataFrame) -> DataFrame:
+    """Waveform windowing plumbing: treat each audio blob as a stream of
+    1-byte samples, emit one row per fixed-size window with its mean
+    energy.  The decode is the stub (bytes AS samples); the real thing
+    exercised is the batch-explode shape every audio pipeline needs
+    (blob → per-window rows, windows*media >> media)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("win", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("mean_energy", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_w, out_n, out_e = [], [], [], []
+            for _, row in pdf.iterrows():
+                samples = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
+                for w in range(0, max((len(samples) + AUDIO_WINDOW - 1) // AUDIO_WINDOW, 1)):
+                    chunk = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                    if len(chunk) == 0:
+                        continue
+                    out_id.append(row["media_id"])
+                    out_w.append(w)
+                    out_n.append(len(chunk))
+                    out_e.append(round(float(int(chunk.sum(dtype=np.int64))) / len(chunk) / 255.0, 6))
+            yield pd.DataFrame(
+                {"media_id": out_id, "win": out_w, "n_samples": out_n, "mean_energy": out_e}
+            )
+
+    audio = media.where(F.col("kind") == "audio").select("media_id", "content")
+    return audio.mapInPandas(run, schema=schema)
+
+
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the windowing pipeline over the synthetic audio blobs.
+    The fake 'samples' are the utf-8 bytes, so window sums are ascii-code
+    sums — fully SQL-expressible, making even this mapInPandas pipeline
+    exact-oracle checkable."""
+    return window_audio(synth_media(spark, sf_dir)).orderBy("media_id", "win")
+
+
+MEDIA_AUDIO_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT media_id, CAST(i AS INT) AS win,
+         [ascii(substr(text, CAST(j AS INT), 1))
+          for j in range(i * {AUDIO_WINDOW} + 1,
+                         least((i + 1) * {AUDIO_WINDOW}, n) + 1)] AS samples
+  FROM a, LATERAL unnest(range(0, CAST(ceil(n / {AUDIO_WINDOW}.0) AS BIGINT))) r(i)
+)
+SELECT media_id, win,
+       CAST(len(samples) AS INT) AS n_samples,
+       round(list_sum(samples) / len(samples) / 255.0, 6) AS mean_energy
+FROM w
+WHERE len(samples) > 0
+ORDER BY media_id, win
+"""
+
+
+register("media_audio_windows", media_audio_windows, MEDIA_AUDIO_ORACLE)

@@ -97,3 +97,39 @@ def test_resize_never_upscales(spark, sf_dir):
         assert r.new_height <= min(r.height, mm.RESIZE_H)
         assert 1 <= r.n_out <= r.n_in
         assert len(r.resized) == r.n_out
+
+
+def test_audio_windows_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import multimodal as mm
+
+    assert_same(mm.media_audio_windows(spark, sf_dir), ddb, mm.MEDIA_AUDIO_ORACLE)
+
+
+def test_audio_windows_cover_all_samples(spark, sf_dir):
+    """Window sample counts per blob must sum to the blob length, and every
+    non-final window is exactly AUDIO_WINDOW samples."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.operators import multimodal as mm
+
+    rows = mm.media_audio_windows(spark, sf_dir).collect()
+    by_media = defaultdict(list)
+    for r in rows:
+        by_media[r.media_id].append(r)
+    sizes = {
+        r.media_id: r.n
+        for r in mm.synth_media(spark, sf_dir)
+        .where(F.col("kind") == "audio")
+        .select("media_id", F.length("content").alias("n"))
+        .collect()
+    }
+    assert set(by_media) == set(sizes)
+    for mid, ws in by_media.items():
+        ws.sort(key=lambda r: r.win)
+        assert sum(r.n_samples for r in ws) == sizes[mid]
+        for r in ws[:-1]:
+            assert r.n_samples == mm.AUDIO_WINDOW
+        for r in ws:
+            assert 0.0 <= r.mean_energy <= 1.0
