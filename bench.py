@@ -74,6 +74,8 @@ HEADLINE = [
     "nation_argmax_customer",
     "user_dow_bitmask",
     "corpus_heavy_hitters_cms",
+    "latest_order_per_customer",
+    "media_audio_windows",
 ]
 
 
