@@ -78,3 +78,24 @@ def test_keywords_per_doc_shape(spark, sf_dir):
     for r in rows:
         assert 1 <= r.rank <= ti.KEYWORDS_PER_DOC
         assert r.tfidf >= 0.0
+
+
+def test_cosine_pairs_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import tfidf as ti
+
+    assert_same(
+        ti.docs_tfidf_cosine_pairs(spark, sf_dir), ddb, ti._cosine_pairs_oracle()
+    )
+
+
+def test_cosine_pairs_agree_with_jaccard_dups(spark, sf_dir):
+    """Planted near-dup pairs (n-gram Jaccard ground truth) must overlap
+    heavily with high tf-idf cosine pairs — the two similarity signals see
+    the same duplicates."""
+    from data_catalog_spark.operators import dedup
+    from data_catalog_spark.operators import tfidf as ti
+
+    jac = {(r.da, r.db) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()}
+    cos = {(r.da, r.db) for r in ti.docs_tfidf_cosine_pairs(spark, sf_dir).collect()}
+    assert jac and cos
+    assert len(jac & cos) / len(jac) >= 0.9
