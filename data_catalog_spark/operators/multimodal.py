@@ -350,10 +350,10 @@ def window_audio(media: DataFrame) -> DataFrame:
             out_id, out_w, out_n, out_e = [], [], [], []
             for _, row in pdf.iterrows():
                 samples = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
-                for w in range(0, max((len(samples) + AUDIO_WINDOW - 1) // AUDIO_WINDOW, 1)):
+                # ceil-division: every window in range is non-empty (an
+                # empty blob simply yields no windows)
+                for w in range((len(samples) + AUDIO_WINDOW - 1) // AUDIO_WINDOW):
                     chunk = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
-                    if len(chunk) == 0:
-                        continue
                     out_id.append(row["media_id"])
                     out_w.append(w)
                     out_n.append(len(chunk))
@@ -374,23 +374,28 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_audio(synth_media(spark, sf_dir)).orderBy("media_id", "win")
 
 
+# BYTE-true oracle: samples are parsed from hex(encode(text)) two chars at a
+# time, so offsets and values are utf-8 BYTES exactly like Spark's
+# np.frombuffer — NOT characters (ascii(substr(text,...)) would silently
+# diverge on any non-ASCII text: char offsets misalign and codepoints
+# replace bytes).
 MEDIA_AUDIO_ORACLE = f"""
 WITH a AS (
-  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
   FROM documents WHERE doc_id % 3 = 1
 ),
 w AS (
   SELECT media_id, CAST(i AS INT) AS win,
-         [ascii(substr(text, CAST(j AS INT), 1))
-          for j in range(i * {AUDIO_WINDOW} + 1,
-                         least((i + 1) * {AUDIO_WINDOW}, n) + 1)] AS samples
+         [('0x' || substr(h, CAST(2 * j + 1 AS INT), 2))::BIGINT
+          for j in range(i * {AUDIO_WINDOW},
+                         least((i + 1) * {AUDIO_WINDOW}, n))] AS samples
   FROM a, LATERAL unnest(range(0, CAST(ceil(n / {AUDIO_WINDOW}.0) AS BIGINT))) r(i)
 )
 SELECT media_id, win,
        CAST(len(samples) AS INT) AS n_samples,
        round(list_sum(samples) / len(samples) / 255.0, 6) AS mean_energy
 FROM w
-WHERE len(samples) > 0
 ORDER BY media_id, win
 """
 

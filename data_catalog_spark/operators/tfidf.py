@@ -316,18 +316,15 @@ def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long-tailed term spaces real corpora have.  Per-term products
     truncate to DECIMAL before the pair-sum so the dot product is
     associative-order-independent and engine-portable."""
-    from .langmodel import SPARK_BIGRAMS
-    from .text import SPARK_TOKENS
+    from .langmodel import _doc_bigrams
 
     docs = read_table(spark, sf_dir, "documents")
     n_docs = docs.count()
+    # bigram construction is owned by langmodel._doc_bigrams — one
+    # definition serves the LM and this operator (no drift)
     postings = (
-        docs.withColumn("t", F.expr(SPARK_TOKENS))
-        .select("doc_id", F.explode(F.expr(SPARK_BIGRAMS)).alias("bg"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("bg")["0"], F.col("bg")["1"]).alias("term"),
-        )
+        _doc_bigrams(docs)
+        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

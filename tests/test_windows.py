@@ -141,8 +141,12 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
     for t, (p50, p90, p99) in approx.items():
         v = sorted(vals[t])
         n = len(v)
+        # tolerance = max(discreteness, the sketch's 1/accuracy rank
+        # guarantee with 2x slack) — a fixed 2/n bound would drop below
+        # the guaranteed error once n > 2*accuracy and flake on correct
+        # output
+        tol = max(2 / n, 2 / 10000)
         for q, a in [(0.5, p50), (0.9, p90), (0.99, p99)]:
             lo = bisect.bisect_left(v, a) / n
             hi = bisect.bisect_right(v, a) / n
-            # target quantile must touch the value's rank interval ±2/n
-            assert lo - 2 / n <= q <= hi + 2 / n, (t, q, a, lo, hi)
+            assert lo - tol <= q <= hi + tol, (t, q, a, lo, hi)
