@@ -9,20 +9,30 @@ Re-expresses the reference's document lifecycle (SURVEY §2.1, S2-S8):
 - S6 bulk load         — elastic_admin.py:54-83 (skip invalid rows)
 - S7/S8 create/drop    — app.py:89-112, elastic_admin.py:41-52
 
-Storage model: a directory of parquet files + atomic directory swap per
-commit (copy-on-write).  On a real deployment this class is a thin wrapper
-over Delta/Iceberg ``MERGE INTO`` keyed on ``id`` — the call surface is
-written so that swap-out is mechanical (each mutator builds the post-image
-DataFrame; only ``_commit`` knows the storage).  The reference's explicit
-index flush for read-your-writes (bases.py:82, R8) is a no-op here: a
-committed parquet/Delta snapshot is immediately visible to new reads.
+Storage model: PARTITIONED copy-on-write with a per-version manifest — the
+minimal honest shape of a Delta/Iceberg transaction log.  The table is
+hive-partitioned by ``isPublic`` (the security predicate's column); each
+commit writes parquet for the TOUCHED partitions only into a new immutable
+snapshot directory and records, in that snapshot's ``_manifest.json``, which
+snapshot holds each partition's current data (untouched partitions keep
+pointing at the older snapshot that last wrote them).  A commit is therefore
+O(touched partition), not O(table): a 1-row private upsert rewrites only the
+``isPublic=false`` files, pinned by ``test_commit_rewrites_only_touched_
+partition``.  On a real deployment this class is a thin wrapper over
+Delta/Iceberg ``MERGE INTO`` keyed on ``id`` — the call surface is written so
+that swap-out is mechanical (each mutator builds the post-image DataFrame and
+names its touched partitions; only ``_commit`` knows the storage).  The
+reference's explicit index flush for read-your-writes (bases.py:82, R8) is a
+no-op here: a committed snapshot is immediately visible to new reads.
 
 Scale notes (100 TB ingestion): mutations are expressed as *batch merges*
 (anti-join + union), never per-row loops — ``bulk_upsert`` is the primitive
 and single-entry ops delegate to it, so the same code path micro-batches.
-At scale, partition by ``isPublic`` + bucket by ``orgUUID`` so the security
-predicate of every search becomes partition pruning.
-"""
+The isPublic partitioning doubles as the pruning layout: the security
+predicate of every search skips whole directories (io.write_partitioned has
+the same layout for the search-side fixture).  Within a partition the next
+granularity step is orgUUID bucketing — the manifest generalizes unchanged
+(key = partition/bucket path)."""
 
 from __future__ import annotations
 
@@ -33,6 +43,7 @@ import uuid
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .errors import EntryNotFoundError, InvalidEntryError
 from .schema import COLUMN_ORDER, DATASETS_SCHEMA, transform_entry, validate_entry
@@ -64,14 +75,33 @@ class DatasetsCatalog:
 
     # -- version log -------------------------------------------------------
     #
-    # Each commit writes a NEW immutable snapshot directory and then
-    # atomically repoints a VERSION file — the minimal shape of a
-    # Delta/Iceberg transaction log.  Readers holding an old snapshot keep
-    # a consistent view (snapshot isolation); ``df(version=n)`` is time
-    # travel; ``vacuum`` is retention.
+    # Each commit writes a NEW immutable snapshot directory (holding parquet
+    # for the TOUCHED isPublic partitions plus a _manifest.json mapping every
+    # live partition to the snapshot version that owns its data) and then
+    # atomically repoints a VERSION file.  Readers holding an old snapshot
+    # keep a consistent view (snapshot isolation); ``df(version=n)`` is time
+    # travel; ``vacuum`` is retention that never drops a snapshot still
+    # referenced by a retained manifest.
+
+    PARTITION_COL = "isPublic"
 
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, "snapshots", f"v{version:06d}")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._snapshot_dir(version), "_manifest.json")
+
+    def _manifest(self, version: int | None) -> dict[str, int] | None:
+        """partition-dir-suffix (e.g. "true") -> owning snapshot version."""
+        import json
+
+        if version is None:
+            return None
+        try:
+            with open(self._manifest_path(version)) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except OSError:
+            return None
 
     def _latest_version(self) -> int | None:
         vf = os.path.join(self.path, "VERSION")
@@ -96,14 +126,21 @@ class DatasetsCatalog:
         return sorted(out)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
-        """Drop all but the newest ``keep_last`` snapshots (never the
-        current one); returns the versions removed."""
+        """Drop all but the newest ``keep_last`` snapshots — EXCEPT any
+        older snapshot a retained manifest still references for an
+        untouched partition (file-granular commits make old snapshots
+        live data, so retention must chase the manifest graph); never the
+        current one.  Returns the versions removed."""
         keep_last = max(1, keep_last)
         vs = self.versions()
         current = self._latest_version()
+        kept = vs[-keep_last:] if len(vs) > keep_last else vs
+        referenced: set[int] = set()
+        for v in kept:
+            referenced.update((self._manifest(v) or {}).values())
         removed = []
         for v in vs[:-keep_last] if len(vs) > keep_last else []:
-            if v == current:
+            if v == current or v in referenced:
                 continue
             shutil.rmtree(self._snapshot_dir(v), ignore_errors=True)
             removed.append(v)
@@ -112,14 +149,41 @@ class DatasetsCatalog:
     # -- reads -------------------------------------------------------------
 
     def df(self, version: int | None = None) -> DataFrame:
-        """Current table, or a time-travel read of an older snapshot."""
+        """Current table, or a time-travel read of an older snapshot: union
+        of the per-partition scans the version's manifest points at (≤ the
+        partition count — 2 here — branches; a filter on isPublic collapses
+        to the single matching branch)."""
         self.create_if_not_exists()
         if version is None:
             version = self._latest_version()
-        snap = self._snapshot_dir(version)
-        if not os.path.isdir(snap):
+        manifest = self._manifest(version)
+        if manifest is None or not os.path.isdir(self._snapshot_dir(version)):
             raise EntryNotFoundError(f"version {version}")
-        return self.spark.read.schema(DATASETS_SCHEMA).parquet(snap)
+        parts = []
+        file_schema = T.StructType(
+            [f for f in DATASETS_SCHEMA.fields if f.name != self.PARTITION_COL]
+        )
+        for pval, owner in sorted(manifest.items()):
+            pdir = os.path.join(
+                self._snapshot_dir(owner), f"{self.PARTITION_COL}={pval}"
+            )
+            lit = (
+                F.lit(None).cast("boolean")
+                if pval == "__HIVE_DEFAULT_PARTITION__"
+                else F.lit(pval == "true")
+            )
+            parts.append(
+                self.spark.read.schema(file_schema)
+                .parquet(pdir)
+                .withColumn(self.PARTITION_COL, lit)
+                .select(*DATASETS_SCHEMA.fieldNames())
+            )
+        if not parts:
+            return self.spark.createDataFrame([], DATASETS_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data capture between two snapshots: one row per changed
@@ -208,13 +272,18 @@ class DatasetsCatalog:
         )
         current = self.df()
         batch_ids = batch.select("id")
-        # matched ids only — bounded by the batch size, never the table
-        existing = {
-            r["id"]
-            for r in current.select("id").join(batch_ids, "id", "left_semi").collect()
+        # matched (id, partition) only — bounded by the batch size, never
+        # the table; the old partition of a row whose visibility flips must
+        # be rewritten too (it loses the row)
+        matched = current.select("id", self.PARTITION_COL).join(
+            batch_ids, "id", "left_semi"
+        ).collect()
+        existing = {r["id"] for r in matched}
+        touched = {r[self.PARTITION_COL] for r in matched} | {
+            r.get(self.PARTITION_COL) for r in last.values()
         }
         merged = current.join(batch_ids, "id", "left_anti").unionByName(batch)
-        self._commit(merged)
+        self._commit(merged, touched=touched)
         return set(last) - existing
 
     def partial_update(self, entry_id: str, patch: dict) -> None:
@@ -237,26 +306,58 @@ class DatasetsCatalog:
         can run cascade hooks (dataset_delete.py:31-48 derives downstream
         delete targets from targetUri).  Read-your-writes is free (R8)."""
         entry = self.get(entry_id)
-        self._commit(self.df().where(F.col("id") != F.lit(entry_id)))
+        self._commit(
+            self.df().where(F.col("id") != F.lit(entry_id)),
+            touched={entry.get(self.PARTITION_COL)},
+        )
         return entry
 
     # -- storage -----------------------------------------------------------
 
-    def _commit(self, df: DataFrame) -> None:
-        """Versioned copy-on-write commit: write the post-image as a new
-        immutable snapshot, then atomically repoint the VERSION file
-        (write-temp + rename).  Old snapshots stay readable until
-        ``vacuum`` — genuine snapshot isolation, the single-node shape of a
-        Delta/Iceberg commit.
-        """
+    def _commit(self, df: DataFrame, touched: set[bool | None] | None = None) -> None:
+        """File-granular versioned commit: write parquet for the TOUCHED
+        isPublic partitions of the post-image into a new immutable snapshot,
+        carry every untouched partition forward by manifest reference, then
+        atomically repoint the VERSION file (write-temp + rename).  Cost is
+        O(touched partition data), not O(table).  ``touched=None`` means a
+        full rewrite (table creation / unknown provenance).  Old snapshots
+        stay readable until ``vacuum`` — genuine snapshot isolation, the
+        single-node shape of a Delta/Iceberg commit."""
+        import json
+
         os.makedirs(os.path.join(self.path, "snapshots"), exist_ok=True)
+        prev = self._manifest(self._latest_version()) or {}
         new_version = (self._latest_version() or 0) + 1
         snap = self._snapshot_dir(new_version)
         tmp = os.path.join(
             tempfile.mkdtemp(dir=os.path.join(self.path, "snapshots")),
             f"commit-{uuid.uuid4().hex}",
         )
-        df.write.mode("overwrite").parquet(tmp)
+        if touched is not None:
+            keys = {self._pkey(v) for v in touched}
+            df = df.where(
+                F.coalesce(
+                    F.col(self.PARTITION_COL).cast("string"),
+                    F.lit("__HIVE_DEFAULT_PARTITION__"),
+                ).isin(*keys)
+                if keys
+                else F.lit(False)
+            )
+        df.write.mode("overwrite").partitionBy(self.PARTITION_COL).parquet(tmp)
+        written = {
+            name.split("=", 1)[1]
+            for name in os.listdir(tmp)
+            if name.startswith(f"{self.PARTITION_COL}=")
+        }
+        if touched is None:
+            manifest = {k: new_version for k in written}
+        else:
+            # untouched partitions keep their previous owner; a touched
+            # partition that came back empty disappears from the manifest
+            manifest = {
+                k: v for k, v in prev.items() if k not in {self._pkey(t) for t in touched}
+            }
+            manifest.update({k: new_version for k in written})
         # an orphan snap dir (commit crashed after the move but before the
         # VERSION repoint) was never referenced — clear it, else
         # shutil.move would nest the new data INSIDE it
@@ -264,7 +365,16 @@ class DatasetsCatalog:
             shutil.rmtree(snap)
         shutil.move(tmp, snap)
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+        with open(self._manifest_path(new_version), "w") as f:
+            json.dump(manifest, f)
         vtmp = os.path.join(self.path, f".VERSION.{uuid.uuid4().hex}")
         with open(vtmp, "w") as f:
             f.write(str(new_version))
         os.replace(vtmp, os.path.join(self.path, "VERSION"))
+
+    @staticmethod
+    def _pkey(value: bool | None) -> str:
+        """Hive directory-suffix encoding of a partition value."""
+        if value is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        return "true" if value else "false"

@@ -38,6 +38,17 @@ from .registry import register
 from .text import DUCK_SHINGLES, DUCK_TOKENS, SPARK_SHINGLES, SPARK_TOKENS
 
 JACCARD_THRESHOLD = 0.5
+# Blocking hygiene for the shingle self-join: shingles whose document
+# frequency exceeds this cutoff are dropped BEFORE the join (on both
+# engines, so the oracle stays exact).  With cutoff c the candidate-pair
+# count is bounded by Σ_s df_s·min(df_s, c) ≤ c·|postings| — LINEAR in
+# corpus size, vs the unguarded Σ df_s² which explodes quadratically inside
+# hot boilerplate shingles (a df-10⁶ shingle alone is 10¹² pairs).  128 is
+# far above every real shingle df at the test SFs (max 25 at sf0.1), so
+# results equal true Jaccard there; at 100 TB it is what drops the
+# boilerplate header/footer shingles that would otherwise dominate the
+# shuffle.
+MAX_SHINGLE_DF = 128
 
 MINHASH_K = 64  # signature length
 MINHASH_BANDS = 16  # b bands of r = k/b rows
@@ -112,17 +123,23 @@ FROM d GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
 # -- exact n-gram Jaccard (the ground truth) ---------------------------------
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with 3-gram shingle Jaccard ≥ 0.5: explode → equality
-    self-join on shingle (the blocking key) → per-pair overlap count →
-    |A∪B| from per-doc sizes.  Exact, deterministic, oracle-checked.
-    The docs repartition spreads the 1-row-group local file across the
-    executor threads so shingling isn't a serial scan task (no-op to omit
-    on a properly partitioned deployment input)."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    sh = _shingles(docs).localCheckpoint(eager=False)
+def ngram_jaccard_pairs(
+    docs: DataFrame, max_shingle_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Pairs with 3-gram shingle Jaccard ≥ 0.5 over the df-capped shingle
+    universe: explode → df-cutoff guard → equality self-join on shingle
+    (the blocking key) → per-pair overlap count → |A∪B| from per-doc sizes.
+    Deterministic, oracle-checked; ``max_shingle_df=None`` disables the
+    guard (tests use it to prove the bound and the unchanged results)."""
+    sh = _shingles(docs)
+    if max_shingle_df is not None:
+        # df per shingle is one extra hash agg over the postings; the
+        # window-free join keeps the guard itself partial-aggregated.
+        df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+        sh = (
+            sh.join(df_s.where(F.col("df_s") <= max_shingle_df), "s", "left_semi")
+        )
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -143,11 +160,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup pairs (the recall denominator for MinHash),
+    with the df-cutoff blocking guard active — see ``ngram_jaccard_pairs``.
+    The docs repartition spreads the 1-row-group local file across the
+    executor threads so shingling isn't a serial scan task (no-op to omit
+    on a properly partitioned deployment input)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return ngram_jaccard_pairs(docs)
+
+
 # The pair query body, reusable as a subquery (dup-cluster resolution in
 # operators/corpus.py embeds it).
 JACCARD_PAIRS_BODY = f"""
 WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
+sh0 AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
+dfs AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.* FROM sh0 JOIN dfs USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common

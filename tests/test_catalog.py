@@ -214,6 +214,53 @@ def test_diff_between_identical_versions_is_empty(cat):
     assert c.diff(v, v).count() == 0
 
 
+def test_commit_rewrites_only_touched_partition(cat):
+    """File-granular commits: a 1-row private upsert must write ONLY the
+    isPublic=false partition into the new snapshot and carry the public
+    partition forward by manifest reference to the older snapshot."""
+    import os
+
+    c = cat
+    c.bulk_upsert(
+        [
+            ("pub1", {**ENTRY, "isPublic": True}),
+            ("pub2", {**ENTRY, "isPublic": True, "title": "second public"}),
+            ("priv1", {**ENTRY, "isPublic": False, "title": "private one"}),
+        ]
+    )
+    v_base = c._latest_version()
+    base_manifest = c._manifest(v_base)
+    assert set(base_manifest) == {"true", "false"}
+
+    c.upsert("priv2", {**ENTRY, "isPublic": False, "title": "private two"})
+    v_new = c._latest_version()
+    # the new snapshot dir holds ONLY the private partition's files
+    snap = c._snapshot_dir(v_new)
+    part_dirs = [d for d in os.listdir(snap) if d.startswith("isPublic=")]
+    assert part_dirs == ["isPublic=false"]
+    # manifest: private partition owned by the new version, public partition
+    # still served from the base snapshot (no rewrite happened)
+    m = c._manifest(v_new)
+    assert m["false"] == v_new
+    assert m["true"] == base_manifest["true"] == v_base
+    # and the table view is complete and correct
+    assert sorted(r.id for r in c.df().collect()) == ["priv1", "priv2", "pub1", "pub2"]
+    assert {r.isPublic for r in c.df().where("id like 'priv%'").collect()} == {False}
+
+
+def test_vacuum_keeps_snapshots_referenced_by_manifest(cat):
+    """Retention must not drop an old snapshot that the CURRENT manifest
+    still references for an untouched partition."""
+    c = cat
+    c.upsert("pub1", {**ENTRY, "isPublic": True})
+    v_pub = c._latest_version()
+    c.upsert("priv1", {**ENTRY, "isPublic": False, "title": "p"})
+    c.upsert("priv1", {**ENTRY, "isPublic": False, "title": "p2"})
+    removed = c.vacuum(keep_last=1)
+    assert v_pub not in removed  # still owns the public partition's data
+    assert sorted(r.id for r in c.df().collect()) == ["priv1", "pub1"]
+
+
 def test_commit_clears_orphan_snapshot_dir(cat, tmp_path):
     """A snapshot dir left by a crashed commit (moved into place but never
     referenced by VERSION) must not corrupt the next commit."""

@@ -28,6 +28,36 @@ def test_jaccard_found_planted_near_dups(exact_pairs):
     assert all(0.5 <= j <= 1.0 for j in exact_pairs.values())
 
 
+def test_jaccard_df_cutoff_guard_bounds_candidates(spark):
+    """The blocking guard: a hot shingle (df > cutoff) must NOT generate
+    candidate pairs.  12 clone docs share every shingle (df=12); with
+    max_shingle_df=5 they produce zero pairs while a disjoint-vocabulary
+    near-dup pair (df=2 shingles) still surfaces."""
+    clone = "alpha beta gamma delta epsilon zeta eta theta"
+    near_a = "redwood canyon trail marmot ridge summit basin creek"
+    near_b = "redwood canyon trail marmot ridge summit basin meadow"
+    rows = [(i, clone) for i in range(12)] + [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = dedup.ngram_jaccard_pairs(docs, max_shingle_df=5).collect()
+    assert {(r.da, r.db) for r in guarded} == {(100, 101)}
+    unguarded = dedup.ngram_jaccard_pairs(docs, max_shingle_df=None).collect()
+    assert len(unguarded) == 12 * 11 // 2 + 1  # all clone pairs + the near-dup
+
+
+def test_jaccard_guard_is_noop_at_test_df(spark, sf_dir, exact_pairs):
+    """At the driver SFs every shingle df is far below the cutoff (max 25 at
+    sf0.1), so the guarded result equals true Jaccard — the registered
+    query's semantics are unchanged where the guard has nothing to drop."""
+    from data_catalog_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw = {
+        (r.da, r.db): r.jac
+        for r in dedup.ngram_jaccard_pairs(docs, max_shingle_df=None).collect()
+    }
+    assert raw == exact_pairs
+
+
 def test_minhash_recall_and_precision(spark, sf_dir, exact_pairs):
     mh = {(r.da, r.db) for r in dedup.dedup_minhash(spark, sf_dir).collect()}
     hits = len(mh & set(exact_pairs))
