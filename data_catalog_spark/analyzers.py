@@ -88,35 +88,104 @@ def token_match_pattern(tokens: list[str], split_class: str) -> str | None:
 
 
 # -- english suffix stemming (SURVEY hard-parts: configuration_const.py:26-29
-# uses ES's `english` analyzer; full Porter is ES-internal — this is the
-# deterministic, engine-portable plural-folding subset: Porter step 1a
-# + common 'ies'/'sses' folding, spelled as an ordered regexp chain that
-# renders identically in Spark and DuckDB, differing only in the
-# backreference syntax ($1 vs \1)).
+# attaches ES's `english` analyzer, whose stemmer is Porter.  This is a
+# deterministic, engine-portable rendering of Porter steps 1a, 1b (with its
+# post-removal cleanup), 1c and 2, spelled as ordered regexp-chain STEPS:
+# within a step the first matching rule wins (Porter picks the longest
+# matching suffix — encoded by rule order); steps apply SEQUENTIALLY.
+# Approximations, by declared design (SURVEY §7):
+#  - the measure conditions m>0 / (m=1 ∧ *o) are encoded structurally:
+#    "stem contains vowel-then-consonant" for m>0 (exact up to y-handling)
+#    and an anchored ^C*VC shape for the 1b e-restoration;
+#  - y counts as a vowel in V-containment classes ([aeiouy]) and as a
+#    consonant in C classes ([^aeiou]) — Porter's contextual-y rule folded
+#    to its common case;
+#  - steps 3-5 (rare long suffixes, final-e tidy-up) are omitted;
+#  - step 1a keeps 'ss'/'us' endings intact (Porter strips bare 's' of
+#    'us'), avoiding 'bus'→'bu'-style overstemming on short tokens.
+# Constraint shared by every rule: NO backreferences in patterns (DuckDB's
+# regexp engine is RE2) — doubled consonants are enumerated per letter.
+# Replacement groups render as $1 in Spark and \1 in DuckDB.
 
-STEM_RULES: list[tuple[str, str]] = [
+_V = "[aeiouy]"       # vowel (y included)
+_C = "[^aeiou]"       # consonant (y included)
+_M1 = f"[a-z]*{_V}{_C}[a-z]*"  # the m>0 proxy: stem contains a VC pair
+
+STEP_1A: list[tuple[str, str]] = [
     (r"sses$", "ss"),     # classes  -> class
     (r"ies$", "i"),       # queries  -> queri (Porter folds both query/queries here)
     (r"([^su])s$", "$1"), # widgets  -> widget; keeps 'ss'/'us' endings
 ]
 
+# doubled consonants that undouble after ed/ing removal (Porter: all but
+# l, s, z; w/x never double in practice and are excluded from the cvc rule)
+_DOUBLES = "bdfgkmnprt"
+
+STEP_1B: list[tuple[str, str]] = (
+    [(rf"({_V}{_C}[a-z]*)eed$", "$1ee")]            # agreed -> agree; feed stays
+    + [(rf"({_V}[a-z]*)at(ed|ing)$", "$1ate"),      # conflated -> conflate
+       (rf"({_V}[a-z]*)bl(ed|ing)$", "$1ble"),      # troubled -> trouble
+       (rf"({_V}[a-z]*)iz(ed|ing)$", "$1ize")]      # sized -> size
+    + [(rf"({_V}[a-z]*{d}){d}(ed|ing)$", "$1") for d in _DOUBLES]  # hopped -> hop
+    + [(rf"^({_C}*{_V}[^aeiouwxy])(ed|ing)$", "$1e"),  # filing -> file (m=1, *o)
+       # [^e] guard: words ending 'eed' belong EXCLUSIVELY to the eed rule
+       # (Porter: a failed (m>0)EED condition means NO change, not ed-strip)
+       (rf"({_V}[a-z]*[^e])ed$", "$1"),             # plastered -> plaster
+       (rf"({_V}[a-z]*)ing$", "$1")]                # motoring -> motor
+)
+
+STEP_1C: list[tuple[str, str]] = [
+    (r"([aeiou][a-z]*)y$", "$1i"),                  # happy -> happi; sky stays
+]
+
+STEP_2: list[tuple[str, str]] = [
+    (rf"({_M1})ational$", "$1ate"),   # relational -> relate; national stays (m=0)
+    (rf"({_M1})ization$", "$1ize"),   # organization -> organize
+    (rf"({_M1})iveness$", "$1ive"),   # effectiveness -> effective
+    (rf"({_M1})fulness$", "$1ful"),   # hopefulness -> hopeful
+    (rf"({_M1})ousness$", "$1ous"),   # callousness -> callous
+    (rf"({_M1})tional$", "$1tion"),   # conditional -> condition
+    (rf"({_M1})biliti$", "$1ble"),    # sensibiliti -> sensible
+    (rf"({_M1})entli$", "$1ent"),     # differentli -> different
+    (rf"({_M1})ousli$", "$1ous"),     # analogousli -> analogous
+    (rf"({_M1})ation$", "$1ate"),     # activation -> activate
+    (rf"({_M1})alism$", "$1al"),      # formalism -> formal
+    (rf"({_M1})aliti$", "$1al"),      # formaliti -> formal
+    (rf"({_M1})iviti$", "$1ive"),     # sensitiviti -> sensitive
+    (rf"({_M1})enci$", "$1ence"),     # valenci -> valence
+    (rf"({_M1})anci$", "$1ance"),     # hesitanci -> hesitance
+    (rf"({_M1})izer$", "$1ize"),      # digitizer -> digitize
+    (rf"({_M1})abli$", "$1able"),     # conformabli -> conformable
+    (rf"({_M1})alli$", "$1al"),       # radicalli -> radical
+    (rf"({_M1})ator$", "$1ate"),      # operator -> operate
+    (rf"({_M1})eli$", "$1e"),         # nicely? (niceli -> nice)
+]
+
+STEM_STEPS: list[list[tuple[str, str]]] = [STEP_1A, STEP_1B, STEP_1C, STEP_2]
+
+# Back-compat alias (plural folding = step 1a).
+STEM_RULES = STEP_1A
+
 
 def stem(token: str) -> str:
-    """Pure-python twin of the SQL renderings below (used in tests)."""
+    """Pure-python twin of the SQL renderings below (used in tests):
+    sequential steps, first-match-wins within a step."""
     import re
 
-    for pat, rep in STEM_RULES:
-        new = re.sub(pat, rep.replace("$1", r"\1"), token)
-        if new != token:
-            return new
+    for rules in STEM_STEPS:
+        for pat, rep in rules:
+            new = re.sub(pat, rep.replace("$1", r"\1").replace("$2", r"\2"), token)
+            if new != token:
+                token = new
+                break
     return token
 
 
-def _stem_chain(var: str, backref: str) -> str:
-    """First-match-wins as a CASE chain (NOT nested replaces — applying
-    rule 3 after rule 2 would double-strip)."""
+def _stem_chain(var: str, backref: str, rules: list[tuple[str, str]]) -> str:
+    """One step's first-match-wins as a CASE chain (NOT nested replaces —
+    applying a later rule to an earlier rule's output would double-strip)."""
     branches = []
-    for pat, rep in STEM_RULES:
+    for pat, rep in rules:
         r = rep.replace("$1", backref)
         branches.append(
             f"WHEN regexp_replace({var}, '{pat}', '{r}') != {var} "
@@ -125,9 +194,30 @@ def _stem_chain(var: str, backref: str) -> str:
     return "CASE " + " ".join(branches) + f" ELSE {var} END"
 
 
+def spark_stem_transform(arr_expr: str) -> str:
+    """Stem every element of an ARRAY expression: one ``transform`` layer
+    per Porter step, so total expression size is the SUM of the step chains
+    (naive textual substitution of step N's output into step N+1 would grow
+    the expression geometrically)."""
+    out = arr_expr
+    for rules in STEM_STEPS:
+        out = f"transform({out}, x -> {_stem_chain('x', '$1', rules)})"
+    return out
+
+
+def duck_stem_transform(arr_expr: str) -> str:
+    out = arr_expr
+    for rules in STEM_STEPS:
+        out = f"list_transform({out}, x -> {_stem_chain('x', chr(92) + '1', rules)})"
+    return out
+
+
 def spark_stem_expr(var: str = "x") -> str:
-    return _stem_chain(var, "$1")
+    """Scalar form: route through a 1-element array so the step chains
+    nest LINEARLY (each lambda rebinds x) instead of substituting the whole
+    previous step's text at every reference."""
+    return f"element_at({spark_stem_transform(f'array({var})')}, 1)"
 
 
 def duck_stem_expr(var: str = "x") -> str:
-    return _stem_chain(var, r"\1")
+    return f"({duck_stem_transform(f'[{var}]')})[1]"

@@ -177,6 +177,56 @@ ORDER BY CAST(id AS BIGINT)
 """
 
 
+STEM_PROBE = "widgets rings"  # plural probe: raw token equality would MISS
+
+
+def _stem_probe_terms() -> list[str]:
+    from . import analyzers
+
+    return sorted({analyzers.stem(t) for t in analyzers.standard_tokens(STEM_PROBE)})
+
+
+def _stemmed_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed-title match — the `english`-analyzer semantics the reference
+    attaches to `title` (configuration_const.py:26-29): BOTH sides stem
+    through the shared Porter chain (analyzers.STEM_STEPS) — the probe at
+    compile time in Python, the title tokens at query time in SQL — and a
+    document matches when the stemmed token sets intersect.  The plural
+    probe proves the folding: 'widgets'/'rings' match the singular corpus
+    titles, which raw token equality would miss."""
+    from pyspark.sql import functions as F
+
+    from . import analyzers
+
+    title_tokens = (
+        f"filter(split(lower(title), '{analyzers.STANDARD_SPLIT}'), x -> x != '')"
+    )
+    stemmed = analyzers.spark_stem_transform(title_tokens)
+    probes = "array(" + ", ".join(f"'{t}'" for t in _stem_probe_terms()) + ")"
+    return (
+        datasets_df(spark, sf_dir)
+        .where(F.expr(f"arrays_overlap({stemmed}, {probes})"))
+        .select("id", "title")
+        .orderBy(F.col("id").cast("bigint"))
+    )
+
+
+def _stemmed_match_oracle() -> str:
+    from . import analyzers
+
+    title_tokens = (
+        f"list_filter(string_split_regex(lower(title), '{analyzers.STANDARD_SPLIT}'), "
+        f"x -> x <> '')"
+    )
+    stemmed = analyzers.duck_stem_transform(title_tokens)
+    probes = "[" + ", ".join(f"'{t}'" for t in _stem_probe_terms()) + "]"
+    return f"""{ORACLE_DATASETS_CTE}
+SELECT id, title FROM datasets
+WHERE len(list_intersect({stemmed}, {probes})) > 0
+ORDER BY CAST(id AS BIGINT)
+"""
+
+
 def _org_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog reporting: per-tenant dataset counts, storage footprint, and
     visibility split — the admin dashboard query over the catalog table
@@ -239,6 +289,7 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _hits_query(case)
     out["cat_point_lookup"] = _point_lookup
     out["cat_fuzzy_title"] = _fuzzy_search
+    out["cat_stemmed_title"] = _stemmed_title_match
     out["cat_org_stats"] = _org_stats
     out["cat_uri_parts"] = _uri_parts
     # Facet / count surfaces (A1-A4) on representative cases.
@@ -259,6 +310,7 @@ def catalog_oracles() -> dict[str, str]:
         out[name] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq)}"
     out["cat_point_lookup"] = POINT_LOOKUP_ORACLE
     out["cat_fuzzy_title"] = FUZZY_ORACLE
+    out["cat_stemmed_title"] = _stemmed_match_oracle()
     out["cat_org_stats"] = ORG_STATS_ORACLE
     out["cat_uri_parts"] = URI_PARTS_ORACLE
     cq_term = compile_query(*CATALOG_CASES["cat_filter_term"])

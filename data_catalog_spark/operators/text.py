@@ -247,9 +247,7 @@ def corpus_top_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY hard-parts) applied as a portable regexp CASE chain inside
     transform(); token folding happens before the count so plural variants
     aggregate into one bucket."""
-    stems = F.expr(
-        f"transform({SPARK_TOKENS}, x -> {analyzers.spark_stem_expr('x')})"
-    )
+    stems = F.expr(analyzers.spark_stem_transform(SPARK_TOKENS))
     return (
         _docs(spark, sf_dir)
         .select(F.explode(stems).alias("stem"))
@@ -262,8 +260,7 @@ def corpus_top_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_STEMS_ORACLE = f"""
 WITH s AS (
-  SELECT unnest(list_transform({DUCK_TOKENS},
-                x -> {analyzers.duck_stem_expr('x')})) AS stem
+  SELECT unnest({analyzers.duck_stem_transform(DUCK_TOKENS)}) AS stem
   FROM documents
 )
 SELECT stem, CAST(count(*) AS BIGINT) AS n_occurrences

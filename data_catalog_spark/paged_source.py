@@ -193,9 +193,12 @@ class PagedCatalogDataSource(DataSource):
 
 
 def register_paged_source(spark: SparkSession) -> None:
-    # Python-source filter pushdown is gated off by default (Spark 4.1);
-    # runtime-settable, required before a pushFilters reader is planned.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Python-source filter pushdown is gated off by default (Spark 4.1) and
+    # required before a pushFilters reader is planned.  session.get_spark
+    # sets it at build time; for sessions built elsewhere, set it here too —
+    # documented session-wide effect of registering this source.
+    if spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") != "true":
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedCatalogDataSource)
 
 

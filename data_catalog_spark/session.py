@@ -36,6 +36,10 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS); read as long + convert
         # (data_catalog_spark.io.read_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python-data-source filter pushdown (paged_source's pushFilters
+        # reader) — a session-level capability, set here rather than as a
+        # hidden side effect of a read helper.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # managed-table home (bucketed-layout tests); keep out of the repo

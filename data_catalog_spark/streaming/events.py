@@ -20,20 +20,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 def _ts_unit(stage_dir: str) -> str:
-    """Probe the ``ts`` storage unit from the first parquet footer in the
+    """Probe the ``ts`` storage unit from the parquet footers in the
     directory — a driver-side metadata read (no data I/O), done once at
     stream-definition time.  The driver has shipped events.parquet both as
     TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; a declared-schema
-    streaming source can't adapt per-file, so we pin the unit up front."""
+    streaming source can't adapt per-file, so we pin the unit up front and
+    REQUIRE every file already in the directory to agree (a mixed-unit
+    stage would silently misread later files otherwise)."""
     import os
 
     import pyarrow.parquet as pq
 
-    first = sorted(
-        f for f in os.listdir(stage_dir) if f.endswith(".parquet")
-    )[0]
-    t = pq.ParquetFile(os.path.join(stage_dir, first)).schema_arrow.field("ts").type
-    return getattr(t, "unit", "us")
+    units = {}
+    for f in sorted(f for f in os.listdir(stage_dir) if f.endswith(".parquet")):
+        t = pq.ParquetFile(os.path.join(stage_dir, f)).schema_arrow.field("ts").type
+        units[f] = getattr(t, "unit", "us")
+    distinct = set(units.values())
+    if len(distinct) > 1:
+        raise ValueError(
+            f"mixed ts units in stream stage dir {stage_dir}: {units} — "
+            f"a declared-schema source needs one unit per directory"
+        )
+    return next(iter(distinct))
 
 
 def events_stream_schema(ts_unit: str) -> T.StructType:
@@ -57,7 +65,13 @@ def events_stream_source(spark: SparkSession, stage_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files with
     ``ts`` normalized to a session-tz (UTC) TIMESTAMP regardless of the
     on-disk unit — the single entry point every streaming operator uses."""
+    from ..io import _require_utc
+
     unit = _ts_unit(stage_dir)
+    # same guard as the batch path (io.read_table): both casts below
+    # reinterpret wall-clock values in the session timezone — only UTC
+    # matches the oracle; fail loudly rather than silently shift times.
+    _require_utc(spark)
     raw = (
         spark.readStream.schema(events_stream_schema(unit))
         .option("maxFilesPerTrigger", 1)

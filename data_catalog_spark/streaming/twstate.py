@@ -16,9 +16,11 @@ Scale: state is O(1) per user and the shuffle key is user_id; snapshots are
 append-mode so downstream sinks see a monotone change log (the same
 pattern as a Kafka-compacted topic keyed by user).
 
-Availability: transformWithState's Python worker protocol needs protobuf;
-this container doesn't ship it, so registration is GATED on the import —
-the operator registers (and its tests run) wherever protobuf exists.
+Availability: transformWithState's Python worker protocol needs protobuf.
+Where protobuf is absent the entry transparently runs the
+``applyInPandasWithState`` twin below (identical state quantities and
+output contract), so the oracle row is exercisable in every container and
+the v2 engine is used wherever it can be.
 """
 
 from __future__ import annotations
@@ -36,6 +38,18 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from ..operators.registry import register
 from .events import events_stream_source
+
+
+def round_half_away_cents(values) -> int:
+    """Sum of value·100 with HALF-AWAY-FROM-ZERO rounding per element, as an
+    exact int — matches DuckDB's round() semantics; numpy/pandas ``round``
+    is banker's (half-to-even) and diverges on exact .5 ties.  Pure-pandas
+    helper so the rounding contract is unit-testable without the streaming
+    engine (or protobuf) present."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64) * 100.0
+    return int((np.floor(np.abs(v) + 0.5) * np.sign(v)).sum())
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -70,17 +84,13 @@ class UserActivityProcessor(StatefulProcessor):
         n_events, n_purchases, cents = (
             tuple(self._state.get()) if self._state.exists() else (0, 0, 0)
         )
-        import numpy as np
-
         for pdf in rows:
             n_events += len(pdf)
             purch = pdf[pdf["event_type"] == "purchase"]
             n_purchases += len(purch)
-            # exact: per-row cents summed as ints.  Half-away-from-zero
-            # rounding to match DuckDB's round() — pandas .round() is
-            # banker's (half-to-even) and diverges on exact .5 ties.
-            v = purch["value"].to_numpy() * 100.0
-            cents += int((np.floor(np.abs(v) + 0.5) * np.sign(v)).sum())
+            # exact: per-row cents summed as ints (round_half_away_cents
+            # pins the tie-breaking contract vs DuckDB's round()).
+            cents += round_half_away_cents(purch["value"].to_numpy())
         self._state.update((n_events, n_purchases, cents))
         yield pd.DataFrame(
             {
@@ -104,9 +114,47 @@ def user_activity_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def _activity_group_v1(key, pdfs, state):
+    """applyInPandasWithState twin of UserActivityProcessor — identical
+    state quantities (events, purchases, integer cents) and identical
+    output contract, expressed in the v1 single-tuple state API.  Used as
+    the FALLBACK engine where transformWithState's protobuf-based worker
+    protocol is unavailable; the parity test pins both against the same
+    oracle."""
+    import pandas as pd
+
+    n_events, n_purchases, cents = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n_events += len(pdf)
+        purch = pdf[pdf["event_type"] == "purchase"]
+        n_purchases += len(purch)
+        cents += round_half_away_cents(purch["value"].to_numpy())
+    state.update((n_events, n_purchases, cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "n_purchases": [n_purchases],
+            "purchase_value": [cents / 100.0],
+        }
+    )
+
+
+def user_activity_stream_v1(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _activity_group_v1,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stream_user_activity_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: one availableNow pass ⇒ exactly one snapshot per user,
-    equal to the batch per-user aggregate (the parity pytest pins this)."""
+    equal to the batch per-user aggregate (the parity pytest pins this).
+    Engine: transformWithState where its protobuf worker protocol exists,
+    else the applyInPandasWithState twin — same state, same output."""
     import os
     import tempfile
     import uuid
@@ -116,8 +164,9 @@ def stream_user_activity_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet")
     )
     name = f"tws_{uuid.uuid4().hex[:8]}"
+    build = user_activity_stream if _protobuf_available() else user_activity_stream_v1
     q = (
-        user_activity_stream(events_stream_source(spark, stage))
+        build(events_stream_source(spark, stage))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -152,9 +201,11 @@ def _protobuf_available() -> bool:
         return False
 
 
-if _protobuf_available():
-    register(
-        "stream_user_activity_totals",
-        stream_user_activity_totals,
-        USER_ACTIVITY_ORACLE,
-    )
+# Registered UNCONDITIONALLY: the entry picks its engine at run time
+# (transformWithState when protobuf exists, the v1 twin otherwise), so the
+# oracle row is exercisable in every container.
+register(
+    "stream_user_activity_totals",
+    stream_user_activity_totals,
+    USER_ACTIVITY_ORACLE,
+)

@@ -28,6 +28,53 @@ def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     assert "isPublic" in seg and "format" in seg
 
 
+def test_security_predicate_becomes_partition_pruning(spark, sf_dir, tmp_path):
+    """The deployment claim, pinned end-to-end: the COMPILED cat_only_public
+    security predicate, applied through the real search path over the
+    isPublic-partitioned layout, must land in the scan's PartitionFilters
+    (directories skipped at planning time) — not in a row filter."""
+    from data_catalog_spark import search
+    from data_catalog_spark.query import DataSetFiltering, compile_query
+
+    ds = datasets_df(spark, sf_dir)
+    path = str(tmp_path / "datasets_sec")
+    write_partitioned(ds, path, ["isPublic"])
+
+    cq = compile_query({"size": 50}, [], DataSetFiltering.ONLY_PUBLIC, False)
+    result = search.hits(read_partitioned(spark, path), cq)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "isPublic" in seg
+    # and the pruned result equals the unpartitioned reference
+    want = sorted(r.id for r in search.hits(ds, cq).collect())
+    assert sorted(r.id for r in result.collect()) == want
+
+
+def test_catalog_manifest_read_prunes_private_branch(spark, tmp_path):
+    """The catalog's manifest-union read: a security filter on isPublic must
+    collapse the non-matching partition branch at OPTIMIZATION time (the
+    private snapshot directory never appears in the optimized plan)."""
+    from data_catalog_spark.catalog import DatasetsCatalog
+    from test_catalog import ENTRY
+
+    c = DatasetsCatalog(spark, str(tmp_path / "cat"))
+    c.create_if_not_exists()
+    c.bulk_upsert(
+        [
+            ("pub", {**ENTRY, "isPublic": True}),
+            ("priv", {**ENTRY, "isPublic": False, "title": "private"}),
+        ]
+    )
+    q = c.df().where(F.col("isPublic") == True)  # noqa: E712
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    # the Union over partition branches must collapse to the single matching
+    # scan (the false branch's filter folds to an empty relation)
+    assert "Union" not in plan
+    assert plan.count("parquet") == 1
+    assert [r.id for r in q.collect()] == ["pub"]
+
+
 def test_pruned_scan_reads_fewer_files(spark, sf_dir, tmp_path):
     ds = datasets_df(spark, sf_dir)
     path = str(tmp_path / "datasets_part2")

@@ -67,7 +67,17 @@ def test_stemmer_three_way_agreement(spark, ddb):
     from data_catalog_spark import analyzers as A
 
     words = ["widgets", "queries", "classes", "glass", "bus", "s", "window",
-             "sses", "ies", "mass", "masses", "radius"]
+             "sses", "ies", "mass", "masses", "radius",
+             # step 1b: eed / ed / ing + cleanup (at/bl/iz, undouble, +e)
+             "agreed", "feed", "indeed", "plastered", "bled", "motoring",
+             "sing", "conflated", "troubled", "sized", "hopped", "fitted",
+             "filing", "hoping", "using", "agreeing", "seeing",
+             # step 1c: y -> i
+             "happy", "sky", "relay",
+             # step 2: long suffixes gated on the m>0 proxy
+             "relational", "national", "conditional", "organization",
+             "activation", "operator", "formalism", "radicalli",
+             "effectiveness", "hesitanci", "digitizer"]
     want = {w: A.stem(w) for w in words}
     sdf = spark.createDataFrame([(w,) for w in words], "w string")
     got_spark = {
