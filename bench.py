@@ -76,6 +76,11 @@ HEADLINE = [
     "corpus_heavy_hitters_cms",
     "latest_order_per_customer",
     "media_audio_windows",
+    # round 3 additions
+    "cat_stemmed_title",
+    "corpus_top_stems",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
 ]
 
 

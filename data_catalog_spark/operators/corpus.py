@@ -236,6 +236,121 @@ ORDER BY op
 register("docs_set_ops", docs_set_ops, SET_OPS_ORACLE)
 
 
+# -- URL canonicalization + dedup ---------------------------------------------
+
+# Ordered canonicalization chain — the web-pipeline pre-fetch dedup stage
+# (crawl frontiers and CommonCrawl-style corpora dedup on the canonical URL
+# BEFORE any content hashing: one regex pass vs downloading the duplicate).
+# Each rule is a portable regexp (Java regex ∩ RE2, no backrefs):
+#   1. strip the scheme            http://x  -> x
+#   2. strip a leading www.        www.x     -> x
+#   3. strip query + fragment      x?a=1#f   -> x
+#   4. strip one trailing slash    x/        -> x
+_URL_CANON_RULES = [
+    (r"^[a-z][a-z0-9+.-]*://", ""),
+    (r"^www\.", ""),
+    (r"[?#].*$", ""),
+    (r"/$", ""),
+]
+
+
+def _canon_sql(var: str) -> str:
+    """Nested regexp_replace chain (identical text in Spark and DuckDB —
+    sequential application, NOT first-match-wins: every rule always runs)."""
+    out = f"lower({var})"
+    for pat, rep in _URL_CANON_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+    return out
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over the catalog's sourceUri: lowercase, strip
+    scheme / www. / query+fragment / trailing slash, then ONE hash-groupBy
+    on the canonical form — keeper = min id, like dedup_exact.  Scale: the
+    canonicalization is map-only column algebra; the groupBy is one shuffle
+    on a short string key (at crawl scale, the canonical URL is also the
+    natural partitioning key for the fetch queue)."""
+    from ..datasets_source import datasets_df
+
+    canon = F.expr(_canon_sql("sourceUri"))
+    return (
+        datasets_df(spark, sf_dir)
+        .select(F.col("id").cast("bigint").alias("id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("n_urls"))
+        .where(F.col("n_urls") > 1)
+        .orderBy("canonical_url")
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from ..datasets_source import ORACLE_DATASETS_CTE
+
+    return f"""{ORACLE_DATASETS_CTE}
+SELECT {_canon_sql('sourceUri')} AS canonical_url,
+       CAST(MIN(CAST(id AS BIGINT)) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM datasets
+GROUP BY canonical_url HAVING COUNT(*) > 1
+ORDER BY canonical_url
+"""
+
+
+register("url_dedup", url_dedup, _url_dedup_oracle())
+
+
+# -- cross-source contamination matrix ----------------------------------------
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources ship identical documents: exact content fingerprint
+    (md5 of the normalized token stream, same as dedup_exact) → distinct
+    (source, fp) → fp-equality self-join over source pairs (sa < sb) →
+    count per pair.  The corpus-composition audit run before mixing
+    sources into a training set (a high overlap count means the mixture
+    over-weights that shared content).  Scale: |sources| is small but the
+    fp table is corpus-sized — the join is on the 32-hex fp key (one
+    shuffle), never all-pairs of docs; output is |sources|² rows."""
+    from .text import SPARK_TOKENS
+
+    fps = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.md5(F.expr(f"concat_ws(' ', {SPARK_TOKENS})")).alias("fp"),
+        )
+        .distinct()
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from .text import DUCK_TOKENS
+
+    return f"""
+WITH fps AS (
+  SELECT DISTINCT source, md5(array_to_string({DUCK_TOKENS}, ' ')) AS fp
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_docs
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+register("source_overlap_matrix", source_overlap_matrix, _source_overlap_oracle())
+
+
 # -- end-to-end training-corpus pipeline --------------------------------------
 
 

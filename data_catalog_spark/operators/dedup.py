@@ -240,6 +240,16 @@ def minhash_bands(sig: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
 
 
+# Skew guard for LSH buckets (the banding analog of MAX_SHINGLE_DF): a
+# bucket of k colliding docs yields k(k-1)/2 candidate pairs, so one
+# degenerate bucket (empty docs, boilerplate) can dominate the whole job.
+# Buckets larger than this cap are dropped on both engines; a real near-dup
+# cluster that large is better served by the connected-components pass in
+# operators/corpus.py anyway.  Far above every bucket size at the test SFs
+# (max ≈ cluster size ~ 4), so results are unchanged there.
+MAX_BAND_BUCKET = 1024
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with signature-estimated Jaccard.
 
@@ -247,7 +257,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose signature agreement ≥ threshold.  Fully deterministic and — thanks
     to the portable md5 double-hash scheme — reproduced exactly by the
     DuckDB oracle; pytest additionally measures recall against
-    dedup_ngram_jaccard."""
+    dedup_ngram_jaccard.
+
+    Plan: candidates come from ONE shuffle — groupBy the band key, generate
+    pairs INSIDE each (size-capped) bucket — rather than a bands×bands
+    self-join, which would shuffle both sides and rebuild the band table
+    twice.  Bucket-local pair generation plus the MAX_BAND_BUCKET cap is
+    the standard production shape of LSH dedup (bounded work per bucket,
+    skew impossible by construction)."""
     # The sf0.1 documents file is a single row group ⇒ a 1-task scan that
     # would serialize all k×|shingles| hashing; spread docs across the
     # executor threads first (at deployment scale the input is already
@@ -256,21 +273,26 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     # Signatures are tiny (n_docs × k × 8 B); localCheckpoint materializes
-    # them once so the band self-join and the two estimate-joins below reuse
+    # them once so the banding pass and the two estimate-joins below reuse
     # the computed table instead of re-deriving it (the single-job analog of
     # writing a signatures table at deployment scale).
     sig = minhash_signatures(docs).localCheckpoint(eager=False)
-    bands = minhash_bands(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        minhash_bands(sig)
+        .groupBy("band", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= MAX_BAND_BUCKET))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, "
+                    "y -> struct(x AS da, y AS db)))), s -> s.da < s.db)"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .select("p.da", "p.db")
         .distinct()
     )
     sa = sig.alias("sa")
@@ -394,8 +416,10 @@ sig AS (SELECT doc_id, {mins}
         FROM hashed GROUP BY doc_id),
 bands AS (
   {band_arms}),
+ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
+       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),
 cand AS (SELECT a.doc_id AS da, b.doc_id AS db
-         FROM bands a JOIN bands b
+         FROM bands a JOIN ok USING (band, band_hash) JOIN bands b
            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
 SELECT da, db, round(({agree}) / {k}.0, 6) AS est_jac

@@ -90,3 +90,41 @@ def test_training_corpus_e2e_consistent_with_stages(spark, sf_dir):
     }
     assert got == manual
     assert set(got) <= {"train", "val", "test"}
+
+
+def test_url_dedup_parity(spark, sf_dir, ddb):
+    assert_same(corpus.url_dedup(spark, sf_dir), ddb, corpus._url_dedup_oracle())
+
+
+def test_url_canonicalization_rules():
+    """The canonicalization chain via DuckDB (same regexes both engines):
+    scheme, www., query/fragment, trailing slash, case."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = {
+        "HTTP://WWW.Example.com/Path/": "example.com/path",
+        "https://example.com/path?q=1#frag": "example.com/path",
+        "ftp://www.example.com": "example.com",
+        "example.com/path": "example.com/path",
+        "https://sub.www.example.com/": "sub.www.example.com",  # only LEADING www.
+    }
+    for raw, want in cases.items():
+        got = con.execute(
+            f"SELECT {corpus._canon_sql('u')} FROM (VALUES ('{raw}')) v(u)"
+        ).fetchone()[0]
+        assert got == want, (raw, got, want)
+
+
+def test_source_overlap_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.source_overlap_matrix(spark, sf_dir), ddb, corpus._source_overlap_oracle()
+    )
+
+
+def test_source_overlap_symmetric_bound(spark, sf_dir):
+    """Each pair's shared count is bounded by the smaller side's exact-dup
+    group count, and pairs appear once (sa < sb)."""
+    rows = corpus.source_overlap_matrix(spark, sf_dir).collect()
+    assert all(r.source_a < r.source_b for r in rows)
+    assert all(r.n_shared_docs >= 1 for r in rows)
