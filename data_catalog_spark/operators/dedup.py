@@ -133,12 +133,17 @@ def ngram_jaccard_pairs(
     guard (tests use it to prove the bound and the unchanged results)."""
     sh = _shingles(docs)
     if max_shingle_df is not None:
-        # df per shingle is one extra hash agg over the postings; the
-        # window-free join keeps the guard itself partial-aggregated.
-        df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-        sh = (
-            sh.join(df_s.where(F.col("df_s") <= max_shingle_df), "s", "left_semi")
+        # The HOT side (df > cutoff) is the small one by construction —
+        # it is the corpus's boilerplate-shingle inventory — so the guard
+        # is a broadcast ANTI-join: one partial-aggregated df pass, then a
+        # map-side filter of the big exploded stream (no shuffle of it).
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_s"))
+            .where(F.col("df_s") > max_shingle_df)
+            .select("s")
         )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

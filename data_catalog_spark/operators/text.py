@@ -244,15 +244,21 @@ register("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE)
 
 def corpus_top_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 stems corpus-wide — the english-analyzer stemming pass
-    (SURVEY hard-parts) applied as a portable regexp CASE chain inside
-    transform(); token folding happens before the count so plural variants
-    aggregate into one bucket."""
-    stems = F.expr(analyzers.spark_stem_transform(SPARK_TOKENS))
+    (SURVEY hard-parts) applied as a portable regexp CASE chain.
+
+    Stem-dictionary plan: count RAW tokens first (one partial-aggregated
+    shuffle), then run the (expensive, multi-step) stem chain on the
+    DISTINCT vocabulary only and re-aggregate by stem.  The chain executes
+    |vocabulary| times instead of |token occurrences| times — at corpus
+    scale that is millions vs trillions; same trick a production analyzer
+    uses (stem cache keyed by surface form)."""
+    tokens = _docs(spark, sf_dir).select(F.explode(F.expr(SPARK_TOKENS)).alias("w"))
+    counts = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    stem_col = F.expr(analyzers.spark_stem_expr("w"))
     return (
-        _docs(spark, sf_dir)
-        .select(F.explode(stems).alias("stem"))
+        counts.select(stem_col.alias("stem"), "n")
         .groupBy("stem")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .agg(F.sum("n").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("stem"))
         .limit(25)
     )

@@ -150,6 +150,49 @@ def test_clustered_read_prunes_with_pushed_filter(spark, sf_dir, tmp_path):
     assert q.count() == want
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter pruning (the shuffle-join sibling of DPP): a
+    selective filter on the dim side must inject a might_contain() filter
+    on the fact scan, so non-qualifying fact rows drop BEFORE the shuffle —
+    at 100 TB this is what keeps a filtered fact-fact join from shuffling
+    the whole fact table.  Local datasets sit below the default size
+    heuristics (10 GB application-side scan), so the thresholds are lowered
+    for the test; the plan shape is what's being pinned."""
+    from data_catalog_spark.io import read_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        ord_ = read_table(spark, sf_dir, "orders").where("o_orderpriority = '1-URGENT'")
+        li = read_table(spark, sf_dir, "lineitem")
+        j = li.join(ord_, li.l_orderkey == ord_.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        got = {(r.l_returnflag, r["count"]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    want = {
+        (r.l_returnflag, r["count"])
+        for r in read_table(spark, sf_dir, "lineitem")
+        .join(
+            read_table(spark, sf_dir, "orders").where("o_orderpriority = '1-URGENT'"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     """DPP: joining a date-partitioned fact to a FILTERED dim must prune
     fact partitions at RUNTIME from the dim's filter results (a
