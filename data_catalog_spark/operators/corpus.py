@@ -133,15 +133,13 @@ ORDER BY doc_id
 MAX_CC_ROUNDS = 20
 
 
-def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for every doc in a near-dup pair; cluster_id =
-    min doc_id reachable through the pair graph.  Driver loop runs
-    min-label propagation to fixpoint (≤ graph diameter rounds); per round:
-    one join + one groupBy, both on the node key."""
-    edges = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select(F.col("da").alias("a"), F.col("db").alias("b"))
-    )
+def _connected_components(edges: DataFrame) -> DataFrame:
+    """(node, label) with label = min node reachable through the undirected
+    pair graph.  Driver loop runs min-label propagation to fixpoint (≤ graph
+    diameter rounds); per round: one join + one groupBy, both on the node
+    key; localCheckpoint truncates the iterative lineage so plan size stays
+    O(1) in rounds.  ``edges`` must have columns (a, b), one row per
+    directed pair."""
     edges = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = edges.localCheckpoint()
     labels = (
@@ -165,7 +163,17 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select(
+    return labels
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup pair; cluster_id =
+    min doc_id reachable through the Jaccard pair graph."""
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("da").alias("a"), F.col("db").alias("b"))
+    )
+    return _connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
 
@@ -349,6 +357,46 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 register("source_overlap_matrix", source_overlap_matrix, _source_overlap_oracle())
+
+
+# -- embedding near-dup clusters ----------------------------------------------
+
+
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH-bucketed embedding near-dup pairs:
+    (vec_id, cluster_id) with cluster_id = min reachable vec_id — composing
+    the scale-path pair generator (similarity.dedup_embedding_lsh) with the
+    same min-label-propagation machinery the Jaccard clusters use.  This is
+    the keeper-selection input for semantic dedup: keep cluster_id, drop
+    the rest."""
+    from .similarity import dedup_embedding_lsh
+
+    edges = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("va").alias("a"), F.col("vb").alias("b")
+    )
+    return _connected_components(edges).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    ).orderBy("vec_id")
+
+
+def _embedding_clusters_oracle() -> str:
+    from .similarity import _pair_lsh_oracle
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT va, vb FROM ({_pair_lsh_oracle()}) p),
+edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY vec_id
+"""
+
+
+register("embedding_dup_clusters", embedding_dup_clusters, _embedding_clusters_oracle())
 
 
 # -- end-to-end training-corpus pipeline --------------------------------------

@@ -128,3 +128,28 @@ def test_source_overlap_symmetric_bound(spark, sf_dir):
     rows = corpus.source_overlap_matrix(spark, sf_dir).collect()
     assert all(r.source_a < r.source_b for r in rows)
     assert all(r.n_shared_docs >= 1 for r in rows)
+
+
+def test_embedding_dup_clusters_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.embedding_dup_clusters(spark, sf_dir),
+        ddb,
+        corpus._embedding_clusters_oracle(),
+    )
+
+
+def test_embedding_dup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every LSH pair's endpoints share a cluster, and each cluster's id is
+    its minimum member."""
+    from data_catalog_spark.operators.similarity import dedup_embedding_lsh
+
+    label = {
+        r.vec_id: r.cluster_id
+        for r in corpus.embedding_dup_clusters(spark, sf_dir).collect()
+    }
+    pairs = dedup_embedding_lsh(spark, sf_dir).collect()
+    assert pairs and all(label[p.va] == label[p.vb] for p in pairs)
+    members = {}
+    for v, c in label.items():
+        members.setdefault(c, []).append(v)
+    assert all(min(vs) == c for c, vs in members.items())
