@@ -119,3 +119,47 @@ def test_boilerplate_ratio_bounds(spark, sf_dir):
         assert r.n_boiler <= r.n_grams
     # the synthetic corpus plants near-dups, so boilerplate must exist
     assert any(r.n_boiler > 0 for r in rows)
+
+
+def test_stemmer_python_duckdb_fuzz(ddb):
+    """Property fuzz: the python twin and the DuckDB rendering of the stem
+    chain agree on arbitrary lowercase tokens — guards Python-re vs RE2
+    semantic drift in the step patterns (no Spark round-trip needed; the
+    Spark rendering shares the identical pattern text and is pinned by the
+    fixed-vocabulary 3-way test)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_catalog_spark import analyzers as A
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=14))
+    def check(w):
+        got = ddb.execute(
+            f"SELECT {A.duck_stem_expr('w')} FROM (VALUES ('{w}')) v(w)"
+        ).fetchone()[0]
+        assert got == A.stem(w), w
+
+    check()
+
+
+def test_stemmer_python_spark_random_batch(spark):
+    """Seeded-random batch through the SPARK rendering (one job, 200
+    tokens) vs the python twin — the Java-regex side of the same guard."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark import analyzers as A
+
+    rng = random.Random(0xF00D)
+    words = sorted(
+        {
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(1, 14)))
+            for _ in range(200)
+        }
+        | {w + s for w in ("hop", "file", "form", "organ") for s in ("ped", "ing", "ation", "alism", "s")}
+    )
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.s for r in sdf.select("w", F.expr(A.spark_stem_expr("w")).alias("s")).collect()}
+    want = {w: A.stem(w) for w in words}
+    assert got == want
