@@ -357,13 +357,15 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming(fp_a, fp_b) ≤ 3.
 
-    Candidates via 15-bit chunk equality (pigeonhole blocking — no O(n²));
-    exact Hamming check with bit_count(xor).  Portable md5 hashing ⇒ full
-    DuckDB oracle; pytest compares against Jaccard ground truth."""
+    Candidates via 15-bit chunk equality (pigeonhole blocking — no O(n²)),
+    generated BUCKET-LOCALLY like dedup_minhash: one groupBy on
+    (chunk-index, chunk-bits), (doc, fp) pairs enumerated inside each
+    size-capped bucket, exact Hamming check with bit_count(xor) on the
+    pair.  One exchange instead of a two-sided self-join.  Portable md5
+    hashing ⇒ full DuckDB oracle; pytest compares against Jaccard ground
+    truth."""
     fps = simhash_fingerprints(_docs(spark, sf_dir))
     chunks = fps.select(
-        "doc_id",
-        "fp",
         F.explode(
             F.array(
                 *[
@@ -375,23 +377,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ck"),
-    ).select("doc_id", "fp", F.col("ck.j").alias("j"), F.col("ck.c").alias("c"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    ham = F.expr("bit_count(a.fp ^ b.fp)")
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("fp").alias("fp")).alias("m"),
+    ).select(F.col("ck.j").alias("j"), F.col("ck.c").alias("c"), "m")
+    buckets = (
+        chunks.groupBy("j", "c")
+        .agg(F.collect_list("m").alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= MAX_BAND_BUCKET))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ms, x -> transform(ms, y -> struct("
+                "x.doc_id AS da, y.doc_id AS db, "
+                "CAST(bit_count(x.fp ^ y.fp) AS INT) AS hamming)))), "
+                "s -> s.da < s.db)"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(ham <= SIMHASH_MAX_HAMMING)
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            ham.cast("int").alias("hamming"),
-        )
+        pairs.select("p.da", "p.db", "p.hamming")
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
         .orderBy("da", "db")
     )
@@ -459,10 +464,12 @@ votes AS (SELECT doc_id, {votes}
           FROM hashed GROUP BY doc_id),
 fps AS (SELECT doc_id, {packed} AS fp FROM votes),
 chunks AS (
-  {chunk_arms})
+  {chunk_arms}),
+ok AS (SELECT j, c FROM chunks GROUP BY 1, 2
+       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET})
 SELECT a.doc_id AS da, b.doc_id AS db,
        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-FROM chunks a JOIN chunks b
+FROM chunks a JOIN ok USING (j, c) JOIN chunks b
   ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
 GROUP BY 1, 2, 3

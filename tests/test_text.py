@@ -131,7 +131,7 @@ def test_stemmer_python_duckdb_fuzz(ddb):
 
     from data_catalog_spark import analyzers as A
 
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=300, deadline=None, derandomize=True)
     @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=14))
     def check(w):
         got = ddb.execute(
