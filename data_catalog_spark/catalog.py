@@ -11,14 +11,16 @@ Re-expresses the reference's document lifecycle (SURVEY §2.1, S2-S8):
 
 Storage model: PARTITIONED copy-on-write with a per-version manifest — the
 minimal honest shape of a Delta/Iceberg transaction log.  The table is
-hive-partitioned by ``isPublic`` (the security predicate's column); each
-commit writes parquet for the TOUCHED partitions only into a new immutable
-snapshot directory and records, in that snapshot's ``_manifest.json``, which
-snapshot holds each partition's current data (untouched partitions keep
-pointing at the older snapshot that last wrote them).  A commit is therefore
-O(touched partition), not O(table): a 1-row private upsert rewrites only the
-``isPublic=false`` files, pinned by ``test_commit_rewrites_only_touched_
-partition``.  On a real deployment this class is a thin wrapper over
+hive-partitioned by ``isPublic`` (the security predicate's column) and
+sub-bucketed by an md5 hash of ``orgUUID`` (N_BUCKETS cells per partition;
+the bucket function has a python twin so mutators can name touched cells
+driver-side); each commit writes parquet for the TOUCHED (partition,
+bucket) cells only into a new immutable snapshot directory and records, in
+that snapshot's ``_manifest.json``, which snapshot holds each cell's
+current data (untouched cells keep pointing at the older snapshot that
+last wrote them).  A commit is therefore O(touched cells), not O(table):
+a 1-row upsert rewrites 1/(2·N_BUCKETS) of the table — pinned by
+``test_commit_rewrites_only_touched_partition``.  On a real deployment this class is a thin wrapper over
 Delta/Iceberg ``MERGE INTO`` keyed on ``id`` — the call surface is written so
 that swap-out is mechanical (each mutator builds the post-image DataFrame and
 names its touched partitions; only ``_commit`` knows the storage).  The
@@ -84,9 +86,33 @@ class DatasetsCatalog:
     # referenced by a retained manifest.
 
     PARTITION_COL = "isPublic"
+    BUCKET_COL = "_orgbucket"  # derived: md5-bucket of orgUUID, never stored
+    N_BUCKETS = 16
 
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, "snapshots", f"v{version:06d}")
+
+    @classmethod
+    def _bucket_of(cls, org_uuid: str | None) -> int:
+        """Driver-side twin of ``_bucket_expr`` (same md5 prefix scheme the
+        dedup sketches use for engine portability) — mutators compute the
+        touched (partition, bucket) set from plain python rows."""
+        import hashlib
+
+        if org_uuid is None:
+            return 0
+        return int(hashlib.md5(org_uuid.encode()).hexdigest()[:8], 16) % cls.N_BUCKETS
+
+    @classmethod
+    def _bucket_expr(cls) -> F.Column:
+        return F.when(
+            F.col("orgUUID").isNull(), F.lit(0)
+        ).otherwise(
+            (
+                F.expr("cast(conv(substring(md5(orgUUID), 1, 8), 16, 10) as bigint)")
+                % cls.N_BUCKETS
+            ).cast("int")
+        )
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._snapshot_dir(version), "_manifest.json")
@@ -150,23 +176,35 @@ class DatasetsCatalog:
 
     def df(self, version: int | None = None) -> DataFrame:
         """Current table, or a time-travel read of an older snapshot: union
-        of the per-partition scans the version's manifest points at (≤ the
-        partition count — 2 here — branches; a filter on isPublic collapses
-        to the single matching branch)."""
+        of the per-(partition, org-bucket) scans the version's manifest
+        points at.  A filter on isPublic collapses the non-matching
+        partition's branches at optimization time; per-partition branch
+        count is bounded by N_BUCKETS.  Scans owned by the SAME snapshot
+        are read as one multi-directory scan, so the plan has at most one
+        branch per (owner, partition-value) — not one per bucket."""
         self.create_if_not_exists()
         if version is None:
             version = self._latest_version()
         manifest = self._manifest(version)
         if manifest is None or not os.path.isdir(self._snapshot_dir(version)):
             raise EntryNotFoundError(f"version {version}")
-        parts = []
         file_schema = T.StructType(
             [f for f in DATASETS_SCHEMA.fields if f.name != self.PARTITION_COL]
         )
-        for pval, owner in sorted(manifest.items()):
-            pdir = os.path.join(
-                self._snapshot_dir(owner), f"{self.PARTITION_COL}={pval}"
+        # group bucket dirs by (owner snapshot, partition value): one scan
+        # per group keeps the union small and lets Spark list files once
+        groups: dict[tuple[int, str], list[str]] = {}
+        for key, owner in sorted(manifest.items()):
+            pval, bucket = key.rsplit("/", 1)
+            groups.setdefault((owner, pval), []).append(
+                os.path.join(
+                    self._snapshot_dir(owner),
+                    f"{self.PARTITION_COL}={pval}",
+                    f"{self.BUCKET_COL}={bucket}",
+                )
             )
+        parts = []
+        for (owner, pval), dirs in sorted(groups.items()):
             lit = (
                 F.lit(None).cast("boolean")
                 if pval == "__HIVE_DEFAULT_PARTITION__"
@@ -174,7 +212,7 @@ class DatasetsCatalog:
             )
             parts.append(
                 self.spark.read.schema(file_schema)
-                .parquet(pdir)
+                .parquet(*dirs)
                 .withColumn(self.PARTITION_COL, lit)
                 .select(*DATASETS_SCHEMA.fieldNames())
             )
@@ -272,15 +310,18 @@ class DatasetsCatalog:
         )
         current = self.df()
         batch_ids = batch.select("id")
-        # matched (id, partition) only — bounded by the batch size, never
-        # the table; the old partition of a row whose visibility flips must
-        # be rewritten too (it loses the row)
-        matched = current.select("id", self.PARTITION_COL).join(
+        # matched (id, partition, org) only — bounded by the batch size,
+        # never the table; the old cell of a row whose visibility or org
+        # flips must be rewritten too (it loses the row)
+        matched = current.select("id", self.PARTITION_COL, "orgUUID").join(
             batch_ids, "id", "left_semi"
         ).collect()
         existing = {r["id"] for r in matched}
-        touched = {r[self.PARTITION_COL] for r in matched} | {
-            r.get(self.PARTITION_COL) for r in last.values()
+        touched = {
+            (r[self.PARTITION_COL], self._bucket_of(r["orgUUID"])) for r in matched
+        } | {
+            (r.get(self.PARTITION_COL), self._bucket_of(r.get("orgUUID")))
+            for r in last.values()
         }
         merged = current.join(batch_ids, "id", "left_anti").unionByName(batch)
         self._commit(merged, touched=touched)
@@ -308,21 +349,27 @@ class DatasetsCatalog:
         entry = self.get(entry_id)
         self._commit(
             self.df().where(F.col("id") != F.lit(entry_id)),
-            touched={entry.get(self.PARTITION_COL)},
+            touched={
+                (entry.get(self.PARTITION_COL), self._bucket_of(entry.get("orgUUID")))
+            },
         )
         return entry
 
     # -- storage -----------------------------------------------------------
 
-    def _commit(self, df: DataFrame, touched: set[bool | None] | None = None) -> None:
+    def _commit(
+        self, df: DataFrame, touched: set[tuple[bool | None, int]] | None = None
+    ) -> None:
         """File-granular versioned commit: write parquet for the TOUCHED
-        isPublic partitions of the post-image into a new immutable snapshot,
-        carry every untouched partition forward by manifest reference, then
-        atomically repoint the VERSION file (write-temp + rename).  Cost is
-        O(touched partition data), not O(table).  ``touched=None`` means a
-        full rewrite (table creation / unknown provenance).  Old snapshots
-        stay readable until ``vacuum`` — genuine snapshot isolation, the
-        single-node shape of a Delta/Iceberg commit."""
+        (isPublic partition, orgUUID bucket) cells of the post-image into a
+        new immutable snapshot, carry every untouched cell forward by
+        manifest reference, then atomically repoint the VERSION file
+        (write-temp + rename).  Cost is O(touched cells), i.e. a 1-row
+        upsert rewrites 1/(2·N_BUCKETS) of the table, not the table.
+        ``touched=None`` means a full rewrite (table creation / unknown
+        provenance).  Old snapshots stay readable until ``vacuum`` —
+        genuine snapshot isolation, the single-node shape of a
+        Delta/Iceberg commit."""
         import json
 
         os.makedirs(os.path.join(self.path, "snapshots"), exist_ok=True)
@@ -333,30 +380,37 @@ class DatasetsCatalog:
             tempfile.mkdtemp(dir=os.path.join(self.path, "snapshots")),
             f"commit-{uuid.uuid4().hex}",
         )
+        df = df.withColumn(self.BUCKET_COL, self._bucket_expr())
+        key_col = F.concat_ws(
+            "/",
+            F.coalesce(
+                F.col(self.PARTITION_COL).cast("string"),
+                F.lit("__HIVE_DEFAULT_PARTITION__"),
+            ),
+            F.col(self.BUCKET_COL).cast("string"),
+        )
         if touched is not None:
-            keys = {self._pkey(v) for v in touched}
-            df = df.where(
-                F.coalesce(
-                    F.col(self.PARTITION_COL).cast("string"),
-                    F.lit("__HIVE_DEFAULT_PARTITION__"),
-                ).isin(*keys)
-                if keys
-                else F.lit(False)
-            )
-        df.write.mode("overwrite").partitionBy(self.PARTITION_COL).parquet(tmp)
-        written = {
-            name.split("=", 1)[1]
-            for name in os.listdir(tmp)
-            if name.startswith(f"{self.PARTITION_COL}=")
-        }
+            keys = {self._pkey(v, b) for v, b in touched}
+            df = df.where(key_col.isin(*keys) if keys else F.lit(False))
+        df.write.mode("overwrite").partitionBy(
+            self.PARTITION_COL, self.BUCKET_COL
+        ).parquet(tmp)
+        written = set()
+        for pname in os.listdir(tmp):
+            if not pname.startswith(f"{self.PARTITION_COL}="):
+                continue
+            for bname in os.listdir(os.path.join(tmp, pname)):
+                if bname.startswith(f"{self.BUCKET_COL}="):
+                    written.add(
+                        pname.split("=", 1)[1] + "/" + bname.split("=", 1)[1]
+                    )
         if touched is None:
             manifest = {k: new_version for k in written}
         else:
-            # untouched partitions keep their previous owner; a touched
-            # partition that came back empty disappears from the manifest
-            manifest = {
-                k: v for k, v in prev.items() if k not in {self._pkey(t) for t in touched}
-            }
+            # untouched cells keep their previous owner; a touched cell
+            # that came back empty disappears from the manifest
+            tkeys = {self._pkey(v, b) for v, b in touched}
+            manifest = {k: v for k, v in prev.items() if k not in tkeys}
             manifest.update({k: new_version for k in written})
         # an orphan snap dir (commit crashed after the move but before the
         # VERSION repoint) was never referenced — clear it, else
@@ -373,8 +427,7 @@ class DatasetsCatalog:
         os.replace(vtmp, os.path.join(self.path, "VERSION"))
 
     @staticmethod
-    def _pkey(value: bool | None) -> str:
-        """Hive directory-suffix encoding of a partition value."""
-        if value is None:
-            return "__HIVE_DEFAULT_PARTITION__"
-        return "true" if value else "false"
+    def _pkey(value: bool | None, bucket: int) -> str:
+        """Manifest key: hive suffix of the partition value + bucket id."""
+        p = "__HIVE_DEFAULT_PARTITION__" if value is None else ("true" if value else "false")
+        return f"{p}/{bucket}"

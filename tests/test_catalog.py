@@ -216,8 +216,9 @@ def test_diff_between_identical_versions_is_empty(cat):
 
 def test_commit_rewrites_only_touched_partition(cat):
     """File-granular commits: a 1-row private upsert must write ONLY the
-    isPublic=false partition into the new snapshot and carry the public
-    partition forward by manifest reference to the older snapshot."""
+    isPublic=false partition's touched org-bucket into the new snapshot and
+    carry every other (partition, bucket) cell forward by manifest
+    reference to the older snapshot."""
     import os
 
     c = cat
@@ -225,24 +226,33 @@ def test_commit_rewrites_only_touched_partition(cat):
         [
             ("pub1", {**ENTRY, "isPublic": True}),
             ("pub2", {**ENTRY, "isPublic": True, "title": "second public"}),
-            ("priv1", {**ENTRY, "isPublic": False, "title": "private one"}),
+            ("priv1", {**ENTRY, "isPublic": False, "title": "private one", "orgUUID": "orgA"}),
         ]
     )
     v_base = c._latest_version()
     base_manifest = c._manifest(v_base)
-    assert set(base_manifest) == {"true", "false"}
+    assert {k.split("/")[0] for k in base_manifest} == {"true", "false"}
 
-    c.upsert("priv2", {**ENTRY, "isPublic": False, "title": "private two"})
+    c.upsert("priv2", {**ENTRY, "isPublic": False, "title": "private two", "orgUUID": "orgB"})
     v_new = c._latest_version()
-    # the new snapshot dir holds ONLY the private partition's files
+    # the new snapshot dir holds ONLY the private partition, and within it
+    # only orgB's bucket
     snap = c._snapshot_dir(v_new)
     part_dirs = [d for d in os.listdir(snap) if d.startswith("isPublic=")]
     assert part_dirs == ["isPublic=false"]
-    # manifest: private partition owned by the new version, public partition
-    # still served from the base snapshot (no rewrite happened)
+    bucket_dirs = [
+        d for d in os.listdir(os.path.join(snap, "isPublic=false"))
+        if d.startswith("_orgbucket=")
+    ]
+    b_new = c._bucket_of("orgB")
+    assert bucket_dirs == [f"_orgbucket={b_new}"]
+    # manifest: the touched cell owned by the new version; every base cell
+    # (including priv1's bucket, if different) still points at the base
     m = c._manifest(v_new)
-    assert m["false"] == v_new
-    assert m["true"] == base_manifest["true"] == v_base
+    assert m[f"false/{b_new}"] == v_new
+    for k, v in base_manifest.items():
+        if k != f"false/{b_new}":
+            assert m[k] == v == v_base
     # and the table view is complete and correct
     assert sorted(r.id for r in c.df().collect()) == ["priv1", "priv2", "pub1", "pub2"]
     assert {r.isPublic for r in c.df().where("id like 'priv%'").collect()} == {False}
