@@ -263,3 +263,116 @@ FROM rules ORDER BY rule
 
 
 register("orders_quality_report", orders_quality_report, _quality_oracle())
+
+
+# -- per-source duplication rate ----------------------------------------------
+
+
+def source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication report: how many of a source's docs are
+    copies of content that appears more than once ANYWHERE in the corpus
+    (dup_docs), what fraction of the source that is (dup_rate), and how
+    many docs a content-level dedup would keep (distinct_fps).  The
+    before/after-sizing number every corpus-mixing decision starts from.
+
+    Plan: one md5 fingerprint pass (same normalization as dedup_exact,
+    operators/dedup.py:89), a corpus-wide fp count (hash agg), joined back
+    map-side as a broadcast of the DUPLICATED fp set only — the duplicated
+    inventory is small by the same argument as the hot-shingle guard."""
+    from .text import SPARK_TOKENS
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.expr(f"concat_ws(' ', {SPARK_TOKENS})")).alias("fp")
+    )
+    dup_fps = (
+        docs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("fp")
+    )
+    flagged = docs.join(
+        F.broadcast(dup_fps).withColumn("is_dup", F.lit(1)), "fp", "left_outer"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("distinct_fps"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "distinct_fps",
+            "dup_docs",
+            F.round(F.col("dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_dup_oracle() -> str:
+    from .text import DUCK_TOKENS
+
+    return f"""
+WITH d AS (SELECT source, md5(array_to_string({DUCK_TOKENS}, ' ')) AS fp
+           FROM documents),
+dups AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps,
+       CAST(sum(CASE WHEN fp IN (SELECT fp FROM dups) THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_docs,
+       round(sum(CASE WHEN fp IN (SELECT fp FROM dups) THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS dup_rate
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+register("source_dup_rates", source_dup_rates, _source_dup_oracle())
+
+
+# -- log-bucketed document length histogram -----------------------------------
+
+
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram over n_chars: bucket = floor(log2),
+    reported as [lo, hi) bounds with counts and corpus share — the
+    length-distribution profile used to pick chunking windows and spot
+    truncated/degenerate documents.  Map-only bucket computation + one
+    hash agg; integer log2 via the binary-digit count keeps the Spark side
+    exact at bucket boundaries (floor(log2) is exact for DuckDB at these
+    magnitudes)."""
+    docs = read_table(spark, sf_dir, "documents")
+    total = docs.count()  # 1-scalar driver value, reused as a literal
+    bucket = F.expr("CAST(length(bin(n_chars)) - 1 AS INT)")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo_chars"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)").alias("hi_chars"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(total), 6).alias("share"),
+        )
+        .orderBy("lo_chars")
+    )
+
+
+DOCS_LENGTH_HIST_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(log2(n_chars)) AS INT) AS bucket
+  FROM documents WHERE n_chars > 0
+),
+t AS (SELECT count(*) AS total FROM documents)
+SELECT CAST((CAST(1 AS BIGINT) << bucket) AS BIGINT) AS lo_chars,
+       CAST((CAST(1 AS BIGINT) << (bucket + 1)) AS BIGINT) AS hi_chars,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / (SELECT total FROM t), 6) AS share
+FROM b GROUP BY bucket ORDER BY lo_chars
+"""
+
+
+register("docs_length_histogram", docs_length_histogram, DOCS_LENGTH_HIST_ORACLE)

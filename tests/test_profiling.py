@@ -87,3 +87,37 @@ def test_quality_report_counts_planted_violations(spark, sf_dir):
     row = dirty.agg(*rule_aggs).first()
     assert row["totalprice_positive"] == 3
     assert row["orderdate_not_null"] == 0
+
+
+def test_source_dup_rates_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import profiling as P
+
+    assert_same(P.source_dup_rates(spark, sf_dir), ddb, P._source_dup_oracle())
+
+
+def test_source_dup_rates_invariants(spark, sf_dir):
+    from data_catalog_spark.operators import profiling as P
+
+    rows = P.source_dup_rates(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_docs <= r.n_docs
+        assert r.distinct_fps <= r.n_docs
+        assert abs(r.dup_rate - r.dup_docs / r.n_docs) < 1e-6
+
+
+def test_docs_length_histogram_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import profiling as P
+
+    assert_same(P.docs_length_histogram(spark, sf_dir), ddb, P.DOCS_LENGTH_HIST_ORACLE)
+
+
+def test_docs_length_histogram_covers_corpus(spark, sf_dir):
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import profiling as P
+
+    rows = P.docs_length_histogram(spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.where("n_chars > 0").count()
+    for r in rows:
+        assert r.hi_chars == 2 * r.lo_chars  # power-of-two buckets
