@@ -285,3 +285,46 @@ def test_commit_clears_orphan_snapshot_dir(cat, tmp_path):
     c.upsert("2", {**ENTRY, "title": "two"})
     assert c.count() == 2
     assert sorted(r.id for r in c.df().collect()) == ["1", "2"]
+
+
+def test_visibility_flip_rewrites_both_cells(cat):
+    """An upsert that flips isPublic must rewrite the OLD cell (which loses
+    the row) and the NEW cell (which gains it) — and nothing else."""
+    c = cat
+    c.bulk_upsert(
+        [
+            ("keep", {**ENTRY, "isPublic": True, "orgUUID": "orgk"}),
+            ("mover", {**ENTRY, "isPublic": True, "orgUUID": "orgm"}),
+        ]
+    )
+    v_base = c._latest_version()
+    c.upsert("mover", {**ENTRY, "isPublic": False, "orgUUID": "orgm"})
+    v_new = c._latest_version()
+    m = c._manifest(v_new)
+    b = c._bucket_of("orgm")
+    # the new private cell exists and is owned by the new version
+    assert m[f"false/{b}"] == v_new
+    # the old public cell was rewritten (row removed) or dropped if empty
+    old_pub = m.get(f"true/{b}")
+    assert old_pub in (v_new, None)
+    # untouched cell still points at the base version
+    assert m[f"true/{c._bucket_of('orgk')}"] == v_base or c._bucket_of("orgk") == b
+    rows = {r.id: r.isPublic for r in c.df().collect()}
+    assert rows == {"keep": True, "mover": False}
+
+
+def test_org_flip_moves_row_across_buckets(cat):
+    """Changing orgUUID moves the row to a different bucket cell; the old
+    bucket must not keep a stale copy."""
+    c = cat
+    # find two orgs hashing to DIFFERENT buckets
+    orgs = ["org%02d" % i for i in range(30)]
+    a = orgs[0]
+    b = next(o for o in orgs if c._bucket_of(o) != c._bucket_of(a))
+    c.upsert("doc", {**ENTRY, "isPublic": True, "orgUUID": a})
+    c.upsert("doc", {**ENTRY, "isPublic": True, "orgUUID": b})
+    m = c._manifest(c._latest_version())
+    assert f"true/{c._bucket_of(b)}" in m
+    assert f"true/{c._bucket_of(a)}" not in m  # old cell emptied -> dropped
+    rows = c.df().collect()
+    assert len(rows) == 1 and rows[0].orgUUID == b
