@@ -102,13 +102,15 @@ def main() -> None:
     names += [n for n in extra.split(",") if n and n in qs and n not in names]
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        spreads[name] = runs
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -119,6 +121,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # both timed runs per query, so box variance is separable
+                # from regression without cross-referencing notes
+                "runs": spreads,
                 "sf": sf,
             }
         )

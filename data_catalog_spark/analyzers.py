@@ -100,7 +100,12 @@ def token_match_pattern(tokens: list[str], split_class: str) -> str | None:
 #  - y counts as a vowel in V-containment classes ([aeiouy]) and as a
 #    consonant in C classes ([^aeiou]) — Porter's contextual-y rule folded
 #    to its common case;
-#  - steps 3-5 (rare long suffixes, final-e tidy-up) are omitted;
+#  - m>1 (steps 4/5) is encoded as "stem contains two VC pairs in order"
+#    (_M2) — exact up to the same y-folding;
+#  - step 5a's (m=1 ∧ ¬*o) e-removal enumerates the ¬*o shapes
+#    structurally (stem ends in two consonants / vowel-vowel-consonant /
+#    is a bare V+C block); the contextual w/x/y-final case folds in via
+#    the CC shape where the classes allow;
 #  - step 1a keeps 'ss'/'us' endings intact (Porter strips bare 's' of
 #    'us'), avoiding 'bus'→'bu'-style overstemming on short tokens.
 # Constraint shared by every rule: NO backreferences in patterns (DuckDB's
@@ -110,6 +115,10 @@ def token_match_pattern(tokens: list[str], split_class: str) -> str | None:
 _V = "[aeiouy]"       # vowel (y included)
 _C = "[^aeiou]"       # consonant (y included)
 _M1 = f"[a-z]*{_V}{_C}[a-z]*"  # the m>0 proxy: stem contains a VC pair
+# the m>1 proxy: two VC pairs in order (each maximal vowel-run/consonant-run
+# boundary contributes one adjacent VC pair, so m>=2 iff two such pairs
+# appear left-to-right — exact up to the declared y-folding)
+_M2 = f"[a-z]*{_V}{_C}[a-z]*{_V}{_C}[a-z]*"
 
 STEP_1A: list[tuple[str, str]] = [
     (r"sses$", "ss"),     # classes  -> class
@@ -161,7 +170,73 @@ STEP_2: list[tuple[str, str]] = [
     (rf"({_M1})eli$", "$1e"),         # nicely? (niceli -> nice)
 ]
 
-STEM_STEPS: list[list[tuple[str, str]]] = [STEP_1A, STEP_1B, STEP_1C, STEP_2]
+# Porter step 3 (m>0): the -icate/-ative/-alize/-icity/-ical/-ful/-ness
+# family (Porter 1980 §step 3).
+STEP_3: list[tuple[str, str]] = [
+    (rf"({_M1})icate$", "$1ic"),   # triplicate -> triplic
+    (rf"({_M1})ative$", "$1"),     # formative  -> form
+    (rf"({_M1})alize$", "$1al"),   # formalize  -> formal
+    (rf"({_M1})iciti$", "$1ic"),   # electriciti -> electric
+    (rf"({_M1})ical$", "$1ic"),    # electrical -> electric
+    (rf"({_M1})ful$", "$1"),       # hopeful    -> hope
+    (rf"({_M1})ness$", "$1"),      # goodness   -> good
+]
+
+# Porter step 4 (m>1): drop the remaining derivational suffix entirely.
+# Longest-first ordering (ement ⊃ ment ⊃ ent) makes first-match-wins
+# equivalent to Porter's longest-suffix dispatch; -ion additionally
+# requires the stem to end in s/t (*S/*T).
+STEP_4: list[tuple[str, str]] = [
+    (rf"({_M2})ement$", "$1"),     # replacement -> replac
+    (rf"({_M2})ment$", "$1"),      # adjustment  -> adjust
+    (rf"({_M2})ance$", "$1"),      # allowance   -> allow
+    (rf"({_M2})ence$", "$1"),      # inference   -> infer
+    (rf"({_M2})able$", "$1"),      # adjustable  -> adjust
+    (rf"({_M2})ible$", "$1"),      # defensible  -> defens
+    (rf"({_M2}[st])ion$", "$1"),   # adoption    -> adopt; *S/*T guard
+    (rf"({_M2})ant$", "$1"),       # irritant    -> irrit
+    (rf"({_M2})ent$", "$1"),       # dependent   -> depend
+    (rf"({_M2})ism$", "$1"),       # communism   -> commun
+    (rf"({_M2})ate$", "$1"),       # activate    -> activ
+    (rf"({_M2})iti$", "$1"),       # angulariti  -> angular
+    (rf"({_M2})ous$", "$1"),       # homologous  -> homolog
+    (rf"({_M2})ive$", "$1"),       # effective   -> effect
+    (rf"({_M2})ize$", "$1"),       # bowdlerize  -> bowdler
+    (rf"({_M2})al$", "$1"),        # revival     -> reviv
+    (rf"({_M2})er$", "$1"),        # airliner    -> airlin
+    (rf"({_M2})ic$", "$1"),        # gyroscopic  -> gyroscop
+    (rf"({_M2})ou$", "$1"),        # homologou   -> homolog
+]
+
+# Porter step 5a: final-e tidy — strip when m>1, or when m=1 and the stem
+# does not end c-v-c (¬*o).  First-match-wins means the ¬*o rules below
+# only ever see m<=1 stems (an m>1 word already matched rule 1), and each
+# requires a VC pair so m=1 exactly.
+STEP_5A: list[tuple[str, str]] = [
+    (rf"({_M2})e$", "$1"),                            # probate -> probat; rate stays
+    (rf"([a-z]*{_V}[a-z]*{_C}{_C})e$", "$1"),         # ends CC:  fence -> fenc, able -> abl
+    (rf"([a-z]*{_V}{_V}[^aeiou])e$", "$1"),           # ends VVC: cease -> ceas
+    (rf"([a-z]*{_V}{_C}[a-z]*{_V})e$", "$1"),         # ends V:   agree -> agre; free stays
+    (rf"^({_V}+{_C})e$", "$1"),                       # bare V+C: axe -> ax; file stays (*o)
+]
+
+# Porter step 5b: (m>1 ∧ *d ∧ *L) — undouble a final ll.  The captured
+# stem keeps one l; requiring a VC pair before the final vowel-run makes
+# the retained stem m>1 by the same proxy (controll -> control, roll stays).
+STEP_5B: list[tuple[str, str]] = [
+    (rf"({_V}{_C}[a-z]*{_V}[a-z]*)ll$", "$1l"),
+]
+
+STEM_STEPS: list[list[tuple[str, str]]] = [
+    STEP_1A,
+    STEP_1B,
+    STEP_1C,
+    STEP_2,
+    STEP_3,
+    STEP_4,
+    STEP_5A,
+    STEP_5B,
+]
 
 # Back-compat alias (plural folding = step 1a).
 STEM_RULES = STEP_1A

@@ -227,6 +227,41 @@ ORDER BY CAST(id AS BIGINT)
 """
 
 
+def partitioned_datasets_path(sf_dir: str) -> str:
+    """Write-once materialization of the datasets table in the DEPLOYMENT
+    layout — hive-partitioned by isPublic (io.write_partitioned), one dir
+    per sf_dir under the warehouse tmp root."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"dcs-datasets-ispublic-{tag}")
+
+
+def _partitioned_only_public(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-surface partition pruning (the deployment claim, on a
+    REGISTERED query): materialize the datasets table hive-partitioned by
+    isPublic, then run the compiled ONLY_PUBLIC security query over that
+    layout — same result contract as cat_only_public, but the injected
+    security predicate prunes directories (PartitionFilters in the scan,
+    pinned by test_partitioned_io) instead of filtering rows.  The
+    partition value comes back as a string (hive dir name), so the hits
+    projection casts it to the declared boolean."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .io import read_partitioned, write_partitioned
+
+    path = partitioned_datasets_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_partitioned(datasets_df(spark, sf_dir), path, ["isPublic"])
+    cq = compile_query(*CATALOG_CASES["cat_only_public"])
+    hits = search.hits(read_partitioned(spark, path), cq)
+    return hits.withColumn("isPublic", F.col("isPublic").cast("boolean"))
+
+
 def _org_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog reporting: per-tenant dataset counts, storage footprint, and
     visibility split — the admin dashboard query over the catalog table
@@ -300,6 +335,7 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["cat_count"] = _total_query(CATALOG_CASES["cat_match_all"])
     out["cat_count_only_public"] = _total_query(CATALOG_CASES["cat_only_public"])
+    out["cat_partitioned_only_public"] = _partitioned_only_public
     return out
 
 
@@ -324,6 +360,9 @@ def catalog_oracles() -> dict[str, str]:
     )
     out["cat_count"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_all)}"
     out["cat_count_only_public"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_pub)}"
+    # same oracle as cat_only_public: the partitioned layout changes the
+    # physical plan (pruned dirs), never the result
+    out["cat_partitioned_only_public"] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq_pub)}"
     return out
 
 

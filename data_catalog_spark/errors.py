@@ -31,3 +31,10 @@ class EntryNotFoundError(DataCatalogError):
 
     Reference: ES NotFoundError -> HTTP 404 (data_catalog/metadata_entry.py).
     """
+
+
+class CommitConflictError(DataCatalogError):
+    """Raised when a catalog commit loses an optimistic-concurrency race:
+    the table advanced past the version the post-image was computed
+    against.  The loser must retry on the new snapshot — never silently
+    clobber the winner's manifest chain (HTTP 409 shape)."""

@@ -133,17 +133,20 @@ def ngram_jaccard_pairs(
     guard (tests use it to prove the bound and the unchanged results)."""
     sh = _shingles(docs)
     if max_shingle_df is not None:
-        # The HOT side (df > cutoff) is the small one by construction —
-        # it is the corpus's boilerplate-shingle inventory — so the guard
-        # is a broadcast ANTI-join: one partial-aggregated df pass, then a
-        # map-side filter of the big exploded stream (no shuffle of it).
+        # The HOT side (df > cutoff) is usually tiny — the corpus's
+        # boilerplate-shingle inventory — but it is NOT constant-bounded:
+        # |hot| ≤ |postings|/cutoff, which at 100 TB can exceed any fixed
+        # broadcast cap.  So the guard is an UNHINTED anti-join: AQE
+        # broadcasts it when the runtime size is genuinely small and falls
+        # back to a shuffle join when it isn't (the df aggregation already
+        # paid that shuffle, so asymptotics are unchanged either way).
         hot = (
             sh.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df_s"))
             .where(F.col("df_s") > max_shingle_df)
             .select("s")
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sh = sh.join(hot, "s", "left_anti")
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -255,6 +258,30 @@ def minhash_bands(sig: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
 MAX_BAND_BUCKET = 1024
 
 
+def capped_buckets(
+    df: DataFrame, keys: list[str], payload, cap: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """GroupBy ``keys`` and collect ``payload`` into a list — but enforce
+    the bucket-size cap BEFORE any list materializes: a count pre-pass
+    names the admissible keys (1 < n ≤ cap) and a semi-join drops every row
+    of an oversized bucket, so a degenerate key (empty docs at crawl scale)
+    never builds an unbounded array in a single aggregation buffer only to
+    be discarded.  Two hash aggs + one equality join on the same key —
+    identical results to filter-after-collect, cap honored by construction.
+    """
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= cap))
+        .select(*keys)
+    )
+    return (
+        df.join(counts, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.collect_list(payload).alias("payload"))
+    )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with signature-estimated Jaccard.
 
@@ -282,12 +309,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the computed table instead of re-deriving it (the single-job analog of
     # writing a signatures table at deployment scale).
     sig = minhash_signatures(docs).localCheckpoint(eager=False)
-    buckets = (
-        minhash_bands(sig)
-        .groupBy("band", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= MAX_BAND_BUCKET))
-    )
+    buckets = capped_buckets(
+        minhash_bands(sig), ["band", "band_hash"], F.col("doc_id")
+    ).withColumnRenamed("payload", "ids")
     cand = (
         buckets.select(
             F.explode(
@@ -379,10 +403,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ck"),
         F.struct(F.col("doc_id").alias("doc_id"), F.col("fp").alias("fp")).alias("m"),
     ).select(F.col("ck.j").alias("j"), F.col("ck.c").alias("c"), "m")
-    buckets = (
-        chunks.groupBy("j", "c")
-        .agg(F.collect_list("m").alias("ms"))
-        .where((F.size("ms") > 1) & (F.size("ms") <= MAX_BAND_BUCKET))
+    buckets = capped_buckets(chunks, ["j", "c"], F.col("m")).withColumnRenamed(
+        "payload", "ms"
     )
     pairs = buckets.select(
         F.explode(

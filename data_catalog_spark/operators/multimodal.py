@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shape, ``mapInPandas`` UDF signatures; the actual media decoding is
-STUBBED (pillow/librosa/ffmpeg are not in this container): ``decode_*``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (byte-histogram features) stands in so the
-distributed pipeline is exercisable end-to-end.
+batch shape, ``mapInPandas`` UDF signatures.  AUDIO decode is REAL (stdlib
+``wave`` PCM parsing — no third-party package needed; ``decode_audio``
+raises ValueError on non-WAV bytes and ``window_audio`` falls back to
+bytes-as-samples for them).  IMAGE/VIDEO decode stays STUBBED
+(pillow/ffmpeg are not in this container): ``decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic
+fake decoder (byte-histogram features) stands in so the distributed
+pipeline is exercisable end-to-end.
 
 Scale notes: media bytes stay in executor-side Arrow batches — never
 collected, never shuffled whole (feature extraction projects binary →
@@ -98,13 +101,40 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     return _byte_histogram(content)
 
 
-def decode_audio(content: bytes, *, fake: bool = False) -> list[float]:
-    if not fake:
-        raise NotImplementedError(
-            "real audio decode requires librosa/soundfile (not installed); "
-            "pass fake=True for the deterministic stand-in"
+def decode_audio(content: bytes) -> list[float]:
+    """REAL WAV decode via stdlib ``wave`` (no third-party package needed —
+    unlike the image path, which stays pillow-gated): parse the RIFF
+    container, read the PCM frames, average channels to mono, normalize by
+    bit depth to [-1, 1].  Raises ValueError for non-WAV bytes (callers
+    that window arbitrary blobs catch it and fall back to bytes-as-samples,
+    see ``window_audio``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            n_channels = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV blob: {e}") from e
+    if sampwidth == 1:  # unsigned 8-bit
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        samples = (samples - 128.0) / 128.0
+    elif sampwidth == 2:  # signed 16-bit little-endian
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 4:  # signed 32-bit little-endian
+        samples = (
+            np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
         )
-    return _byte_histogram(content)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return [float(x) for x in samples]
 
 
 def _byte_histogram(content: bytes, bins: int = 4) -> list[float]:
@@ -329,9 +359,12 @@ AUDIO_WINDOW = 64  # fake samples (bytes) per analysis window
 
 
 def window_audio(media: DataFrame) -> DataFrame:
-    """Waveform windowing plumbing: treat each audio blob as a stream of
-    1-byte samples, emit one row per fixed-size window with its mean
-    energy.  The decode is the stub (bytes AS samples); the real thing
+    """Waveform windowing: one row per fixed-size window of the decoded
+    sample stream with its mean energy.  A blob that parses as a real PCM
+    WAV goes through the stdlib ``wave`` decode (``decode_audio`` — real
+    samples, mean |amplitude| energy); any other blob falls back to the
+    deterministic bytes-as-samples view (the synthetic corpus path, which
+    keeps this pipeline exact-oracle-checkable).  Either way the real thing
     exercised is the batch-explode shape every audio pipeline needs
     (blob → per-window rows, windows*media >> media)."""
     import numpy as np
@@ -349,7 +382,16 @@ def window_audio(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out_id, out_w, out_n, out_e = [], [], [], []
             for _, row in pdf.iterrows():
-                samples = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
+                blob = bytes(row["content"])
+                try:
+                    # real decode: normalized [-1, 1] floats; energy = mean |x|
+                    samples = np.abs(np.asarray(decode_audio(blob)))
+                    scale = 1.0
+                except ValueError:
+                    # bytes-as-samples fallback (synthetic blobs): uint8
+                    # values, energy normalized by the byte range
+                    samples = np.frombuffer(blob, dtype=np.uint8)
+                    scale = 255.0
                 # ceil-division: every window in range is non-empty (an
                 # empty blob simply yields no windows)
                 for w in range((len(samples) + AUDIO_WINDOW - 1) // AUDIO_WINDOW):
@@ -357,7 +399,7 @@ def window_audio(media: DataFrame) -> DataFrame:
                     out_id.append(row["media_id"])
                     out_w.append(w)
                     out_n.append(len(chunk))
-                    out_e.append(round(float(int(chunk.sum(dtype=np.int64))) / len(chunk) / 255.0, 6))
+                    out_e.append(round(float(chunk.sum(dtype=np.float64)) / len(chunk) / scale, 6))
             yield pd.DataFrame(
                 {"media_id": out_id, "win": out_w, "n_samples": out_n, "mean_energy": out_e}
             )

@@ -166,9 +166,14 @@ def _plane_lit(plane: np.ndarray) -> str:
 
 
 def _band_bits(df: DataFrame, planes: np.ndarray) -> DataFrame:
-    """Append b0..b{L-1} int columns — each band's r sign bits packed.  All
-    map-only column algebra (one pass computes every plane dot)."""
-    cols = []
+    """Append a ``codes`` column — array of L per-band sign-bit codes, each
+    band a FLAT sum of 8 sign tests over constant-folded plane-literal dots
+    (evaluated once per row each).  Two rejected alternatives, measured:
+    a ``transform`` over a plane-matrix literal evaluates interpreted per
+    row (~10×), and routing the dots through a named array column gets the
+    whole dot array inlined into the packing lambda by CollapseProject and
+    re-evaluated per loop iteration (~40×)."""
+    band_cols = []
     for band in range(PAIR_BANDS):
         val = None
         for j in range(PAIR_BAND_BITS):
@@ -177,8 +182,10 @@ def _band_bits(df: DataFrame, planes: np.ndarray) -> DataFrame:
             bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
             term = F.shiftleft(bit, j)
             val = term if val is None else (val + term)
-        cols.append(val.alias(f"b{band}"))
-    return df.select("vec_id", "v", "nrm", *cols)
+        band_cols.append(val)
+    return df.select(
+        "vec_id", "v", "nrm", F.array(*band_cols).alias("codes")
+    )
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,28 +195,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band's bits), never a cartesian product; the exact rounded cosine is
     evaluated only on candidates.  Deterministic (seeded plane literals) and
     fully oracle-checked; pytest measures recall vs the exact pairs."""
-    e = _band_bits(_with_norm(_emb(spark, sf_dir)), _pair_planes()).localCheckpoint(
-        eager=False
+    # the embeddings file is a single row group ⇒ a 1-task scan would
+    # serialize all 128 plane dots per vector; spread vectors across the
+    # executor threads first (a no-op on a properly partitioned deployment
+    # input — same rationale as dedup_minhash's doc spread)
+    emb = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
     )
+    e = _band_bits(_with_norm(emb), _pair_planes()).localCheckpoint(eager=False)
     masks = [0] + [1 << j for j in range(PAIR_BAND_BITS)]
-    probe_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.col(f"b{band}").bitwiseXOR(F.lit(m)).alias("pb"),
+    masks_lit = "array(" + ", ".join(f"CAST({m} AS BIGINT)" for m in masks) + ")"
+    # Hamming-1 ball exploded on the PROBE side only (9 rows per band); the
+    # build side stays at 1 row per band — same candidate set (a<b pairs
+    # need only one direction probed), 9× less join input than two-sided.
+    probes = (
+        e.select("vec_id", F.posexplode("codes").alias("band", "bits"))
+        .select(
+            "vec_id",
+            "band",
+            F.explode(F.expr(f"transform({masks_lit}, m -> bits ^ m)")).alias("pb"),
         )
-        for band in range(PAIR_BANDS)
-        for m in masks
-    ]
-    probes = e.select(
-        "vec_id", F.explode(F.array(*probe_structs)).alias("p")
-    ).select("vec_id", F.col("p.band").alias("band"), F.col("p.pb").alias("pb"))
-    build_structs = [
-        F.struct(F.lit(band).alias("band"), F.col(f"b{band}").alias("bits"))
-        for band in range(PAIR_BANDS)
-    ]
-    build = e.select(
-        "vec_id", F.explode(F.array(*build_structs)).alias("k")
-    ).select("vec_id", F.col("k.band").alias("band"), F.col("k.bits").alias("bits"))
+    )
+    build = e.select("vec_id", F.posexplode("codes").alias("band", "bits"))
     cand = (
         probes.alias("a")
         .join(

@@ -36,6 +36,11 @@ def _ts_unit(stage_dir: str) -> str:
         t = pq.ParquetFile(os.path.join(stage_dir, f)).schema_arrow.field("ts").type
         units[f] = getattr(t, "unit", "us")
     distinct = set(units.values())
+    if not distinct:
+        raise ValueError(
+            f"no parquet files in stream stage dir {stage_dir} — cannot "
+            f"probe the ts unit (misconfigured or not-yet-staged directory)"
+        )
     if len(distinct) > 1:
         raise ValueError(
             f"mixed ts units in stream stage dir {stage_dir}: {units} — "

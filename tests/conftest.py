@@ -10,6 +10,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Run every catalog commit with the full post-image audit: any drift between
+# the python cell naming (_bucket_of/_pkey) and the SQL partition expression
+# fails loudly here instead of silently dropping rows in production.
+os.environ.setdefault("SPARK_GRAFT_COMMIT_AUDIT", "1")
+
 
 @pytest.fixture(scope="session")
 def spark():

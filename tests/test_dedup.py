@@ -86,3 +86,41 @@ def test_minhash_deterministic(spark, sf_dir):
     a = dedup.dedup_minhash(spark, sf_dir).collect()
     b = dedup.dedup_minhash(spark, sf_dir).collect()
     assert a == b
+
+
+def test_capped_buckets_drops_oversized_before_collect(spark):
+    """The skew guard: a key whose membership exceeds the cap contributes
+    NOTHING (dropped by the count-prepass semi-join before any collect_list
+    materializes); keys within (1, cap] survive with full lists; singleton
+    keys are dropped too (no pair can come from them)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("big", i) for i in range(6)]
+        + [("ok", i) for i in range(3)]
+        + [("solo", 0)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {
+        r.k: sorted(r.payload)
+        for r in dedup.capped_buckets(df, ["k"], F.col("v"), cap=5).collect()
+    }
+    assert out == {"ok": [0, 1, 2]}
+
+
+def test_guard_joins_not_forced_broadcast(spark, sf_dir):
+    """100 TB honesty: neither the hot-shingle anti-join nor any dedup guard
+    join carries a forced broadcast hint — with auto-broadcast disabled the
+    whole plan must contain zero BroadcastExchange (AQE may still choose one
+    at runtime when the guard side is genuinely small; forcing it would blow
+    the broadcast cap on a heavily duplicated crawl)."""
+    from data_catalog_spark.operators import profiling
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in (dedup.dedup_ngram_jaccard, profiling.source_dup_rates):
+            plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, q.__name__
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -36,12 +36,63 @@ def test_extract_features_shape_and_determinism(media):
     assert sorted(feats, key=lambda r: r.media_id) == sorted(again, key=lambda r: r.media_id)
 
 
-def test_real_decode_is_stubbed():
+def test_image_decode_is_stubbed_audio_is_real():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"RIFF...")
+    with pytest.raises(ValueError):
+        mm.decode_audio(b"RIFF...")  # truncated RIFF is not a valid WAV
     assert mm.decode_image(b"abc", fake=True) == mm.decode_image(b"abc", fake=True)
+
+
+def _make_wav(samples, *, sampwidth=2, n_channels=1, framerate=16000) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        fmt = {1: "B", 2: "<h", 4: "<i"}[sampwidth]
+        w.writeframes(b"".join(struct.pack(fmt, s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav_16bit():
+    """Round-trip: write a PCM WAV with stdlib wave, decode it back —
+    normalized [-1, 1] samples in order, no fake path involved."""
+    raw = [0, 16384, -16384, 32767, -32768]
+    got = mm.decode_audio(_make_wav(raw))
+    want = [s / 32768.0 for s in raw]
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_decode_audio_8bit_and_stereo_downmix():
+    got8 = mm.decode_audio(_make_wav([128, 255, 0], sampwidth=1))
+    assert got8 == pytest.approx([0.0, 127 / 128.0, -1.0], abs=1e-9)
+    # stereo 16-bit: channels average to mono
+    stereo = _make_wav([1000, 3000, -2000, -4000], n_channels=2)
+    assert mm.decode_audio(stereo) == pytest.approx(
+        [2000 / 32768.0, -3000 / 32768.0], abs=1e-9
+    )
+
+
+def test_window_audio_decodes_real_wav_blobs(spark):
+    """A genuine WAV blob routed through window_audio gets the REAL decode:
+    mean |amplitude| of the normalized samples, windowed at AUDIO_WINDOW."""
+    import pandas as pd
+
+    samples = [16384] * mm.AUDIO_WINDOW + [-32768] * 10
+    wav = _make_wav(samples)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "kind": ["audio"], "content": [wav]})
+    )
+    rows = {r.win: r for r in mm.window_audio(media).collect()}
+    assert rows[0].n_samples == mm.AUDIO_WINDOW
+    assert rows[0].mean_energy == pytest.approx(0.5, abs=1e-6)
+    assert rows[1].n_samples == 10
+    assert rows[1].mean_energy == pytest.approx(1.0, abs=1e-6)
 
 
 def test_frame_sampling(media):

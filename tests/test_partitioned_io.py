@@ -242,3 +242,20 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_registered_partitioned_query_prunes_and_matches(spark, sf_dir, ddb):
+    """The REGISTERED cat_partitioned_only_public entry: PartitionFilters in
+    its executed plan AND oracle-identical results to cat_only_public."""
+    from conftest import assert_same
+    from data_catalog_spark.entries import (
+        _partitioned_only_public,
+        catalog_oracles,
+    )
+
+    q = _partitioned_only_public(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "isPublic" in seg
+    assert_same(q, ddb, catalog_oracles()["cat_partitioned_only_public"])

@@ -77,7 +77,19 @@ def test_stemmer_three_way_agreement(spark, ddb):
              # step 2: long suffixes gated on the m>0 proxy
              "relational", "national", "conditional", "organization",
              "activation", "operator", "formalism", "radicalli",
-             "effectiveness", "hesitanci", "digitizer"]
+             "effectiveness", "hesitanci", "digitizer",
+             # step 3: -icate/-ative/-alize/-iciti/-ical/-ful/-ness
+             "triplicate", "formative", "formalize", "electrical",
+             "hopeful", "goodness", "useful",
+             # step 4 (m>1): derivational suffix drop + *S/*T ion guard
+             "revival", "allowance", "inference", "airliner", "gyroscopic",
+             "adjustable", "defensible", "irritant", "replacement",
+             "adjustment", "dependent", "adoption", "communism", "activate",
+             "angulariti", "homologous", "effective", "bowdlerize",
+             "cement", "region", "nation",
+             # step 5a/5b: final-e tidy, ll undouble
+             "probate", "rate", "cease", "fence", "agree", "free", "axe",
+             "file", "use", "controlling", "rolling", "controll", "roll"]
     want = {w: A.stem(w) for w in words}
     sdf = spark.createDataFrame([(w,) for w in words], "w string")
     got_spark = {
