@@ -81,6 +81,11 @@ HEADLINE = [
     "corpus_top_stems",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    # round 4 additions
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "cat_partitioned_only_public",
+    "source_dup_rates",
 ]
 
 

@@ -99,17 +99,33 @@ FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
 # -- cosine near-dup pairs ---------------------------------------------------
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+# dedup_embedding_cosine is the all-pairs GROUND TRUTH — refuse to run it
+# past validation scale instead of silently burning an O(n²) cross join
+# (4× corpus → 12.7× time, measured in ARCHITECTURE §scaling).
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, *, max_rows: int = EXACT_PAIRS_MAX_ROWS
+) -> DataFrame:
     """All pairs with rounded cosine ≥ threshold (a<b).  Exact; the
     threshold compares the *rounded* score on both engines so boundary
     behavior is identical.
 
     Role: the GROUND-TRUTH oracle for embedding near-dup (the recall
     denominator pytest measures against) — by construction an O(n²)
-    non-equi self-join, so it is scoped to validation corpora.  The scale
-    path is ``dedup_embedding_lsh`` below: identical output contract,
-    candidates from a band-key equality join instead of all pairs."""
+    non-equi self-join, so it is scoped to validation corpora and GUARDED:
+    a corpus past ``max_rows`` raises instead of running (route scale
+    corpora to ``dedup_embedding_lsh`` below — identical output contract,
+    candidates from a band-key equality join instead of all pairs)."""
     e = _with_norm(_emb(spark, sf_dir))
+    n = e.count()  # parquet-metadata count — no scan
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding_cosine is the all-pairs ground-truth oracle "
+            f"(validation corpora only): corpus has {n} vectors > the "
+            f"{max_rows}-row guard — use dedup_embedding_lsh for scale runs"
+        )
     return (
         e.alias("a")
         .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
@@ -357,8 +373,13 @@ def _kmeans_centroids(spark: SparkSession, e: DataFrame) -> list[list[float]]:
     per-dimension means are summed through DECIMAL so the result is
     independent of partition order (re-runs give identical centroids).
 
-    The model state (k×dim doubles) lives on the driver — that is the only
-    collect; assignments stay distributed."""
+    TRAINING path only — invoked by scripts/train_ann_models.py, which
+    freezes the result into operators/ann_models.py; the query pipelines
+    consume the frozen literals (pretrain-on-a-sample is the standard
+    billion-scale IVF deployment, and literals make the whole query
+    SQL-expressible for the DuckDB oracle).  The model state (k×dim
+    doubles) lives on the driver — that is the only collect; assignments
+    stay distributed."""
     init = [
         [float(x) for x in r.v]
         for r in e.orderBy("vec_id").limit(IVF_CLUSTERS).collect()
@@ -423,9 +444,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: k-means coarse quantizer, probe the nprobe nearest clusters,
     exact re-rank within them.  Same plan shape as LSH (bucket-equality
     join) with a *learned* bucketing — the standard billion-scale layout.
-    Deterministic; rows-only driver check + pytest recall vs brute force."""
+    The quantizer is FROZEN model state (ann_models.IVF_CENTROIDS, trained
+    once by scripts/train_ann_models.py), so the query is a pure
+    literal-driven pipeline with a full DuckDB oracle; pytest additionally
+    measures recall vs brute force."""
+    from .ann_models import IVF_CENTROIDS as centroids
+
     e = _with_norm(_emb(spark, sf_dir))
-    centroids = _kmeans_centroids(spark, e)
     corpus = _assign_clusters(e.where(F.col("vec_id") >= N_QUERIES), centroids)
     queries = _assign_probes(
         e.where(F.col("vec_id") < N_QUERIES), centroids, IVF_NPROBE
@@ -478,7 +503,9 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame) -> list[list[list[float]]]:
     """[m][j][d] codebooks — one deterministic Lloyd run per subspace,
     trained in a SINGLE distributed pass per iteration by exploding
     (subspace, slice) pairs; only the k×M×(dim/M) codebook floats ever
-    reach the driver."""
+    reach the driver.  TRAINING path only — frozen into
+    operators/ann_models.py by scripts/train_ann_models.py (see
+    _kmeans_centroids)."""
     sub = _DIM // PQ_M
     init_rows = e.orderBy("vec_id").limit(PQ_K).collect()
     books = [
@@ -533,20 +560,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     M one-byte codes (32× smaller than raw doubles — the memory-bound
     billion-scale layout); queries score candidates in the compressed
     domain (Σ per-subspace distance to the coded centroid), then the top
-    re-rank pool gets exact cosine.  Deterministic; rows-only driver check
-    + pytest recall vs brute force."""
+    re-rank pool gets exact cosine.  The codebooks are FROZEN model state
+    (ann_models.PQ_CODEBOOKS, trained once by scripts/train_ann_models.py),
+    so the query is literal-driven with a full DuckDB oracle; pytest
+    additionally measures recall vs brute force."""
+    from .ann_models import PQ_CODEBOOKS as books
+
     sub = _DIM // PQ_M
     # normalize first: on unit vectors L2² = 2 − 2·cos, so compressed-domain
     # L2 ordering IS cosine ordering (without this, varying norms make ADC
     # rank a different metric than the exact re-rank)
     e = _with_norm(_emb(spark, sf_dir)).withColumn(
         "vn", F.expr("transform(v, x -> x / nrm)")
-    )
-    books = _pq_codebooks(
-        spark,
-        e.where(F.col("vec_id") >= N_QUERIES).select(
-            "vec_id", F.col("vn").alias("v")
-        ),
     )
     cb_lit = "array(" + ", ".join(_centroids_sql(b) for b in books) + ")"
     sqd = (
@@ -634,8 +659,115 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+def _duck_sq(vec: str, cvar: str, sub: int, off: str = "") -> str:
+    """Rendered squared-L2 between a vector slice and a centroid — the same
+    left-to-right element fold the Spark side's aggregate(zip_with(..))
+    performs, so distances are bit-comparable across engines."""
+    idx = f"{off}i" if not off else f"{off} + i"
+    return (
+        f"list_sum([({vec}[{idx}] - {cvar}[i]) * ({vec}[{idx}] - {cvar}[i]) "
+        f"for i in range(1, {sub} + 1)])"
+    )
+
+
+def _ivf_oracle() -> str:
+    """DuckDB rendering of the identical frozen-quantizer IVF pipeline:
+    same centroid literals, argmin cluster assignment, (distance, index)
+    probe ordering, bucket-equality candidates, exact rounded re-rank."""
+    from .ann_models import IVF_CENTROIDS
+
+    cents = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + "]"
+            for c in IVF_CENTROIDS
+        )
+        + "]"
+    )
+    dist = _duck_sq("v", "c", _DIM)
+    return f"""
+WITH ct AS (SELECT {cents} AS cents),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+d AS (SELECT vec_id, v, nrm,
+             list_transform(cents, c -> {dist}) AS dists
+      FROM n, ct),
+corpus AS (SELECT vec_id, v, nrm,
+                  list_position(dists, list_min(dists)) - 1 AS cluster
+           FROM d WHERE vec_id >= {N_QUERIES}),
+qp AS (SELECT vec_id, v, nrm, unnest(probes) AS probe FROM (
+         SELECT vec_id, v, nrm,
+                list_transform(list_slice(list_sort(
+                  [{{'d': dists[j + 1], 'c': j}} for j in range(0, {IVF_CLUSTERS})]),
+                  1, {IVF_NPROBE}), p -> p.c) AS probes
+         FROM d WHERE vec_id < {N_QUERIES})),
+cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid,
+                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         FROM qp a JOIN corpus b ON a.probe = b.cluster),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM cand)
+SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
+def _pq_oracle() -> str:
+    """DuckDB rendering of the frozen-codebook PQ pipeline: per-subspace
+    argmin codes, asymmetric compressed-domain distance, (approx_d, nid)
+    re-rank pool cut, exact rounded-cosine final rank."""
+    from .ann_models import PQ_CODEBOOKS
+
+    sub = _DIM // PQ_M
+    cb = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in cent) + "]"
+                for cent in book
+            )
+            + "]"
+            for book in PQ_CODEBOOKS
+        )
+        + "]"
+    )
+    sq = _duck_sq("vn", "c", sub, off=f"m * {sub}")
+    adc_inner = (
+        f"list_sum([(a.vn[m * {sub} + i] - cb[m + 1][b.codes[m + 1] + 1][i]) * "
+        f"(a.vn[m * {sub} + i] - cb[m + 1][b.codes[m + 1] + 1][i]) "
+        f"for i in range(1, {sub} + 1)])"
+    )
+    return f"""
+WITH cbt AS (SELECT {cb} AS cb),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+u AS (SELECT vec_id, v, nrm, list_transform(v, x -> x / nrm) AS vn FROM n),
+corpus AS (SELECT vec_id, v, nrm, vn,
+                  [list_position(list_transform(cb[m + 1], c -> {sq}),
+                                 list_min(list_transform(cb[m + 1], c -> {sq}))) - 1
+                   for m in range(0, {PQ_M})] AS codes
+           FROM u, cbt WHERE vec_id >= {N_QUERIES}),
+q AS (SELECT vec_id, v, nrm, vn FROM u WHERE vec_id < {N_QUERIES}),
+pool AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                list_sum([{adc_inner} for m in range(0, {PQ_M})]) AS approx_d,
+                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         FROM q a CROSS JOIN corpus b CROSS JOIN cbt),
+ranked AS (SELECT qid, nid, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY approx_d, nid) AS arank
+           FROM pool),
+rr AS (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       FROM ranked WHERE arank <= {PQ_RERANK})
+SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+FROM rr WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
 register("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTE_ORACLE)
-register("ann_pq_topk", ann_pq_topk, None)  # rows-only: learned codebooks
+register("ann_pq_topk", ann_pq_topk, _pq_oracle())  # frozen codebooks
 register("embedding_label_stats", embedding_label_stats, EMB_STATS_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
 def _lsh_oracle() -> str:
@@ -672,7 +804,7 @@ FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
 
 
 register("ann_lsh_topk", ann_lsh_topk, _lsh_oracle())
-register("ann_ivf_topk", ann_ivf_topk, None)  # rows-only: learned quantizer
+register("ann_ivf_topk", ann_ivf_topk, _ivf_oracle())  # frozen quantizer
 
 
 # -- hybrid retrieval: text + vector via reciprocal-rank fusion ---------------

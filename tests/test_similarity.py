@@ -185,3 +185,19 @@ def test_cluster_quality_metrics_positive(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.scatter > 0 and r.db_index > 0
+
+
+def test_exact_pairs_guard_refuses_scale_corpora(spark, sf_dir):
+    """The all-pairs ground truth is validation-only: past the row guard it
+    raises and points at the LSH scale path instead of running O(n²)."""
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        similarity.dedup_embedding_cosine(spark, sf_dir, max_rows=10)
+
+
+def test_ivf_pq_parity_vs_frozen_model_oracles(spark, sf_dir, ddb):
+    """The frozen-quantizer graduation: both learned-state ANN entries now
+    reproduce bit-exact in DuckDB from the committed model literals."""
+    from conftest import assert_same
+
+    assert_same(similarity.ann_ivf_topk(spark, sf_dir), ddb, similarity._ivf_oracle())
+    assert_same(similarity.ann_pq_topk(spark, sf_dir), ddb, similarity._pq_oracle())
