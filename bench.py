@@ -86,6 +86,8 @@ HEADLINE = [
     "ann_pq_topk",
     "cat_partitioned_only_public",
     "source_dup_rates",
+    "cat_text_search_indexed",
+    "dedup_incremental",
 ]
 
 

@@ -262,6 +262,25 @@ def _partitioned_only_public(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.withColumn("isPublic", F.col("isPublic").cast("boolean"))
 
 
+def _indexed_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index scale path for text search (text_index.py —
+    Elasticsearch's own write-time structure, re-expressed as a postings
+    parquet): candidates from trigram/token posting probes, exact compiled
+    predicate + scoring re-run on the semi-joined candidates.  Same query
+    AND same oracle as cat_text_search — the index accelerates, never
+    decides."""
+    import os
+
+    from . import text_index
+
+    ds = datasets_df(spark, sf_dir)
+    path = text_index.text_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        text_index.build_text_index(ds, path)
+    cq = compile_query(*CATALOG_CASES["cat_text_search"])
+    return text_index.indexed_hits(spark, ds, path, cq)
+
+
 def _org_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog reporting: per-tenant dataset counts, storage footprint, and
     visibility split — the admin dashboard query over the catalog table
@@ -336,6 +355,7 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_count"] = _total_query(CATALOG_CASES["cat_match_all"])
     out["cat_count_only_public"] = _total_query(CATALOG_CASES["cat_only_public"])
     out["cat_partitioned_only_public"] = _partitioned_only_public
+    out["cat_text_search_indexed"] = _indexed_text_search
     return out
 
 
@@ -363,6 +383,9 @@ def catalog_oracles() -> dict[str, str]:
     # same oracle as cat_only_public: the partitioned layout changes the
     # physical plan (pruned dirs), never the result
     out["cat_partitioned_only_public"] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq_pub)}"
+    # identical oracle to cat_text_search: the inverted index changes the
+    # physical plan (posting probes + semi-join), never the result
+    out["cat_text_search_indexed"] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq_text)}"
     return out
 
 

@@ -499,6 +499,159 @@ ORDER BY da, db
 """
 
 
+# -- incremental dedup (new batch vs existing corpus) -------------------------
+
+# The driver corpus has no ingest-batch column, so the "incoming batch" is a
+# deterministic slice: every 7th doc.  At deployment the predicate is the
+# batch/partition id of the incoming crawl.
+NEW_BATCH_MOD = 7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag incoming-batch documents that duplicate the EXISTING corpus —
+    the shape every crawl-ingestion pipeline runs per batch (dedup the new
+    slice against what's already kept, never all-pairs over everything).
+
+    Output: (doc_id, kind, match_id, score) for new docs with ``exact``
+    content-fingerprint matches (score 1.0) or, failing that, ``near``
+    MinHash matches (score = signature-estimated Jaccard ≥ threshold,
+    match_id = lowest-id corpus match).  Fully oracle-checked — same
+    portable md5 machinery as dedup_exact / dedup_minhash.
+
+    Scale shape: the exact arm is one equality join on a 16-byte hash with
+    the small NEW side driving; the near arm reuses the banded signatures
+    (one groupBy) and joins new-band → corpus-band on the band key — work
+    is O(|new| · bucket-occupancy), independent of corpus-pair count, with
+    the same MAX_BAND_BUCKET skew cap as the batch dedup (count pre-pass,
+    both engines)."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    fps = _tokens(docs).select(
+        "doc_id", F.md5(F.expr("concat_ws(' ', t)")).alias("fp")
+    )
+    new_fp = fps.where(is_new)
+    corpus_fp = fps.where(~is_new)
+    exact = (
+        new_fp.alias("n")
+        .join(corpus_fp.alias("c"), "fp")
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min("c.doc_id").alias("match_id"))
+        .select(
+            "doc_id",
+            F.lit("exact").alias("kind"),
+            "match_id",
+            F.lit(1.0).cast("double").alias("score"),
+        )
+    )
+
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    bands = minhash_bands(sig)
+    ok_keys = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .where(F.col("nk") <= MAX_BAND_BUCKET)
+        .select("band", "band_hash")
+    )
+    capped = bands.join(ok_keys, ["band", "band_hash"], "left_semi")
+    cand = (
+        capped.where(is_new)
+        .alias("n")
+        .join(
+            capped.where(~is_new).alias("c"),
+            ["band", "band_hash"],
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("c.doc_id").alias("cid"))
+        .distinct()
+    )
+    est = (
+        sum(
+            F.when(F.col("sa.sig")[i] == F.col("sb.sig")[i], 1).otherwise(0)
+            for i in range(MINHASH_K)
+        )
+        / F.lit(MINHASH_K)
+    )
+    scored = (
+        cand.alias("cd")
+        .join(sig.alias("sa"), F.col("cd.doc_id") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("cd.cid") == F.col("sb.doc_id"))
+        .select(
+            F.col("cd.doc_id").alias("doc_id"),
+            F.col("cd.cid").alias("cid"),
+            F.round(est, 6).alias("est"),
+        )
+        .where(F.col("est") >= JACCARD_THRESHOLD)
+    )
+    best = scored.groupBy("doc_id").agg(F.min("cid").alias("match_id"))
+    near = (
+        best.alias("b")
+        .join(
+            scored.alias("s"),
+            (F.col("b.doc_id") == F.col("s.doc_id"))
+            & (F.col("b.match_id") == F.col("s.cid")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.lit("near").alias("kind"),
+            F.col("b.match_id").alias("match_id"),
+            F.col("s.est").alias("score"),
+        )
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
+    return exact.unionByName(near).orderBy("doc_id")
+
+
+def _incremental_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    """DuckDB rendering of the same two-arm incremental report."""
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    )
+    band_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, substr(md5(concat_ws('|', "
+        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
+        + ")), 1, 16) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+fps AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM toks),
+exact AS (
+  SELECT n.doc_id, 'exact' AS kind, CAST(MIN(c.doc_id) AS BIGINT) AS match_id,
+         CAST(1.0 AS DOUBLE) AS score
+  FROM fps n JOIN fps c ON n.fp = c.fp
+  WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} != 0
+  GROUP BY n.doc_id),
+sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id),
+bandt AS (
+  {band_arms}),
+ok AS (SELECT band, band_hash FROM bandt GROUP BY 1, 2
+       HAVING count(*) <= {MAX_BAND_BUCKET}),
+capped AS (SELECT bandt.* FROM bandt JOIN ok USING (band, band_hash)),
+cand AS (SELECT DISTINCT n.doc_id, c.doc_id AS cid
+         FROM capped n JOIN capped c
+           ON n.band = c.band AND n.band_hash = c.band_hash
+         WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} != 0),
+scored AS (SELECT cand.doc_id, cid, round(({agree}) / {k}.0, 6) AS est
+           FROM cand JOIN sig sa ON cand.doc_id = sa.doc_id
+           JOIN sig sb ON cid = sb.doc_id
+           WHERE ({agree}) / {k}.0 >= {JACCARD_THRESHOLD}),
+best AS (SELECT doc_id, MIN(cid) AS match_id FROM scored GROUP BY doc_id),
+near AS (
+  SELECT b.doc_id, 'near' AS kind, CAST(b.match_id AS BIGINT) AS match_id,
+         s.est AS score
+  FROM best b JOIN scored s ON b.doc_id = s.doc_id AND b.match_id = s.cid
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM exact))
+SELECT * FROM exact UNION ALL SELECT * FROM near ORDER BY doc_id
+"""
+
+
 DEDUP_MINHASH_ORACLE = _minhash_oracle()
 DEDUP_SIMHASH_ORACLE = _simhash_oracle()
 
@@ -506,3 +659,4 @@ register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE)
 register("dedup_minhash", dedup_minhash, DEDUP_MINHASH_ORACLE)
 register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
+register("dedup_incremental", dedup_incremental, _incremental_oracle())

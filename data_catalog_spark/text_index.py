@@ -1,0 +1,147 @@
+"""Inverted text index for catalog search — the write-time structure the
+reference's backing store (Elasticsearch) actually builds for its analyzed
+fields (data_catalog/configuration_const.py:21-84), re-expressed as a
+postings parquet table.
+
+The scan-based search path (search.py) evaluates the three text clauses as
+regex/contains over every visible row — correct, codegen'd, but O(corpus)
+per query.  This module is the scale path: a write-once postings table
+
+    (field, gram, id)
+
+with three posting families:
+
+- ``title``      → character TRIGRAMS of the lowered title.  The title
+  clause is a *substring* match (T1 wildcard semantics), so token postings
+  cannot serve it; char n-grams can — ``q ⊆ title`` implies every trigram
+  of q appears in the title, so probing ALL query trigrams and keeping ids
+  that matched every one yields a candidate superset (ES's own
+  ngram-analyzer wildcard acceleration).
+- ``dataSample`` → standard-analyzer tokens.  The boundary-delimited regex
+  the scan path uses is exactly token-set intersection
+  (analyzers.token_match_pattern's equivalence guarantee), so token
+  postings are lossless for this clause.
+- ``sourceUri``  → uri-analyzer tokens, same argument.
+
+Candidates from the three clause arms union, then the EXACT compiled
+predicate + scoring re-runs on the semi-joined candidates — the index
+accelerates, never decides, so results are bit-identical to the scan path
+and the same DuckDB oracle checks both.
+
+Scale notes (100 TB): the postings table is partitioned by ``field``
+(partition pruning per clause) and the gram probe is an IN-list pushed to
+the parquet scan (row-group skipping on gram min/max); at deployment scale
+it would additionally be bucketed by gram so probe joins co-locate, and the
+ALL-trigrams title probe would use only the k rarest query grams (df stats)
+— the candidate-superset property survives any gram subset.  A hot-gram
+posting list is O(corpus); the title probe's count-match keeps the work per
+candidate bounded by the query length, and the standard df-cutoff guard
+(dedup.MAX_SHINGLE_DF shape) applies if degenerate grams dominate.
+
+Queries whose title probe is shorter than one trigram (len < 3) fall back
+to the scan path for that clause only — documented, and exercised in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import analyzers, search
+from .query.compiler import CompiledQuery
+
+TITLE_GRAM = 3
+
+
+def text_index_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"dcs-text-index-{tag}")
+
+
+def build_text_index(ds: DataFrame, path: str) -> None:
+    """Write the postings table: one row per (field, gram, id), distinct.
+    Map-only explode + a distinct per field — one shuffle on the slim
+    (field, gram, id) triple; hive-partitioned by field."""
+    trigrams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(lower(title)) - "
+        f"{TITLE_GRAM - 1}, 0)), i -> substring(lower(title), i, {TITLE_GRAM})))"
+    )
+    std_tokens = F.expr(
+        f"array_distinct(filter(split(lower(dataSample), "
+        f"'{analyzers.STANDARD_SPLIT}'), x -> x != ''))"
+    )
+    uri_stop = ", ".join(f"'{w}'" for w in sorted(analyzers.URI_STOPWORDS))
+    uri_tokens = F.expr(
+        f"array_distinct(filter(split(lower(sourceUri), '{analyzers.URI_SPLIT}'), "
+        f"x -> x != '' AND NOT array_contains(array({uri_stop}), x)))"
+    )
+    parts = [
+        ds.select(F.lit("title").alias("field"), F.explode(trigrams).alias("gram"), "id"),
+        ds.select(
+            F.lit("dataSample").alias("field"), F.explode(std_tokens).alias("gram"), "id"
+        ),
+        ds.select(
+            F.lit("sourceUri").alias("field"), F.explode(uri_tokens).alias("gram"), "id"
+        ),
+    ]
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
+    postings.distinct().write.mode("overwrite").partitionBy("field").parquet(path)
+
+
+def text_candidates(
+    spark: SparkSession, index_path: str, text: str, scan_df: DataFrame
+) -> DataFrame:
+    """1-column (id) candidate frame — a SUPERSET of the docs any of the
+    three text clauses can match, from postings probes only (plus the
+    documented short-query scan fallback for the title clause)."""
+    idx = spark.read.parquet(index_path)
+    q = text.lower()
+    arms: list[DataFrame] = []
+    if len(q) >= TITLE_GRAM:
+        grams = sorted({q[i : i + TITLE_GRAM] for i in range(len(q) - TITLE_GRAM + 1)})
+        arms.append(
+            idx.where((F.col("field") == "title") & F.col("gram").isin(grams))
+            .groupBy("id")
+            .agg(F.count_distinct("gram").alias("ng"))
+            .where(F.col("ng") == len(grams))
+            .select("id")
+        )
+    else:
+        # sub-trigram probe: the index cannot serve a substring this short —
+        # scan fallback for the title clause only
+        arms.append(
+            scan_df.where(F.lower(F.col("title")).contains(q)).select("id")
+        )
+    std = analyzers.standard_tokens(text)
+    if std:
+        arms.append(
+            idx.where((F.col("field") == "dataSample") & F.col("gram").isin(std)).select("id")
+        )
+    uri = analyzers.uri_tokens(text)
+    if uri:
+        arms.append(
+            idx.where((F.col("field") == "sourceUri") & F.col("gram").isin(uri)).select("id")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.distinct()
+
+
+def indexed_hits(
+    spark: SparkSession, ds: DataFrame, index_path: str, cq: CompiledQuery
+) -> DataFrame:
+    """The scan-path hits pipeline over the index-narrowed candidate set:
+    semi-join candidates into the datasets scan, then re-apply the EXACT
+    compiled predicate + scoring — identical output contract (and oracle)
+    to ``search.hits`` on the full scan."""
+    if not cq.text:
+        return search.hits(ds, cq)
+    cand = text_candidates(spark, index_path, cq.text, ds)
+    return search.hits(ds.join(cand, "id", "left_semi"), cq)

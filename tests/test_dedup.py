@@ -124,3 +124,54 @@ def test_guard_joins_not_forced_broadcast(spark, sf_dir):
             assert "BroadcastExchange" not in plan, q.__name__
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_incremental_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators.dedup import _incremental_oracle
+
+    assert_same(dedup.dedup_incremental(spark, sf_dir), ddb, _incremental_oracle())
+
+
+def test_incremental_semantics(spark, sf_dir):
+    """Every flagged doc is in the new-batch slice; match ids never are;
+    exact matches outrank near (a doc appears once, exact wins); scores
+    respect the threshold; and the exact arm agrees with dedup_exact's
+    fingerprint groups."""
+    rows = dedup.dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.doc_id % dedup.NEW_BATCH_MOD == 0
+        assert r.match_id % dedup.NEW_BATCH_MOD != 0
+        assert r.doc_id not in seen  # one verdict per new doc
+        seen.add(r.doc_id)
+        if r.kind == "exact":
+            assert r.score == 1.0
+        else:
+            assert r.kind == "near"
+            assert r.score >= dedup.JACCARD_THRESHOLD
+    # cross-check the exact arm against the batch-wide fingerprint groups
+    groups = dedup.dedup_exact(spark, sf_dir).collect()
+    # dedup_exact reports fp groups with >1 member; any new doc sharing a
+    # group with a corpus doc must be flagged exact
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators.text import SPARK_TOKENS
+    from pyspark.sql import functions as F
+
+    fps = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.expr(f"concat_ws(' ', {SPARK_TOKENS})")).alias("fp"))
+        .collect()
+    )
+    by_fp = {}
+    for r in fps:
+        by_fp.setdefault(r.fp, []).append(r.doc_id)
+    want_exact = set()
+    for ids in by_fp.values():
+        corpus = [i for i in ids if i % dedup.NEW_BATCH_MOD != 0]
+        if corpus:
+            for i in ids:
+                if i % dedup.NEW_BATCH_MOD == 0:
+                    want_exact.add(i)
+    got_exact = {r.doc_id for r in rows if r.kind == "exact"}
+    assert got_exact == want_exact

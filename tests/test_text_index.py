@@ -1,0 +1,95 @@
+"""Inverted text index: exact equivalence to the scan-based search path on
+every text-bearing catalog case, candidate-superset property, short-query
+fallback, and the posting-probe plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_catalog_spark import search, text_index
+from data_catalog_spark.datasets_source import datasets_df
+from data_catalog_spark.entries import CATALOG_CASES
+from data_catalog_spark.query import DataSetFiltering, compile_query
+
+from conftest import assert_same
+
+TEXT_CASES = [n for n, c in CATALOG_CASES.items() if c[0].get("query")]
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    ds = datasets_df(spark, sf_dir)
+    path = str(tmp_path_factory.mktemp("tix") / "postings")
+    text_index.build_text_index(ds, path)
+    return path
+
+
+@pytest.mark.parametrize("case", TEXT_CASES)
+def test_indexed_hits_equal_scan_hits(spark, sf_dir, index_path, case):
+    """The index accelerates, never decides: bit-identical hits pages to
+    the full-scan path on every text-bearing golden case (multi-clause,
+    filtered, paginated)."""
+    ds = datasets_df(spark, sf_dir)
+    cq = compile_query(*CATALOG_CASES[case])
+    want = [tuple(r) for r in search.hits(ds, cq).collect()]
+    got = [tuple(r) for r in text_index.indexed_hits(spark, ds, index_path, cq).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize("case", TEXT_CASES)
+def test_candidates_are_a_superset_of_matches(spark, sf_dir, index_path, case):
+    """Losslessness: every doc the scan path's text disjunction matches is
+    in the index's candidate set (the property that makes re-verification
+    on candidates exact)."""
+    from pyspark.sql import functions as F
+
+    ds = datasets_df(spark, sf_dir)
+    cq = compile_query(*CATALOG_CASES[case])
+    disj = None
+    for pred, _ in search.text_clause_columns(cq.text):
+        disj = pred if disj is None else (disj | pred)
+    matches = {r.id for r in ds.where(disj).select("id").collect()}
+    cand = {
+        r.id
+        for r in text_index.text_candidates(spark, index_path, cq.text, ds).collect()
+    }
+    assert matches <= cand
+    assert matches  # the golden cases all match something
+
+
+def test_short_query_falls_back_to_scan_for_title(spark, sf_dir, index_path):
+    """A sub-trigram probe can't use the title postings — the documented
+    scan fallback keeps results identical anyway."""
+    ds = datasets_df(spark, sf_dir)
+    cq = compile_query({"query": "ro", "size": 25}, [], DataSetFiltering.ONLY_PUBLIC, False)
+    want = [tuple(r) for r in search.hits(ds, cq).collect()]
+    got = [tuple(r) for r in text_index.indexed_hits(spark, ds, index_path, cq).collect()]
+    assert got == want
+    assert want  # 'ro' appears inside 'rod' titles
+
+
+def test_indexed_entry_matches_oracle(spark, sf_dir, ddb):
+    from data_catalog_spark.entries import _indexed_text_search, catalog_oracles
+
+    assert_same(
+        _indexed_text_search(spark, sf_dir), ddb, catalog_oracles()["cat_text_search_indexed"]
+    )
+
+
+def test_indexed_plan_probes_postings(spark, sf_dir, index_path):
+    """Plan shape: candidates reach the datasets scan as a LeftSemi join,
+    and the postings scan carries the gram IN-list as a pushed filter plus
+    the field partition filter — the probe touches posting lists, not the
+    corpus."""
+    ds = datasets_df(spark, sf_dir)
+    cq = compile_query(*CATALOG_CASES["cat_text_search"])
+    plan = (
+        text_index.indexed_hits(spark, ds, index_path, cq)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    # the gram probe reaches the postings scan as a pushed filter
+    assert "EqualTo(gram," in plan or "In(gram," in plan
+    assert "PartitionFilters" in plan
