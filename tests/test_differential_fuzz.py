@@ -85,3 +85,91 @@ def test_random_group_agg_specs_agree(spark, sf_dir, ddb, spec):
         for a, b in ddb.execute(_duck_sql(spec)).fetchall()
     ]
     assert got == want, spec
+
+
+# -- join fuzz: random (join-type, filtered dim, agg) specs -------------------
+# The join analog of the spec fuzz above: lineitem ⋈ orders on the order key
+# under a randomized join type / dim-side filter / aggregate, rendered to both
+# engines from one spec.  Catches cross-engine drift in outer-join null
+# semantics, join-key type coercion, and post-join aggregate typing.
+
+JOIN_TYPES = ["inner", "left", "right"]
+ORD_FILTER_COLS = ["o_orderstatus", "o_orderpriority"]
+
+join_spec_st = st.fixed_dictionaries(
+    {
+        "jt": st.sampled_from(JOIN_TYPES),
+        "filter_col": st.sampled_from(ORD_FILTER_COLS + [None]),
+        "pick": st.integers(min_value=0, max_value=4),
+        "agg": st.sampled_from(["sum", "count"]),
+        "group": st.sampled_from(["l_returnflag", "o_orderstatus"]),
+    }
+)
+
+_FILTER_VALUES = {
+    "o_orderstatus": ["F", "O", "P", "F", "O"],
+    "o_orderpriority": [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ],
+}
+
+
+def _join_frames(spark, sf_dir, spec):
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    if spec["filter_col"]:
+        od = od.where(
+            F.col(spec["filter_col"]) == _FILTER_VALUES[spec["filter_col"]][spec["pick"]]
+        )
+    j = li.join(od, li.l_orderkey == od.o_orderkey, spec["jt"])
+    v = F.col("l_quantity").cast("decimal(18,4)")
+    agg = (
+        F.round(F.sum(v).cast("double"), 6)
+        if spec["agg"] == "sum"
+        else F.count(F.lit(1))
+    )
+    return (
+        j.groupBy(spec["group"])
+        .agg(agg.alias("m"))
+        .orderBy(F.col(spec["group"]).asc_nulls_first())
+    )
+
+
+def _join_duck_sql(spec):
+    jt = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN"}[spec["jt"]]
+    dim = "orders"
+    if spec["filter_col"]:
+        val = _FILTER_VALUES[spec["filter_col"]][spec["pick"]]
+        dim = f"(SELECT * FROM orders WHERE {spec['filter_col']} = '{val}')"
+    agg = (
+        "round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)"
+        if spec["agg"] == "sum"
+        else "CAST(COUNT(*) AS BIGINT)"
+    )
+    return (
+        f"SELECT {spec['group']}, {agg} AS m "
+        f"FROM lineitem {jt} {dim} o ON l_orderkey = o.o_orderkey "
+        f"GROUP BY {spec['group']} ORDER BY {spec['group']} NULLS FIRST"
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(spec=join_spec_st)
+def test_random_join_specs_agree(spark, sf_dir, ddb, spec):
+    got = [
+        (r[0], round(r.m, 6) if isinstance(r.m, float) else r.m)
+        for r in _join_frames(spark, sf_dir, spec).collect()
+    ]
+    want = [
+        (a, round(b, 6) if isinstance(b, float) else b)
+        for a, b in ddb.execute(_join_duck_sql(spec)).fetchall()
+    ]
+    assert got == want, spec

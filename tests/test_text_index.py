@@ -93,3 +93,45 @@ def test_indexed_plan_probes_postings(spark, sf_dir, index_path):
     # the gram probe reaches the postings scan as a pushed filter
     assert "EqualTo(gram," in plan or "In(gram," in plan
     assert "PartitionFilters" in plan
+
+
+def test_randomized_corpus_equivalence(spark, tmp_path):
+    """Seeded-random corpus + adversarial query mix (present tokens, absent
+    tokens, substrings spanning token boundaries, punctuation, sub-trigram
+    probes): the indexed path must equal the scan path on every one."""
+    import random
+
+    from pyspark.sql import Row
+
+    from data_catalog_spark.schema import COLUMN_ORDER
+
+    rng = random.Random(0xD1CE)
+    words = ["amber", "bolt", "crate", "delta", "ember", "flux", "gear",
+             "hinge", "ion", "jolt", "karst", "lumen", "widget", "rod"]
+    rows = []
+    for i in range(120):
+        title = " ".join(rng.choice(words) for _ in range(rng.randint(1, 4)))
+        sample = ",".join(rng.choice(words) for _ in range(rng.randint(1, 5)))
+        uri = "http://www." + rng.choice(words) + ".com/" + rng.choice(words)
+        base = {c: None for c in COLUMN_ORDER}
+        base.update(
+            id=str(i), title=title, dataSample=sample, sourceUri=uri,
+            category="c", format="csv", recordCount=1, size=1,
+            targetUri="hdfs://h:1/a/b/c", storeType="hdfs",
+            isPublic=True, orgUUID="org01", creationTime="2014-01-01T00:00:00",
+        )
+        rows.append(Row(**{c: base[c] for c in COLUMN_ORDER}))
+    from data_catalog_spark.schema import DATASETS_SCHEMA
+
+    ds = spark.createDataFrame(rows, DATASETS_SCHEMA)
+    path = str(tmp_path / "fuzz_postings")
+    text_index.build_text_index(ds, path)
+    queries = [
+        "widget", "rod bolt", "zzz", "er", "flux.gear", "amber ember ion",
+        "WIDGET", "lt", "ber cra", "om/wi", "ion jolt karst lumen widget",
+    ]
+    for q in queries:
+        cq = compile_query({"query": q, "size": 50}, [], DataSetFiltering.ONLY_PUBLIC, False)
+        want = [tuple(r) for r in search.hits(ds, cq).collect()]
+        got = [tuple(r) for r in text_index.indexed_hits(spark, ds, path, cq).collect()]
+        assert got == want, q
