@@ -88,6 +88,7 @@ HEADLINE = [
     "source_dup_rates",
     "cat_text_search_indexed",
     "dedup_incremental",
+    "media_png_features",
 ]
 
 

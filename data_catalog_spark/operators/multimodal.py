@@ -2,13 +2,15 @@
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, ``mapInPandas`` UDF signatures.  AUDIO decode is REAL (stdlib
-``wave`` PCM parsing — no third-party package needed; ``decode_audio``
-raises ValueError on non-WAV bytes and ``window_audio`` falls back to
-bytes-as-samples for them).  IMAGE/VIDEO decode stays STUBBED
-(pillow/ffmpeg are not in this container): ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic
-fake decoder (byte-histogram features) stands in so the distributed
-pipeline is exercisable end-to-end.
+``wave`` PCM parsing; ``decode_audio`` raises ValueError on non-WAV bytes
+and ``window_audio`` falls back to bytes-as-samples for them).  IMAGE
+decode/resample is REAL for PNG (stdlib ``zlib`` inflate + scanline
+unfiltering in ``decode_png``, re-encode in ``encode_png`` — no
+third-party package needed); other image formats and VIDEO decode stay
+STUBBED (pillow/ffmpeg are not in this container): ``decode_image``
+raises NotImplementedError on non-PNG bytes unless ``fake=True``, whose
+deterministic byte-histogram stands in so the distributed pipeline is
+exercisable end-to-end.
 
 Scale notes: media bytes stay in executor-side Arrow batches — never
 collected, never shuffled whole (feature extraction projects binary →
@@ -89,13 +91,136 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes):
+    """REAL PNG decode in pure stdlib (zlib inflate + per-scanline
+    unfiltering) — no pillow needed for the PNG case.  Supports the
+    non-interlaced 8-bit color types (gray / gray+alpha / RGB / RGBA);
+    palette/16-bit/interlaced raise ValueError (deployment images route
+    through pillow, documented).  Returns (width, height, channels,
+    pixels) with pixels an (h, w, channels) uint8 numpy array.
+
+    Unfiltering note: Sub/Average/Paeth carry a left-pixel dependency, so
+    rows decode with a per-byte loop — fine for the thumbnail-scale blobs
+    feature extraction handles; at decode-heavy deployment scale the same
+    mapInPandas slot takes a vectorized decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not content.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG blob")
+    pos, width = len(_PNG_MAGIC), None
+    idat = b""
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace}) — 8-bit non-interlaced "
+                    f"gray/ga/rgb/rgba only"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — no left dependency, vectorize
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(np.uint8)
+            )
+        else:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:  # Sub
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return width, height, channels, out.reshape(height, width, channels)
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal PNG writer (filter 0 scanlines + zlib): the re-encode half
+    of the real PNG path.  ``pixels`` is an (h, w, channels) uint8 array
+    with 1/2/3/4 channels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w, channels = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
-    """Decode an image blob to features.  REAL DECODE NOT AVAILABLE: pillow
-    is not installed in this environment — the real path raises; the fake
-    path is a deterministic byte-histogram standing in for pixel stats."""
+    """Decode an image blob to features.  PNG blobs get the REAL stdlib
+    decode (``decode_png``) — features are the normalized 4-bin luminance
+    histogram of the actual pixels.  Other formats (JPEG etc.) need
+    pillow, which is not installed: they raise unless ``fake=True``, whose
+    deterministic byte-histogram stands in for pixel stats."""
+    if content.startswith(_PNG_MAGIC):
+        import numpy as np
+
+        _, _, channels, px = decode_png(content)
+        lum = px[:, :, : min(channels, 3)].mean(axis=2)
+        counts, _ = np.histogram(lum, bins=4, range=(0, 256))
+        total = counts.sum()
+        return [float(c) / total for c in counts] if total else [0.0] * 4
     if not fake:
         raise NotImplementedError(
-            "real image decode requires pillow/opencv (not installed); "
+            "non-PNG image decode requires pillow/opencv (not installed); "
             "pass fake=True for the deterministic stand-in"
         )
     return _byte_histogram(content)
@@ -272,22 +397,33 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_images(media: DataFrame) -> DataFrame:
-    """Resize plumbing for image blobs via mapInPandas: target RESIZE_W ×
-    RESIZE_H, never upscaling.  REAL RESAMPLING NOT AVAILABLE (no
-    pillow/opencv in this environment) — the stand-in keeps the byte
-    budget of the target resolution by taking the proportional PREFIX of
-    the blob (deterministic, SQL-checkable); the Arrow batch shape,
-    binary handling, and metadata arithmetic are the real thing."""
+    """Resize image blobs via mapInPandas: target RESIZE_W × RESIZE_H,
+    never upscaling.  PNG blobs get REAL nearest-neighbor resampling
+    (stdlib decode → index-sampled pixels → stdlib re-encode; dims come
+    from the actual IHDR).  Non-PNG blobs (the synthetic corpus) keep the
+    deterministic SQL-checkable stand-in — the proportional byte-budget
+    PREFIX of the blob; either way the Arrow batch shape, binary handling,
+    and metadata arithmetic are the real thing."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
             for _, row in pdf.iterrows():
                 blob = bytes(row["content"])
-                w, h = int(row["width"]), int(row["height"])
-                nw, nh = min(w, RESIZE_W), min(h, RESIZE_H)
                 n_in = len(blob)
-                n_out = max(1, (n_in * nw * nh) // (w * h))
+                if blob.startswith(_PNG_MAGIC):
+                    w, h, _, px = decode_png(blob)
+                    nw, nh = min(w, RESIZE_W), min(h, RESIZE_H)
+                    xs = (np.arange(nw) * w) // nw
+                    ys = (np.arange(nh) * h) // nh
+                    resized = encode_png(px[ys][:, xs])
+                    n_out = len(resized)
+                else:
+                    w, h = int(row["width"]), int(row["height"])
+                    nw, nh = min(w, RESIZE_W), min(h, RESIZE_H)
+                    n_out = max(1, (n_in * nw * nh) // (w * h))
+                    resized = blob[:n_out]
                 rows["media_id"].append(row["media_id"])
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -295,7 +431,7 @@ def resize_images(media: DataFrame) -> DataFrame:
                 rows["new_height"].append(nh)
                 rows["n_in"].append(n_in)
                 rows["n_out"].append(n_out)
-                rows["resized"].append(blob[:n_out])
+                rows["resized"].append(resized)
             yield pd.DataFrame(rows)
 
     images = media.where(F.col("kind") == "image").select(
@@ -443,3 +579,84 @@ ORDER BY media_id, win
 
 
 register("media_audio_windows", media_audio_windows, MEDIA_AUDIO_ORACLE)
+
+
+# -- PNG round-trip (real stdlib codec under the driver gate) -----------------
+
+
+def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof of the REAL PNG path inside the oracle gate: each
+    image-kind doc's utf-8 bytes become a 1×n grayscale PNG (``encode_png``),
+    ``decode_png``/``decode_image`` recover dims and pixels, and the
+    luminance histogram reported here must equal the byte histogram DuckDB
+    computes from the raw text bytes — any unfaithfulness in the stdlib
+    encode→decode cycle breaks the hash match."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("f0", T.DoubleType()),
+            T.StructField("f1", T.DoubleType()),
+            T.StructField("f2", T.DoubleType()),
+            T.StructField("f3", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        # SQL round() is half-AWAY-FROM-ZERO; python round() is half-even —
+        # shares like 105/128 land exactly on the 6dp boundary, so the rule
+        # must match the oracle's
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            rows = {k: [] for k in schema.fieldNames()}
+            for _, row in pdf.iterrows():
+                blob = bytes(row["content"])
+                if not blob:
+                    continue
+                px = np.frombuffer(blob, dtype=np.uint8).reshape(1, -1, 1)
+                png = encode_png(px)
+                w, h, _, _ = decode_png(png)
+                f = decode_image(png)
+                rows["media_id"].append(row["media_id"])
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for i in range(4):
+                    rows[f"f{i}"].append(r6(f[i]))
+            yield pd.DataFrame(rows)
+
+    images = synth_media(spark, sf_dir).where(F.col("kind") == "image").select(
+        "media_id", "content"
+    )
+    return images.mapInPandas(run, schema=schema).orderBy("media_id")
+
+
+# Byte-true oracle (hex-pair parsing, same technique as MEDIA_AUDIO_ORACLE):
+# the 4-bin histogram of byte//64 over the utf-8 bytes, normalized.
+MEDIA_PNG_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+),
+b AS (
+  SELECT media_id, n,
+         ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::BIGINT // 64 AS bin
+  FROM a, LATERAL unnest(range(0, n)) r(j)
+)
+SELECT media_id, CAST(MAX(n) AS INT) AS width, 1 AS height,
+       round(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) * 1.0 / MAX(n), 6) AS f0,
+       round(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) * 1.0 / MAX(n), 6) AS f1,
+       round(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) * 1.0 / MAX(n), 6) AS f2,
+       round(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) * 1.0 / MAX(n), 6) AS f3
+FROM b GROUP BY media_id ORDER BY media_id
+"""
+
+
+register("media_png_features", media_png_features, MEDIA_PNG_ORACLE)

@@ -36,7 +36,9 @@ def test_extract_features_shape_and_determinism(media):
     assert sorted(feats, key=lambda r: r.media_id) == sorted(again, key=lambda r: r.media_id)
 
 
-def test_image_decode_is_stubbed_audio_is_real():
+def test_non_png_image_decode_is_stubbed_audio_is_real():
+    # "\x89PNG..." is NOT the full 8-byte PNG signature — treated as an
+    # unsupported (non-PNG) image format, which needs pillow
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...")
     with pytest.raises(ValueError):
@@ -184,3 +186,124 @@ def test_audio_windows_cover_all_samples(spark, sf_dir):
             assert r.n_samples == mm.AUDIO_WINDOW
         for r in ws:
             assert 0.0 <= r.mean_energy <= 1.0
+
+
+def _filtered_png(pixels, filters):
+    """Test-side PNG writer with EXPLICIT per-row filter types — forward
+    filtering here, so decode_png's unfiltering of every type is pinned."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, ftype in zip(range(h), filters):
+        line = px[y].reshape(-1).astype(np.int32)
+        out = bytearray()
+        for i in range(w * ch):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(line[i]) - pred) & 0xFF)
+        raw += bytes([ftype]) + bytes(out)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (mm._PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decode_recovers_every_filter_type():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    blob = _filtered_png(px, filters=[0, 1, 2, 3, 4])
+    w, h, ch, got = mm.decode_png(blob)
+    assert (w, h, ch) == (7, 5, 3)
+    assert (got == px).all()
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(3, 4, ch), dtype=np.uint8)
+        w, h, ch2, got = mm.decode_png(mm.encode_png(px))
+        assert (w, h, ch2) == (4, 3, ch)
+        assert (got == px).all()
+
+
+def test_decode_image_png_is_real():
+    """A black/white PNG's luminance histogram: half lowest bin, half
+    highest — computed from DECODED pixels, not blob bytes."""
+    import numpy as np
+
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[:, 2:, :] = 255
+    feats = mm.decode_image(mm.encode_png(px))
+    assert feats == [0.5, 0.0, 0.0, 0.5]
+    # unsupported non-PNG formats still raise without the fake stand-in
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff JPEG-ish")
+
+
+def test_resize_images_real_png_path(spark):
+    """A 300-wide PNG routed through resize_images gets REAL
+    nearest-neighbor resampling: output re-decodes to the index-sampled
+    pixels at the capped target width."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(2, 300, 3), dtype=np.uint8)
+    blob = mm.encode_png(px)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "content": [blob],
+                "width": [300],
+                "height": [2],
+            }
+        )
+    ).selectExpr(
+        "media_id", "kind", "content",
+        "named_struct('width', CAST(width AS INT), 'height', CAST(height AS INT), "
+        "'sample_rate', CAST(NULL AS INT), 'n_frames', CAST(NULL AS INT)) AS meta",
+    )
+    row = mm.resize_images(media).collect()[0]
+    assert (row.width, row.height) == (300, 2)
+    assert (row.new_width, row.new_height) == (mm.RESIZE_W, 2)
+    w, h, ch, got = mm.decode_png(bytes(row.resized))
+    assert (w, h, ch) == (mm.RESIZE_W, 2, 3)
+    xs = (np.arange(mm.RESIZE_W) * 300) // mm.RESIZE_W
+    assert (got == px[:, xs]).all()
+
+
+def test_media_png_features_parity(spark, sf_dir, ddb):
+    assert_same(mm.media_png_features(spark, sf_dir), ddb, mm.MEDIA_PNG_ORACLE)
