@@ -70,7 +70,11 @@ class DatasetsCatalog:
             try:
                 self._commit(empty, expected_version=None)
             except CommitConflictError:
-                pass  # another creator won the race — table exists now
+                # swallow ONLY if another creator actually won the race; a
+                # lock timeout with the table still absent must surface,
+                # else every later read crashes on version=None
+                if not self._exists():
+                    raise
 
     def drop(self) -> None:
         """S8: drop the whole table (elastic_admin.py:41-52)."""
@@ -194,10 +198,22 @@ class DatasetsCatalog:
             raise EntryNotFoundError(f"version {version}")
         manifest = self._manifest(version)
         if manifest is None:
-            # legacy pre-manifest snapshot (older catalog format): the dir
-            # owns ALL its data — read it whole instead of bricking the
-            # table.  The next commit migrates it (full rewrite under a
-            # fresh manifest, see _commit).
+            # Manifest-less dir: either a legacy pre-manifest snapshot (the
+            # VERSION file points AT it — older format committed it) or an
+            # ORPHAN from a crashed commit (dir moved into place but VERSION
+            # never repointed, so version > latest).  The orphan holds only
+            # the touched cells — reading it as a full snapshot would
+            # silently truncate the table, so refuse.
+            latest = self._latest_version()
+            if latest is None or version > latest:
+                raise EntryNotFoundError(
+                    f"version {version}: manifest-less snapshot dir beyond "
+                    f"the committed version ({latest}) — orphan of a crashed "
+                    f"commit, not readable data"
+                )
+            # legacy snapshot: the dir owns ALL its data — read it whole
+            # instead of bricking the table.  The next commit migrates it
+            # (full rewrite under a fresh manifest, see _commit).
             return self._read_legacy_snapshot(version)
         file_schema = T.StructType(
             [f for f in DATASETS_SCHEMA.fields if f.name != self.PARTITION_COL]
@@ -243,9 +259,14 @@ class DatasetsCatalog:
         snap = self._snapshot_dir(version)
         try:
             legacy = self.spark.read.parquet(snap)
-        except Exception:
-            # an empty legacy snapshot has no parquet files to infer from
-            return self.spark.createDataFrame([], DATASETS_SCHEMA)
+        except Exception as e:
+            # ONLY the no-files case reads as an empty table (an
+            # empty-created legacy snapshot); any other read failure —
+            # permissions, corrupt footers — must surface, not silently
+            # return empty and let the next commit drop every legacy row
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return self.spark.createDataFrame([], DATASETS_SCHEMA)
+            raise
         cols = []
         for f in DATASETS_SCHEMA.fields:
             src = (
@@ -402,9 +423,17 @@ class DatasetsCatalog:
 
     # -- storage -----------------------------------------------------------
 
+    # A holder older than this is presumed dead (the guarded critical
+    # section is file renames — sub-second); the lock is then broken so a
+    # kill -9 inside the critical section cannot brick the table forever.
+    LOCK_STALE_AFTER = 60.0
+
     def _commit_lock(self, timeout: float = 30.0):
         """O_EXCL lock file guarding the version check + VERSION repoint —
-        the critical section of the optimistic-concurrency protocol."""
+        the critical section of the optimistic-concurrency protocol.  A
+        lock file older than LOCK_STALE_AFTER is broken (crashed holder);
+        the VERSION write itself stays atomic (write-temp + rename), so a
+        broken lock can at worst lose the CAS race, never corrupt state."""
         import contextlib
         import time
 
@@ -415,8 +444,19 @@ class DatasetsCatalog:
             while True:
                 try:
                     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
                     break
                 except FileExistsError:
+                    try:
+                        age = time.time() - os.path.getmtime(lock)
+                    except OSError:
+                        continue  # holder released between open and stat
+                    if age > self.LOCK_STALE_AFTER:
+                        try:
+                            os.unlink(lock)  # break the dead holder's lock
+                        except OSError:
+                            pass
+                        continue
                     if time.time() - t0 > timeout:
                         raise CommitConflictError(
                             f"commit lock held past {timeout}s: {lock}"

@@ -229,14 +229,11 @@ ORDER BY CAST(id AS BIGINT)
 
 def partitioned_datasets_path(sf_dir: str) -> str:
     """Write-once materialization of the datasets table in the DEPLOYMENT
-    layout — hive-partitioned by isPublic (io.write_partitioned), one dir
-    per sf_dir under the warehouse tmp root."""
-    import hashlib
-    import os
-    import tempfile
+    layout — hive-partitioned by isPublic (io.write_partitioned), keyed by
+    the source table's content stat (io.materialization_path)."""
+    from .io import materialization_path
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"dcs-datasets-ispublic-{tag}")
+    return materialization_path(sf_dir, "datasets-ispublic", "part.parquet")
 
 
 def _partitioned_only_public(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,15 +245,14 @@ def _partitioned_only_public(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by test_partitioned_io) instead of filtering rows.  The
     partition value comes back as a string (hive dir name), so the hits
     projection casts it to the declared boolean."""
-    import os
-
     from pyspark.sql import functions as F
 
-    from .io import read_partitioned, write_partitioned
+    from .io import ensure_materialized, read_partitioned, write_partitioned
 
-    path = partitioned_datasets_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_partitioned(datasets_df(spark, sf_dir), path, ["isPublic"])
+    path = ensure_materialized(
+        partitioned_datasets_path(sf_dir),
+        lambda p: write_partitioned(datasets_df(spark, sf_dir), p, ["isPublic"]),
+    )
     cq = compile_query(*CATALOG_CASES["cat_only_public"])
     hits = search.hits(read_partitioned(spark, path), cq)
     return hits.withColumn("isPublic", F.col("isPublic").cast("boolean"))
@@ -269,14 +265,14 @@ def _indexed_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate + scoring re-run on the semi-joined candidates.  Same query
     AND same oracle as cat_text_search — the index accelerates, never
     decides."""
-    import os
-
     from . import text_index
+    from .io import ensure_materialized
 
     ds = datasets_df(spark, sf_dir)
-    path = text_index.text_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        text_index.build_text_index(ds, path)
+    path = ensure_materialized(
+        text_index.text_index_path(sf_dir),
+        lambda p: text_index.build_text_index(ds, p),
+    )
     cq = compile_query(*CATALOG_CASES["cat_text_search"])
     return text_index.indexed_hits(spark, ds, path, cq)
 

@@ -78,6 +78,44 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def materialization_path(sf_dir: str, kind: str, source_file: str) -> str:
+    """Write-once materialization dir (partitioned layouts, postings
+    indexes) under the tmp root.  The key includes the SOURCE FILE's
+    (mtime_ns, size) stat and the uid, not just the directory string — so
+    regenerated source data gets a fresh materialization instead of a
+    stale one, and concurrent users never collide on a shared /tmp."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, source_file))
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"dcs-{kind}-u{uid}-{tag}")
+
+
+def ensure_materialized(path: str, build_fn) -> str:
+    """Race-safe write-once: build into a unique sibling dir, then one
+    atomic rename into place.  Two concurrent builders never write the
+    same files — the loser's rename fails (non-empty target) and its
+    build is discarded; both return the same completed path."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    tmp = f"{path}.build-{uuid.uuid4().hex}"
+    build_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return path
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_files: int, sort_by: str | None = None
 ) -> int:

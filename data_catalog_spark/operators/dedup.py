@@ -258,25 +258,40 @@ def minhash_bands(sig: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K
 MAX_BAND_BUCKET = 1024
 
 
+def admissible_band_keys(
+    df: DataFrame,
+    keys: list[str],
+    cap: int = MAX_BAND_BUCKET,
+    *,
+    require_pair: bool = True,
+) -> DataFrame:
+    """The skew-cap count pre-pass, shared by every bucketed candidate
+    generator: keys whose membership is ≤ cap (and > 1 when only
+    multi-member buckets can produce pairs).  Centralized so the cap
+    predicate cannot drift between the batch and incremental paths."""
+    cond = F.col("n") <= cap
+    if require_pair:
+        cond = cond & (F.col("n") > 1)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(cond)
+        .select(*keys)
+    )
+
+
 def capped_buckets(
     df: DataFrame, keys: list[str], payload, cap: int = MAX_BAND_BUCKET
 ) -> DataFrame:
     """GroupBy ``keys`` and collect ``payload`` into a list — but enforce
-    the bucket-size cap BEFORE any list materializes: a count pre-pass
-    names the admissible keys (1 < n ≤ cap) and a semi-join drops every row
-    of an oversized bucket, so a degenerate key (empty docs at crawl scale)
-    never builds an unbounded array in a single aggregation buffer only to
-    be discarded.  Two hash aggs + one equality join on the same key —
-    identical results to filter-after-collect, cap honored by construction.
-    """
-    counts = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") > 1) & (F.col("n") <= cap))
-        .select(*keys)
-    )
+    the bucket-size cap BEFORE any list materializes: the admissible-keys
+    pre-pass + a semi-join drop every row of an oversized bucket, so a
+    degenerate key (empty docs at crawl scale) never builds an unbounded
+    array in a single aggregation buffer only to be discarded.  Two hash
+    aggs + one equality join on the same key — identical results to
+    filter-after-collect, cap honored by construction."""
     return (
-        df.join(counts, keys, "left_semi")
+        df.join(admissible_band_keys(df, keys, cap), keys, "left_semi")
         .groupBy(*keys)
         .agg(F.collect_list(payload).alias("payload"))
     )
@@ -548,11 +563,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = minhash_signatures(docs).localCheckpoint(eager=False)
     bands = minhash_bands(sig)
-    ok_keys = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("nk"))
-        .where(F.col("nk") <= MAX_BAND_BUCKET)
-        .select("band", "band_hash")
+    # require_pair=False: a bucket can pair a new doc with ONE corpus doc
+    ok_keys = admissible_band_keys(
+        bands, ["band", "band_hash"], require_pair=False
     )
     capped = bands.join(ok_keys, ["band", "band_hash"], "left_semi")
     cand = (

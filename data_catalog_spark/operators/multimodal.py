@@ -118,12 +118,17 @@ def decode_png(content: bytes):
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         ctype = content[pos + 4 : pos + 8]
+        if pos + 12 + length > len(content):
+            raise ValueError("truncated PNG chunk")
         data = content[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + type + data + crc
         if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
+            try:
+                width, height, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            except struct.error as e:
+                raise ValueError(f"malformed PNG IHDR: {e}") from e
             if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={color}, "
@@ -137,7 +142,10 @@ def decode_png(content: bytes):
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
@@ -205,16 +213,27 @@ def encode_png(pixels) -> bytes:
 
 
 def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
-    """Decode an image blob to features.  PNG blobs get the REAL stdlib
-    decode (``decode_png``) — features are the normalized 4-bin luminance
-    histogram of the actual pixels.  Other formats (JPEG etc.) need
-    pillow, which is not installed: they raise unless ``fake=True``, whose
-    deterministic byte-histogram stands in for pixel stats."""
+    """Decode an image blob to features.  Decodable PNG blobs get the REAL
+    stdlib decode (``decode_png``) — features are the normalized 4-bin
+    luminance histogram of the actual pixels (alpha excluded for both GA
+    and RGBA).  Everything else — non-PNG formats (JPEG etc., which need
+    pillow), and PNG variants/corruption ``decode_png`` rejects — raises
+    unless ``fake=True``, whose deterministic byte-histogram stands in;
+    the fake path therefore NEVER raises, which the mapInPandas pipelines
+    rely on (one bad blob must not fail the job)."""
     if content.startswith(_PNG_MAGIC):
         import numpy as np
 
-        _, _, channels, px = decode_png(content)
-        lum = px[:, :, : min(channels, 3)].mean(axis=2)
+        try:
+            _, _, channels, px = decode_png(content)
+        except ValueError:
+            if not fake:
+                raise
+            return _byte_histogram(content)
+        # luminance = mean over COLOR channels only: gray/GA use the single
+        # gray plane, RGB/RGBA the three color planes — alpha never votes
+        color_ch = 1 if channels <= 2 else 3
+        lum = px[:, :, :color_ch].mean(axis=2)
         counts, _ = np.histogram(lum, bins=4, range=(0, 256))
         total = counts.sum()
         return [float(c) / total for c in counts] if total else [0.0] * 4
@@ -412,8 +431,14 @@ def resize_images(media: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 blob = bytes(row["content"])
                 n_in = len(blob)
+                decoded = None
                 if blob.startswith(_PNG_MAGIC):
-                    w, h, _, px = decode_png(blob)
+                    try:
+                        decoded = decode_png(blob)
+                    except ValueError:
+                        decoded = None  # undecodable PNG → stand-in path
+                if decoded is not None:
+                    w, h, _, px = decoded
                     nw, nh = min(w, RESIZE_W), min(h, RESIZE_H)
                     xs = (np.arange(nw) * w) // nw
                     ys = (np.arange(nh) * h) // nh

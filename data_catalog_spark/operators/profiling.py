@@ -276,28 +276,32 @@ def source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after-sizing number every corpus-mixing decision starts from.
 
     Plan: one md5 fingerprint pass (same normalization as dedup_exact,
-    operators/dedup.py:89), then the corpus-wide per-fp count as a WINDOW
-    over fp — one shuffle on the 16-byte hash, no join and no broadcast.
-    (The duplicated-fp inventory is NOT constant-bounded — a heavily
-    duplicated crawl makes it O(n) — so the earlier broadcast-semi-join
-    shape could blow any fixed broadcast cap at 100 TB.)"""
-    from pyspark.sql import Window
-
+    operators/dedup.py:89), a corpus-wide fp count (hash agg with map-side
+    partials), then an UNHINTED left join of the duplicated-fp set back
+    onto the stream.  No forced broadcast (the duplicated inventory is NOT
+    constant-bounded — a heavily duplicated crawl makes it O(n), past any
+    fixed broadcast cap): AQE broadcasts when the runtime size allows and
+    otherwise shuffle-joins with skew-split available — which is also why
+    this is a JOIN and not a window over fp (a window must co-locate every
+    copy of a hot fingerprint in one task with no skew mitigation)."""
     from .text import SPARK_TOKENS
 
     docs = read_table(spark, sf_dir, "documents").select(
         "source", F.md5(F.expr(f"concat_ws(' ', {SPARK_TOKENS})")).alias("fp")
     )
-    flagged = docs.withColumn(
-        "is_dup",
-        (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1).cast("int"),
+    dup_fps = (
+        docs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("fp", F.lit(1).alias("is_dup"))
     )
+    flagged = docs.join(dup_fps, "fp", "left_outer")
     return (
         flagged.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("fp").alias("distinct_fps"),
-            F.sum("is_dup").alias("dup_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("dup_docs"),
         )
         .select(
             "source",

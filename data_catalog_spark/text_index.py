@@ -44,31 +44,33 @@ to the scan path for that clause only — documented, and exercised in tests.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import analyzers, search
+from .io import materialization_path
 from .query.compiler import CompiledQuery
 
 TITLE_GRAM = 3
 
 
 def text_index_path(sf_dir: str) -> str:
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"dcs-text-index-{tag}")
+    """Postings dir keyed by the source table's content stat — see
+    io.materialization_path (datasets derive from part.parquet)."""
+    return materialization_path(sf_dir, "text-index", "part.parquet")
 
 
 def build_text_index(ds: DataFrame, path: str) -> None:
     """Write the postings table: one row per (field, gram, id), distinct.
     Map-only explode + a distinct per field — one shuffle on the slim
     (field, gram, id) triple; hive-partitioned by field."""
+    # the length filter also guards the sub-trigram title edge: Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0], so a title shorter than one
+    # trigram would otherwise emit junk sub-length grams into the index
     trigrams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(lower(title)) - "
-        f"{TITLE_GRAM - 1}, 0)), i -> substring(lower(title), i, {TITLE_GRAM})))"
+        f"array_distinct(filter(transform(sequence(1, greatest(length(lower(title)) - "
+        f"{TITLE_GRAM - 1}, 1)), i -> substring(lower(title), i, {TITLE_GRAM})), "
+        f"x -> length(x) = {TITLE_GRAM}))"
     )
     std_tokens = F.expr(
         f"array_distinct(filter(split(lower(dataSample), "

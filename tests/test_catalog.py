@@ -419,3 +419,44 @@ def test_stale_entry_level_upsert_still_merges(spark, tmp_path):
     b.upsert("y", ENTRY)
     a.upsert("z", ENTRY)
     assert {r["id"] for r in a.df().collect()} == {"x", "y", "z"}
+
+
+def test_orphan_snapshot_dir_is_not_readable_data(spark, tmp_path):
+    """A crashed commit leaves a manifest-less dir BEYOND the committed
+    version (moved into place, VERSION never repointed): reads of the
+    committed version are unaffected, and time-travel to the orphan raises
+    instead of silently serving the partial (touched-cells-only) data."""
+    import os
+
+    path = str(tmp_path / "orphan")
+    cat = DatasetsCatalog(spark, path)
+    cat.upsert("a", ENTRY)
+    committed = cat._latest_version()
+    orphan = cat._snapshot_dir(committed + 1)
+    os.makedirs(os.path.join(orphan, "isPublic=true", "_orgbucket=0"))
+    # the committed view still reads
+    assert {r["id"] for r in cat.df().collect()} == {"a"}
+    with pytest.raises(EntryNotFoundError, match="orphan"):
+        cat.df(version=committed + 1)
+    # and the next commit reclaims the orphan slot cleanly
+    cat.upsert("b", ENTRY)
+    assert {r["id"] for r in cat.df().collect()} == {"a", "b"}
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A lock file left by a killed process (old mtime) must not brick the
+    table: the next commit breaks it and proceeds."""
+    import os
+    import time
+
+    path = str(tmp_path / "stale")
+    cat = DatasetsCatalog(spark, path)
+    cat.create_if_not_exists()
+    lock = os.path.join(path, ".COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("99999 0")
+    old = time.time() - cat.LOCK_STALE_AFTER - 5
+    os.utime(lock, (old, old))
+    cat.upsert("x", ENTRY)  # would raise CommitConflictError un-broken
+    assert cat.get("x")["id"] == "x"
+    assert not os.path.exists(lock)

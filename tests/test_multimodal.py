@@ -307,3 +307,41 @@ def test_resize_images_real_png_path(spark):
 
 def test_media_png_features_parity(spark, sf_dir, ddb):
     assert_same(mm.media_png_features(spark, sf_dir), ddb, mm.MEDIA_PNG_ORACLE)
+
+
+def test_fake_path_never_raises_on_bad_png_magic():
+    """The mapInPandas contract: fake=True must survive ANY blob —
+    including truncated/unsupported bytes that carry the full PNG magic."""
+    bad = mm._PNG_MAGIC + b"\x00\x00\x00\x0dIHDR-truncated"
+    assert mm.decode_image(bad, fake=True) == mm._byte_histogram(bad)
+    with pytest.raises(ValueError):
+        mm.decode_image(bad)  # the real path still surfaces the corruption
+
+
+def test_gray_alpha_luminance_excludes_alpha():
+    """A fully-opaque all-black gray+alpha PNG is BLACK: alpha must not
+    vote in the luminance histogram."""
+    import numpy as np
+
+    px = np.zeros((2, 3, 2), dtype=np.uint8)
+    px[:, :, 1] = 255  # opaque alpha
+    assert mm.decode_image(mm.encode_png(px)) == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_resize_falls_back_on_undecodable_png_magic(spark):
+    import pandas as pd
+
+    bad = mm._PNG_MAGIC + b"\x00" * 40
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1], "kind": ["image"], "content": [bad],
+             "width": [100], "height": [100]}
+        )
+    ).selectExpr(
+        "media_id", "kind", "content",
+        "named_struct('width', CAST(width AS INT), 'height', CAST(height AS INT), "
+        "'sample_rate', CAST(NULL AS INT), 'n_frames', CAST(NULL AS INT)) AS meta",
+    )
+    row = mm.resize_images(media).collect()[0]
+    # stand-in path: proportional byte prefix of the blob
+    assert bytes(row.resized) == bad[: row.n_out]

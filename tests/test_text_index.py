@@ -135,3 +135,88 @@ def test_randomized_corpus_equivalence(spark, tmp_path):
         want = [tuple(r) for r in search.hits(ds, cq).collect()]
         got = [tuple(r) for r in text_index.indexed_hits(spark, ds, path, cq).collect()]
         assert got == want, q
+
+
+def test_short_titles_emit_no_junk_grams(spark, tmp_path):
+    """Titles shorter than one trigram contribute NOTHING to the title
+    postings (Spark's sequence(1, 0) is descending — unguarded it emits
+    sub-length grams)."""
+    from pyspark.sql import Row
+
+    from data_catalog_spark.schema import COLUMN_ORDER, DATASETS_SCHEMA
+
+    base = {c: None for c in COLUMN_ORDER}
+    base.update(
+        category="c", format="csv", recordCount=1, size=1,
+        targetUri="hdfs://h:1/a/b/c", storeType="hdfs", isPublic=True,
+        orgUUID="org01", creationTime="2014-01-01T00:00:00",
+        dataSample="x", sourceUri="http://www.x.com/y",
+    )
+    rows = [
+        Row(**{**base, "id": "1", "title": "ab"}),
+        Row(**{**base, "id": "2", "title": ""}),
+        Row(**{**base, "id": "3", "title": "abc"}),
+    ]
+    ds = spark.createDataFrame(
+        [Row(**{c: r[c] for c in COLUMN_ORDER}) for r in rows], DATASETS_SCHEMA
+    )
+    path = str(tmp_path / "short_postings")
+    text_index.build_text_index(ds, path)
+    title_grams = (
+        spark.read.parquet(path).where("field = 'title'").select("gram", "id").collect()
+    )
+    assert {(r.gram, r.id) for r in title_grams} == {("abc", "3")}
+
+
+def test_materialization_path_tracks_source_content(tmp_path):
+    """The write-once cache key must change when the source data is
+    regenerated (mtime/size), not just when the path changes."""
+    import os
+    import time
+
+    from data_catalog_spark.io import materialization_path
+
+    src = tmp_path / "part.parquet"
+    src.write_bytes(b"v1")
+    p1 = materialization_path(str(tmp_path), "t", "part.parquet")
+    assert materialization_path(str(tmp_path), "t", "part.parquet") == p1
+    os.utime(src, (time.time() + 10, time.time() + 10))
+    p2 = materialization_path(str(tmp_path), "t", "part.parquet")
+    assert p2 != p1
+
+
+def test_ensure_materialized_losing_builder_discards(tmp_path):
+    import os
+
+    from data_catalog_spark.io import ensure_materialized
+
+    target = str(tmp_path / "mat")
+
+    def build_v1(p):
+        os.makedirs(p)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        open(os.path.join(p, "v1"), "w").close()
+
+    def build_v2(p):
+        os.makedirs(p)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        open(os.path.join(p, "v2"), "w").close()
+
+    assert ensure_materialized(target, build_v1) == target
+    assert os.path.exists(os.path.join(target, "v1"))
+    # second build is a no-op (cached), not a rebuild
+    assert ensure_materialized(target, build_v2) == target
+    assert not os.path.exists(os.path.join(target, "v2"))
+    # a builder racing an already-completed target discards its build dir
+    # (simulated: target exists without having been seen at entry is the
+    # same rename-fails path)
+    def build_then_lose(p):
+        build_v2(p)
+        os.makedirs(target2)  # winner appears before our rename
+        open(os.path.join(target2, "_SUCCESS"), "w").close()
+
+    target2 = str(tmp_path / "mat2")
+    assert ensure_materialized(target2, build_then_lose) == target2
+    assert not os.path.exists(os.path.join(target2, "v2"))  # loser discarded
+    leftovers = [d for d in os.listdir(tmp_path) if ".build-" in d]
+    assert leftovers == []
