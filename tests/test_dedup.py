@@ -175,3 +175,57 @@ def test_incremental_semantics(spark, sf_dir):
                     want_exact.add(i)
     got_exact = {r.doc_id for r in rows if r.kind == "exact"}
     assert got_exact == want_exact
+
+
+def test_xxhash64_variant_agrees_with_md5_pairs(spark, sf_dir, exact_pairs):
+    """The deployment-variant base hash (xxhash64, JVM intrinsic — no md5
+    hex round-trip) must find essentially the same near-dup pairs as the
+    oracle-portable md5 family: both are 64-permutation MinHash estimates
+    of the same Jaccard, so only threshold-boundary pairs may differ."""
+    from pyspark.sql import functions as F
+
+    docs = dedup._docs(spark, sf_dir).repartition(8, "doc_id")
+
+    def pairs(base_hash):
+        sig = dedup.minhash_signatures(docs, base_hash=base_hash).localCheckpoint(
+            eager=False
+        )
+        buckets = dedup.capped_buckets(
+            dedup.minhash_bands(sig), ["band", "band_hash"], F.col("doc_id")
+        ).withColumnRenamed("payload", "ids")
+        cand = (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "filter(flatten(transform(ids, x -> transform(ids, "
+                        "y -> struct(x AS da, y AS db)))), s -> s.da < s.db)"
+                    )
+                ).alias("p")
+            )
+            .select("p.da", "p.db")
+            .distinct()
+        )
+        est = (
+            sum(
+                F.when(F.col("sa.sig")[i] == F.col("sb.sig")[i], 1).otherwise(0)
+                for i in range(dedup.MINHASH_K)
+            )
+            / F.lit(dedup.MINHASH_K)
+        )
+        return {
+            (r.da, r.db)
+            for r in cand.join(sig.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+            .join(sig.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+            .where(F.round(est, 6) >= dedup.JACCARD_THRESHOLD)
+            .select("da", "db")
+            .collect()
+        }
+
+    md5_pairs = pairs("md5")
+    xx_pairs = pairs("xxhash64")
+    assert md5_pairs and xx_pairs
+    overlap = len(md5_pairs & xx_pairs) / len(md5_pairs | xx_pairs)
+    assert overlap >= 0.8, (len(md5_pairs), len(xx_pairs), overlap)
+    # and the variant keeps recall against the exact Jaccard ground truth
+    truth = set(exact_pairs)
+    assert len(xx_pairs & truth) / len(truth) >= 0.7
