@@ -183,29 +183,33 @@ STEP_3: list[tuple[str, str]] = [
 ]
 
 # Porter step 4 (m>1): drop the remaining derivational suffix entirely.
-# Longest-first ordering (ement ⊃ ment ⊃ ent) makes first-match-wins
-# equivalent to Porter's longest-suffix dispatch; -ion additionally
-# requires the stem to end in s/t (*S/*T).
+# Porter dispatches on the LONGEST matching suffix and stops if its
+# condition fails; a plain first-CHANGE-wins chain would instead fall
+# through the nested ement ⊃ ment ⊃ ent family and overstem (document →
+# docum).  The shorter family members therefore carry a negative-class
+# guard excluding the longer suffix ([^e]ment, [^m]ent), which makes the
+# chain equivalent to the dispatch for the only nested suffixes in this
+# step; -ion additionally requires the stem to end in s/t (*S/*T).
 STEP_4: list[tuple[str, str]] = [
-    (rf"({_M2})ement$", "$1"),     # replacement -> replac
-    (rf"({_M2})ment$", "$1"),      # adjustment  -> adjust
-    (rf"({_M2})ance$", "$1"),      # allowance   -> allow
-    (rf"({_M2})ence$", "$1"),      # inference   -> infer
-    (rf"({_M2})able$", "$1"),      # adjustable  -> adjust
-    (rf"({_M2})ible$", "$1"),      # defensible  -> defens
-    (rf"({_M2}[st])ion$", "$1"),   # adoption    -> adopt; *S/*T guard
-    (rf"({_M2})ant$", "$1"),       # irritant    -> irrit
-    (rf"({_M2})ent$", "$1"),       # dependent   -> depend
-    (rf"({_M2})ism$", "$1"),       # communism   -> commun
-    (rf"({_M2})ate$", "$1"),       # activate    -> activ
-    (rf"({_M2})iti$", "$1"),       # angulariti  -> angular
-    (rf"({_M2})ous$", "$1"),       # homologous  -> homolog
-    (rf"({_M2})ive$", "$1"),       # effective   -> effect
-    (rf"({_M2})ize$", "$1"),       # bowdlerize  -> bowdler
-    (rf"({_M2})al$", "$1"),        # revival     -> reviv
-    (rf"({_M2})er$", "$1"),        # airliner    -> airlin
-    (rf"({_M2})ic$", "$1"),        # gyroscopic  -> gyroscop
-    (rf"({_M2})ou$", "$1"),        # homologou   -> homolog
+    (rf"({_M2})ement$", "$1"),       # replacement -> replac
+    (rf"({_M2}[^e])ment$", "$1"),    # adjustment  -> adjust; document stays
+    (rf"({_M2})ance$", "$1"),        # allowance   -> allow
+    (rf"({_M2})ence$", "$1"),        # inference   -> infer
+    (rf"({_M2})able$", "$1"),        # adjustable  -> adjust
+    (rf"({_M2})ible$", "$1"),        # defensible  -> defens
+    (rf"({_M2}[st])ion$", "$1"),     # adoption    -> adopt; *S/*T guard
+    (rf"({_M2})ant$", "$1"),         # irritant    -> irrit
+    (rf"({_M2}[^m])ent$", "$1"),     # dependent   -> depend; element stays
+    (rf"({_M2})ism$", "$1"),         # communism   -> commun
+    (rf"({_M2})ate$", "$1"),         # activate    -> activ
+    (rf"({_M2})iti$", "$1"),         # angulariti  -> angular
+    (rf"({_M2})ous$", "$1"),         # homologous  -> homolog
+    (rf"({_M2})ive$", "$1"),         # effective   -> effect
+    (rf"({_M2})ize$", "$1"),         # bowdlerize  -> bowdler
+    (rf"({_M2})al$", "$1"),          # revival     -> reviv
+    (rf"({_M2})er$", "$1"),          # airliner    -> airlin
+    (rf"({_M2})ic$", "$1"),          # gyroscop*ic -> gyroscop
+    (rf"({_M2})ou$", "$1"),          # homologou   -> homolog
 ]
 
 # Porter step 5a: final-e tidy — strip when m>1, or when m=1 and the stem

@@ -196,7 +196,16 @@ class DatasetsCatalog:
             version = self._latest_version()
         if not os.path.isdir(self._snapshot_dir(version)):
             raise EntryNotFoundError(f"version {version}")
+        # read latest BEFORE probing the manifest: a concurrent commit's
+        # sequence is move-dir → write-manifest → repoint-VERSION, so a
+        # manifest probe landing in the move→manifest window combined with
+        # a LATER latest read could misclassify the in-flight dir as legacy
+        latest = self._latest_version()
         manifest = self._manifest(version)
+        if manifest is None:
+            # re-probe once — the concurrent commit may have just finished
+            # writing the manifest between our two reads
+            manifest = self._manifest(version)
         if manifest is None:
             # Manifest-less dir: either a legacy pre-manifest snapshot (the
             # VERSION file points AT it — older format committed it) or an
@@ -204,7 +213,6 @@ class DatasetsCatalog:
             # never repointed, so version > latest).  The orphan holds only
             # the touched cells — reading it as a full snapshot would
             # silently truncate the table, so refuse.
-            latest = self._latest_version()
             if latest is None or version > latest:
                 raise EntryNotFoundError(
                     f"version {version}: manifest-less snapshot dir beyond "
@@ -431,20 +439,27 @@ class DatasetsCatalog:
     def _commit_lock(self, timeout: float = 30.0):
         """O_EXCL lock file guarding the version check + VERSION repoint —
         the critical section of the optimistic-concurrency protocol.  A
-        lock file older than LOCK_STALE_AFTER is broken (crashed holder);
-        the VERSION write itself stays atomic (write-temp + rename), so a
-        broken lock can at worst lose the CAS race, never corrupt state."""
+        lock file older than LOCK_STALE_AFTER is broken via RENAME-ASIDE:
+        rename is atomic, so exactly ONE waiter wins the break even when
+        several observe staleness together (unlink-based breaking lets two
+        waiters both enter — the second unlinks the first's fresh lock).
+        Release verifies the lock still carries OUR token before removing
+        it, so a holder whose lock was broken (frozen >60 s mid-section)
+        cannot remove its successor's lock."""
         import contextlib
         import time
+        import uuid
 
         @contextlib.contextmanager
         def _lock():
             lock = os.path.join(self.path, ".COMMIT_LOCK")
+            token = f"{os.getpid()}:{uuid.uuid4().hex}"
             t0 = time.time()
             while True:
                 try:
                     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                    os.write(fd, token.encode())
+                    os.close(fd)
                     break
                 except FileExistsError:
                     try:
@@ -452,10 +467,12 @@ class DatasetsCatalog:
                     except OSError:
                         continue  # holder released between open and stat
                     if age > self.LOCK_STALE_AFTER:
+                        broken = f"{lock}.broken-{uuid.uuid4().hex}"
                         try:
-                            os.unlink(lock)  # break the dead holder's lock
+                            os.rename(lock, broken)  # atomic: one winner
+                            os.unlink(broken)
                         except OSError:
-                            pass
+                            pass  # another waiter won the break
                         continue
                     if time.time() - t0 > timeout:
                         raise CommitConflictError(
@@ -465,8 +482,12 @@ class DatasetsCatalog:
             try:
                 yield
             finally:
-                os.close(fd)
-                os.unlink(lock)
+                try:
+                    with open(lock) as f:
+                        if f.read() == token:
+                            os.unlink(lock)
+                except OSError:
+                    pass  # already broken/removed by a successor
 
         return _lock()
 

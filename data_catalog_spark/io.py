@@ -80,20 +80,24 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
 
 def materialization_path(sf_dir: str, kind: str, source_file: str) -> str:
     """Write-once materialization dir (partitioned layouts, postings
-    indexes) under the tmp root.  The key includes the SOURCE FILE's
-    (mtime_ns, size) stat and the uid, not just the directory string — so
-    regenerated source data gets a fresh materialization instead of a
-    stale one, and concurrent users never collide on a shared /tmp."""
+    indexes) under a USER-OWNED 0700 cache root — never a predictable
+    name in world-writable /tmp, where another local user could pre-create
+    the dir and poison an index-driven semi-join with wrong data.  The key
+    includes the SOURCE FILE's (mtime_ns, size) stat, so regenerated
+    source data gets a fresh materialization instead of a stale one.
+    Override the root with $SPARK_GRAFT_CACHE_DIR."""
     import hashlib
     import os
-    import tempfile
 
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR", os.path.expanduser("~/.cache/dcs-materialized")
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
     st = os.stat(os.path.join(sf_dir, source_file))
     tag = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    return os.path.join(tempfile.gettempdir(), f"dcs-{kind}-u{uid}-{tag}")
+    return os.path.join(root, f"{kind}-{tag}")
 
 
 def ensure_materialized(path: str, build_fn) -> str:
@@ -101,6 +105,7 @@ def ensure_materialized(path: str, build_fn) -> str:
     atomic rename into place.  Two concurrent builders never write the
     same files — the loser's rename fails (non-empty target) and its
     build is discarded; both return the same completed path."""
+    import errno
     import os
     import shutil
     import uuid
@@ -108,11 +113,20 @@ def ensure_materialized(path: str, build_fn) -> str:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     tmp = f"{path}.build-{uuid.uuid4().hex}"
-    build_fn(tmp)
+    try:
+        build_fn(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # never leak build dirs
+        raise
     try:
         os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    except OSError as e:
+        shutil.rmtree(tmp, ignore_errors=True)
+        # ONLY a lost race (target appeared) is swallowed; a real rename
+        # failure (permissions, I/O) must surface, not silently discard
+        # the build and return a non-existent path
+        if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+            raise
     return path
 
 

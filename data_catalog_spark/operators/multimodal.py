@@ -246,12 +246,20 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
 
 
 def decode_audio(content: bytes) -> list[float]:
+    """REAL WAV decode via stdlib ``wave``; list-of-floats public contract
+    (the numpy-array core is ``_decode_audio_array`` — hot mapInPandas
+    loops use it directly so a multi-minute waveform is never boxed into
+    millions of Python floats only to be re-arrayed)."""
+    return [float(x) for x in _decode_audio_array(content)]
+
+
+def _decode_audio_array(content: bytes):
     """REAL WAV decode via stdlib ``wave`` (no third-party package needed —
     unlike the image path, which stays pillow-gated): parse the RIFF
     container, read the PCM frames, average channels to mono, normalize by
-    bit depth to [-1, 1].  Raises ValueError for non-WAV bytes (callers
-    that window arbitrary blobs catch it and fall back to bytes-as-samples,
-    see ``window_audio``)."""
+    bit depth to [-1, 1].  Returns a float64 numpy array; raises ValueError
+    for non-WAV bytes (callers that window arbitrary blobs catch it and
+    fall back to bytes-as-samples, see ``window_audio``)."""
     import io
     import wave
 
@@ -278,7 +286,7 @@ def decode_audio(content: bytes) -> list[float]:
     if n_channels > 1:
         samples = samples[: len(samples) - len(samples) % n_channels]
         samples = samples.reshape(-1, n_channels).mean(axis=1)
-    return [float(x) for x in samples]
+    return samples
 
 
 def _byte_histogram(content: bytes, bins: int = 4) -> list[float]:
@@ -546,7 +554,7 @@ def window_audio(media: DataFrame) -> DataFrame:
                 blob = bytes(row["content"])
                 try:
                     # real decode: normalized [-1, 1] floats; energy = mean |x|
-                    samples = np.abs(np.asarray(decode_audio(blob)))
+                    samples = np.abs(_decode_audio_array(blob))
                     scale = 1.0
                 except ValueError:
                     # bytes-as-samples fallback (synthetic blobs): uint8

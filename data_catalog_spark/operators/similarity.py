@@ -105,6 +105,29 @@ FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
 EXACT_PAIRS_MAX_ROWS = 100_000
 
 
+def _parquet_row_count(spark: SparkSession, path: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job (the guard
+    check runs at query-construction time, so plan-only tooling like
+    dump_plans/audit_joins must not trigger a scan).  Falls back to a
+    Spark count for non-local/multi-file layouts."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+        if files:
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        pass
+    return spark.read.parquet(path).count()
+
+
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, *, max_rows: int = EXACT_PAIRS_MAX_ROWS
 ) -> DataFrame:
@@ -118,14 +141,14 @@ def dedup_embedding_cosine(
     a corpus past ``max_rows`` raises instead of running (route scale
     corpora to ``dedup_embedding_lsh`` below — identical output contract,
     candidates from a band-key equality join instead of all pairs)."""
-    e = _with_norm(_emb(spark, sf_dir))
-    n = e.count()  # parquet-metadata count — no scan
+    n = _parquet_row_count(spark, f"{sf_dir}/embeddings.parquet")
     if n > max_rows:
         raise ValueError(
             f"dedup_embedding_cosine is the all-pairs ground-truth oracle "
             f"(validation corpora only): corpus has {n} vectors > the "
             f"{max_rows}-row guard — use dedup_embedding_lsh for scale runs"
         )
+    e = _with_norm(_emb(spark, sf_dir))
     return (
         e.alias("a")
         .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))

@@ -81,12 +81,15 @@ def test_stemmer_three_way_agreement(spark, ddb):
              # step 3: -icate/-ative/-alize/-iciti/-ical/-ful/-ness
              "triplicate", "formative", "formalize", "electrical",
              "hopeful", "goodness", "useful",
-             # step 4 (m>1): derivational suffix drop + *S/*T ion guard
+             # step 4 (m>1): derivational suffix drop + *S/*T ion guard,
+             # incl. the ment-family longest-suffix dispatch (document/
+             # element/monument/argument must NOT overstem via -ent)
              "revival", "allowance", "inference", "airliner", "gyroscopic",
              "adjustable", "defensible", "irritant", "replacement",
              "adjustment", "dependent", "adoption", "communism", "activate",
              "angulariti", "homologous", "effective", "bowdlerize",
              "cement", "region", "nation",
+             "document", "element", "monument", "argument", "casement",
              # step 5a/5b: final-e tidy, ll undouble
              "probate", "rate", "cease", "fence", "agree", "free", "axe",
              "file", "use", "controlling", "rolling", "controll", "roll"]
@@ -175,3 +178,18 @@ def test_stemmer_python_spark_random_batch(spark):
     got = {r.w: r.s for r in sdf.select("w", F.expr(A.spark_stem_expr("w")).alias("s")).collect()}
     want = {w: A.stem(w) for w in words}
     assert got == want
+
+
+def test_step4_ment_family_no_fallthrough():
+    """Porter dispatches on the LONGEST matching suffix and stops when its
+    condition fails; the chain must not fall through ement→ment→ent and
+    overstem (document stayed 'document' in Porter, not 'docum')."""
+    from data_catalog_spark import analyzers as A
+
+    assert A.stem("document") == "document"
+    assert A.stem("element") == "element"
+    assert A.stem("monument") == "monument"
+    assert A.stem("argument") == "argument"
+    assert A.stem("replacement") == "replac"
+    assert A.stem("adjustment") == "adjust"
+    assert A.stem("dependent") == "depend"

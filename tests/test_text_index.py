@@ -220,3 +220,22 @@ def test_ensure_materialized_losing_builder_discards(tmp_path):
     assert not os.path.exists(os.path.join(target2, "v2"))  # loser discarded
     leftovers = [d for d in os.listdir(tmp_path) if ".build-" in d]
     assert leftovers == []
+
+
+def test_ensure_materialized_build_failure_cleans_and_raises(tmp_path):
+    import os
+
+    from data_catalog_spark.io import ensure_materialized
+
+    target = str(tmp_path / "failmat")
+
+    def bad_build(p):
+        os.makedirs(p)
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        ensure_materialized(target, bad_build)
+    assert not os.path.exists(target)
+    assert [d for d in os.listdir(tmp_path) if ".build-" in d] == []
