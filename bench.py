@@ -89,6 +89,7 @@ HEADLINE = [
     "cat_text_search_indexed",
     "dedup_incremental",
     "media_png_features",
+    "source_language_profile",
 ]
 
 

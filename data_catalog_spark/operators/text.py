@@ -189,6 +189,77 @@ FROM s ORDER BY doc_id
 """
 
 
+def source_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language mix — the first report any multilingual corpus
+    curation runs (which crawls feed which languages, and at what share).
+    Composes the marker-word classifier (text_langid) with one hash agg on
+    (source, lang): map-only classify → partial-aggregated counts; the
+    per-source share divides by a window-free second agg joined back (two
+    tiny frames, bounded by |sources| × |langs|)."""
+    df = _docs(spark, sf_dir).withColumn("t", F.expr(SPARK_TOKENS))
+    for lang, words in LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        df = df.withColumn(
+            f"s_{lang}", F.expr(f"size(array_intersect(t, array({arr})))").cast("int")
+        )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
+    pred = (
+        F.when(
+            (s["en"] > 0) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["de"] > 0) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["es"] > 0) & (s["es"] >= s["fr"]), "es")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    counts = (
+        df.select("source", pred.alias("lang"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("n_docs").alias("total"))
+    return (
+        counts.join(totals, "source")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _source_lang_oracle() -> str:
+    score_exprs = []
+    for lang in _LANG_ORDER:
+        arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CAST(len(list_intersect(t, [{arr}])) AS INTEGER) AS s_{lang}"
+        )
+    return f"""
+WITH d AS (SELECT doc_id, source, {DUCK_TOKENS} AS t FROM documents),
+s AS (SELECT doc_id, source, {', '.join(score_exprs)} FROM d),
+p AS (SELECT source,
+       CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang
+      FROM s),
+c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY source, lang),
+t AS (SELECT source, SUM(n_docs) AS total FROM c GROUP BY source)
+SELECT c.source, lang, n_docs, round(n_docs * 1.0 / total, 6) AS share
+FROM c JOIN t ON c.source = t.source
+ORDER BY c.source, lang
+"""
+
+
+register("source_language_profile", source_language_profile, _source_lang_oracle())
+
+
 # -- fingerprinting ----------------------------------------------------------
 
 # 3-gram word shingles of the normalized token stream; shared with dedup.

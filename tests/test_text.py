@@ -193,3 +193,25 @@ def test_step4_ment_family_no_fallthrough():
     assert A.stem("replacement") == "replac"
     assert A.stem("adjustment") == "adjust"
     assert A.stem("dependent") == "depend"
+
+
+def test_source_language_profile_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import text as tx
+
+    assert_same(tx.source_language_profile(spark, sf_dir), ddb, tx._source_lang_oracle())
+
+
+def test_source_language_profile_shares_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_catalog_spark.operators import text as tx
+
+    rows = tx.source_language_profile(spark, sf_dir).collect()
+    assert rows
+    by_source = defaultdict(float)
+    for r in rows:
+        assert r.lang in {"en", "de", "es", "fr", "und"}
+        assert r.n_docs > 0
+        by_source[r.source] += r.share
+    for total in by_source.values():
+        assert abs(total - 1.0) < 1e-5
