@@ -123,6 +123,17 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Per-run spread goes to a sidecar file (box variance stays separable
+    # from regression) so the LAST stdout line stays compact enough for the
+    # driver's tail capture — round 4's inline spread made it unparseable.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
+            "w",
+        ) as fh:
+            json.dump({"runs": spreads, "sf": sf}, fh)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -130,9 +141,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                # both timed runs per query, so box variance is separable
-                # from regression without cross-referencing notes
-                "runs": spreads,
                 "sf": sf,
             }
         )

@@ -578,15 +578,13 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame) -> list[list[list[float]]]:
     return books
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ + asymmetric distance + exact re-rank: corpus vectors compress to
-    M one-byte codes (32× smaller than raw doubles — the memory-bound
-    billion-scale layout); queries score candidates in the compressed
-    domain (Σ per-subspace distance to the coded centroid), then the top
-    re-rank pool gets exact cosine.  The codebooks are FROZEN model state
-    (ann_models.PQ_CODEBOOKS, trained once by scripts/train_ann_models.py),
-    so the query is literal-driven with a full DuckDB oracle; pytest
-    additionally measures recall vs brute force."""
+def _pq_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the PQ pipeline's three relations: the normalized embedding
+    table ``e``, the query subset, and the compressed-domain candidate
+    ``pool`` (qid, nid survivors of the ADC rank cut).  Split out so tests
+    can pin the pool's plan independently of the exact re-rank stage."""
     from .ann_models import PQ_CODEBOOKS as books
 
     sub = _DIM // PQ_M
@@ -621,21 +619,55 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc2, x) -> acc2 + x))"
     )
     w_adc = Window.partitionBy("qid").orderBy(F.col("approx_d"), F.col("nid"))
+    # Compressed-domain pass: the crossJoin × window stage touches ONLY the
+    # 8-byte code arrays — no full-precision vector is read, scored, or
+    # shuffled here.  That is the entire point of the PQ layout: at 100 TB
+    # the ADC scan streams the 32×-smaller code table, and exact cosines are
+    # paid for just |queries|·PQ_RERANK survivors (re-rank join below), not
+    # for 100% of the corpus as the pre-r5 shape did.
     pool = (
-        F.broadcast(queries).alias("a")
-        .crossJoin(corpus.alias("b"))
+        F.broadcast(queries.select("vec_id", "vn")).alias("a")
+        .crossJoin(corpus.select("vec_id", "codes").alias("b"))
         .select(
             F.col("a.vec_id").alias("qid"),
             F.col("b.vec_id").alias("nid"),
             F.expr(adc).alias("approx_d"),
-            F.round(_cos(), 6).alias("cos"),
         )
         .withColumn("arank", F.row_number().over(w_adc))
         .where(F.col("arank") <= PQ_RERANK)
+        .select("qid", "nid")
+    )
+    return e, queries, pool
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric distance + exact re-rank: corpus vectors compress to
+    M one-byte codes (32× smaller than raw doubles — the memory-bound
+    billion-scale layout); queries score candidates in the compressed
+    domain (Σ per-subspace distance to the coded centroid), then ONLY the
+    |queries|·PQ_RERANK survivors get the full-precision cosine via a
+    broadcast join back to the vector table.  The codebooks are FROZEN
+    model state (ann_models.PQ_CODEBOOKS, trained once by
+    scripts/train_ann_models.py), so the query is literal-driven with a
+    full DuckDB oracle; pytest additionally measures recall vs brute force
+    and pins the pool plan to the compressed domain (no exact cosine, no
+    cartesian re-rank)."""
+    e, queries, pool = _pq_parts(spark, sf_dir)
+    # Exact re-rank: survivors (|queries|·PQ_RERANK rows — tiny) broadcast
+    # against the corpus vectors; only matched rows evaluate the full dot.
+    exact = (
+        e.where(F.col("vec_id") >= N_QUERIES).alias("b")
+        .join(F.broadcast(pool).alias("p"), F.col("p.nid") == F.col("b.vec_id"))
+        .join(F.broadcast(queries).alias("a"), F.col("p.qid") == F.col("a.vec_id"))
+        .select(
+            F.col("p.qid").alias("qid"),
+            F.col("p.nid").alias("nid"),
+            F.round(_cos(), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
-        pool.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("qid", "rank")

@@ -143,6 +143,29 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir, brute):
     assert similarity.PQ_RERANK < corpus_n
 
 
+def test_pq_pool_is_compressed_domain(spark, sf_dir):
+    """The scale claim, pinned on the physical plan: the ADC crossJoin ×
+    window stage scores ONLY the one-byte code arrays — the exact rounded
+    cosine (the `round(...)` projection) must not appear anywhere in the
+    pool's plan (pre-r5 it was evaluated for 100% of the corpus and then
+    discarded), and the re-rank join back to the vectors must be a
+    broadcast-hash equality join, not a cartesian."""
+    _, _, pool = similarity._pq_parts(spark, sf_dir)
+    pool_plan = pool._jdf.queryExecution().executedPlan().toString()
+    assert "round(" not in pool_plan  # no full-precision cosine in the pool
+    full_plan = (
+        similarity.ann_pq_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one nested-loop stage (the intended broadcast-query ADC scan);
+    # the survivor re-rank joins by equality
+    assert full_plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in full_plan
+    assert "CartesianProduct" not in full_plan
+
+
 def test_pq_shape_and_determinism(spark, sf_dir):
     a = similarity.ann_pq_topk(spark, sf_dir).collect()
     assert len(a) == similarity.N_QUERIES * similarity.TOP_K
