@@ -267,14 +267,20 @@ class DatasetsCatalog:
         snap = self._snapshot_dir(version)
         try:
             legacy = self.spark.read.parquet(snap)
-        except Exception as e:
+        except Exception:
             # ONLY the no-files case reads as an empty table (an
             # empty-created legacy snapshot); any other read failure —
             # permissions, corrupt footers — must surface, not silently
-            # return empty and let the next commit drop every legacy row
-            if "UNABLE_TO_INFER_SCHEMA" in str(e):
-                return self.spark.createDataFrame([], DATASETS_SCHEMA)
-            raise
+            # return empty and let the next commit drop every legacy row.
+            # Probe the dir for parquet data files directly instead of
+            # matching Spark's (version-dependent) error wording.
+            for root, _dirs, files in os.walk(snap):
+                if any(
+                    f.endswith(".parquet") and not f.startswith((".", "_"))
+                    for f in files
+                ):
+                    raise
+            return self.spark.createDataFrame([], DATASETS_SCHEMA)
         cols = []
         for f in DATASETS_SCHEMA.fields:
             src = (
@@ -443,16 +449,56 @@ class DatasetsCatalog:
         rename is atomic, so exactly ONE waiter wins the break even when
         several observe staleness together (unlink-based breaking lets two
         waiters both enter — the second unlinks the first's fresh lock).
-        Release verifies the lock still carries OUR token before removing
-        it, so a holder whose lock was broken (frozen >60 s mid-section)
-        cannot remove its successor's lock."""
+
+        Yields a handle with two methods the critical section uses to stay
+        safe even if it runs long (large orphan rmtree / snapshot move):
+        ``heartbeat()`` re-touches the lock mtime while we still own it, so
+        a LIVE holder never goes stale mid-section; ``assert_held()``
+        verifies the lock still carries OUR token and raises
+        CommitConflictError if a waiter broke it — called immediately
+        before the VERSION repoint so a broken holder aborts instead of
+        racing its successor on the manifest chain.
+
+        Release renames the lock aside FIRST (atomic), then inspects the
+        renamed file: ours → unlink; a successor's (our read raced a
+        break+reacquire) → rename it back.  Unlike read-then-unlink, this
+        can never permanently remove a successor's live lock."""
         import contextlib
         import time
         import uuid
 
+        lock = os.path.join(self.path, ".COMMIT_LOCK")
+
+        class _Handle:
+            def __init__(self, token: str):
+                self.token = token
+
+            def _owned(self) -> bool:
+                try:
+                    with open(lock) as f:
+                        return f.read() == self.token
+                except OSError:
+                    return False
+
+            def heartbeat(self) -> None:
+                # advisory mtime refresh; only while we still own the file
+                # (touching a successor's lock would extend THEIR hold)
+                if self._owned():
+                    try:
+                        os.utime(lock)
+                    except OSError:
+                        pass
+
+            def assert_held(self) -> None:
+                if not self._owned():
+                    raise CommitConflictError(
+                        "commit lock was broken mid-section (holder "
+                        "presumed dead) — aborting before the VERSION "
+                        "repoint to avoid racing the successor"
+                    )
+
         @contextlib.contextmanager
         def _lock():
-            lock = os.path.join(self.path, ".COMMIT_LOCK")
             token = f"{os.getpid()}:{uuid.uuid4().hex}"
             t0 = time.time()
             while True:
@@ -480,12 +526,20 @@ class DatasetsCatalog:
                         )
                     time.sleep(0.05)
             try:
-                yield
+                yield _Handle(token)
             finally:
+                released = f"{lock}.release-{uuid.uuid4().hex}"
                 try:
-                    with open(lock) as f:
-                        if f.read() == token:
-                            os.unlink(lock)
+                    os.rename(lock, released)  # atomic claim of the file
+                    with open(released) as f:
+                        mine = f.read() == token
+                    if mine:
+                        os.unlink(released)
+                    else:
+                        # we renamed a SUCCESSOR's lock (ours was broken
+                        # and reacquired between our last op and release):
+                        # put it back instead of destroying it
+                        os.rename(released, lock)
                 except OSError:
                     pass  # already broken/removed by a successor
 
@@ -593,27 +647,42 @@ class DatasetsCatalog:
             # that came back empty disappears from the manifest
             manifest = {k: v for k, v in prev.items() if k not in tkeys}
             manifest.update({k: new_version for k in written})
-        with self._commit_lock():
-            latest = self._latest_version()
-            if latest != expected_version:
+        try:
+            with self._commit_lock() as lk:
+                latest = self._latest_version()
+                if latest != expected_version:
+                    raise CommitConflictError(
+                        f"table advanced from v{expected_version} to "
+                        f"v{latest} during commit — recompute against the "
+                        f"new snapshot"
+                    )
+                # an orphan snap dir (commit crashed after the move but
+                # before the VERSION repoint) was never referenced — clear
+                # it, else shutil.move would nest the new data INSIDE it.
+                # A large orphan can take a while: heartbeat around it so a
+                # live holder never looks stale to waiters.
+                lk.heartbeat()
+                if os.path.isdir(snap):
+                    shutil.rmtree(snap)
+                lk.heartbeat()
+                shutil.move(tmp, snap)
                 shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-                raise CommitConflictError(
-                    f"table advanced from v{expected_version} to v{latest} "
-                    f"during commit — recompute against the new snapshot"
-                )
-            # an orphan snap dir (commit crashed after the move but before
-            # the VERSION repoint) was never referenced — clear it, else
-            # shutil.move would nest the new data INSIDE it
-            if os.path.isdir(snap):
-                shutil.rmtree(snap)
-            shutil.move(tmp, snap)
+                with open(self._manifest_path(new_version), "w") as f:
+                    json.dump(manifest, f)
+                # last-instant ownership check: if a waiter broke our lock
+                # mid-section, abort BEFORE the repoint (the moved snapshot
+                # becomes an unreferenced orphan — cleaned by the next
+                # commit) instead of racing the successor on VERSION
+                lk.assert_held()
+                vtmp = os.path.join(self.path, f".VERSION.{uuid.uuid4().hex}")
+                with open(vtmp, "w") as f:
+                    f.write(str(new_version))
+                os.replace(vtmp, os.path.join(self.path, "VERSION"))
+        finally:
+            # any failure to reach the move (lock timeout, version
+            # conflict, broken-lock abort) leaves the tmp payload behind —
+            # contended tables must not leak full commit payloads
             shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-            with open(self._manifest_path(new_version), "w") as f:
-                json.dump(manifest, f)
-            vtmp = os.path.join(self.path, f".VERSION.{uuid.uuid4().hex}")
-            with open(vtmp, "w") as f:
-                f.write(str(new_version))
-            os.replace(vtmp, os.path.join(self.path, "VERSION"))
 
     @staticmethod
     def _pkey(value: bool | None, bucket: int) -> str:

@@ -460,3 +460,62 @@ def test_stale_commit_lock_is_broken(spark, tmp_path):
     cat.upsert("x", ENTRY)  # would raise CommitConflictError un-broken
     assert cat.get("x")["id"] == "x"
     assert not os.path.exists(lock)
+
+
+def test_broken_lock_aborts_before_version_repoint(spark, tmp_path):
+    """A holder whose lock was broken mid-section (frozen past
+    LOCK_STALE_AFTER) must abort at assert_held() BEFORE the VERSION
+    repoint — not race its successor on the manifest chain."""
+    import os
+
+    from data_catalog_spark.errors import CommitConflictError
+
+    path = str(tmp_path / "broken")
+    cat = DatasetsCatalog(spark, path)
+    cat.create_if_not_exists()
+    lock = os.path.join(path, ".COMMIT_LOCK")
+    with cat._commit_lock() as lk:
+        lk.heartbeat()  # a live holder refreshing mtime is a no-op
+        lk.assert_held()
+        # simulate a waiter breaking the lock and taking over
+        os.unlink(lock)
+        with open(lock, "w") as f:
+            f.write("successor-token")
+        with pytest.raises(CommitConflictError, match="broken mid-section"):
+            lk.assert_held()
+    # release must NOT have destroyed the successor's lock
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "successor-token"
+    os.unlink(lock)
+
+
+def test_lock_timeout_does_not_leak_tmp_snapshot(spark, tmp_path):
+    """If lock acquisition times out, the already-written tmp commit
+    payload under snapshots/ must be cleaned up, not leaked."""
+    import os
+    import time
+
+    from data_catalog_spark.errors import CommitConflictError
+
+    path = str(tmp_path / "leak")
+    cat = DatasetsCatalog(spark, path)
+    cat.upsert("a", ENTRY)
+    lock = os.path.join(path, ".COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("other-holder")  # fresh mtime: not stale, not breakable
+    base = cat._latest_version()
+    img = cat.df(version=base)
+    t0 = time.time()
+    with pytest.raises(CommitConflictError, match="lock held past"):
+        # short timeout so the test stays fast
+        orig = cat._commit_lock
+        cat._commit_lock = lambda timeout=1.0: orig(timeout=1.0)
+        try:
+            cat._commit(img, touched=set(), expected_version=base)
+        finally:
+            cat._commit_lock = orig
+    os.unlink(lock)
+    # snapshots/ holds only the committed version dirs — no tmp residue
+    snaps = os.listdir(os.path.join(path, "snapshots"))
+    assert all(s.startswith("v") for s in snaps), snaps
