@@ -90,6 +90,8 @@ HEADLINE = [
     "dedup_incremental",
     "media_png_features",
     "source_language_profile",
+    # round 5 additions
+    "cat_stemmed_title_indexed",
 ]
 
 

@@ -194,21 +194,7 @@ def _stemmed_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     document matches when the stemmed token sets intersect.  The plural
     probe proves the folding: 'widgets'/'rings' match the singular corpus
     titles, which raw token equality would miss."""
-    from pyspark.sql import functions as F
-
-    from . import analyzers
-
-    title_tokens = (
-        f"filter(split(lower(title), '{analyzers.STANDARD_SPLIT}'), x -> x != '')"
-    )
-    stemmed = analyzers.spark_stem_transform(title_tokens)
-    probes = "array(" + ", ".join(f"'{t}'" for t in _stem_probe_terms()) + ")"
-    return (
-        datasets_df(spark, sf_dir)
-        .where(F.expr(f"arrays_overlap({stemmed}, {probes})"))
-        .select("id", "title")
-        .orderBy(F.col("id").cast("bigint"))
-    )
+    return _stemmed_title_match_on(spark, datasets_df(spark, sf_dir))
 
 
 def _stemmed_match_oracle() -> str:
@@ -225,6 +211,55 @@ SELECT id, title FROM datasets
 WHERE len(list_intersect({stemmed}, {probes})) > 0
 ORDER BY CAST(id AS BIGINT)
 """
+
+
+def _indexed_stemmed_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time stemming (the ES-true layout): the title_stem posting
+    family (text_index.py) is built ONCE per corpus with the same shared
+    Porter chain; at query time the probe terms are stemmed in Python and
+    the token-equality posting probe DECIDES — exactly how ES serves an
+    `english`-analyzed match, with no read-time re-analysis.  Unlike the
+    trigram family (superset → re-verify), stemmed-token-set intersection
+    is precisely what the family stores, so the probe is lossless
+    (test_stem_candidates_are_lossless pins candidate set == answer set;
+    re-applying the scan predicate here would let Catalyst push the full
+    Porter regexp chain below the semi-join and pay it per corpus row
+    again).  Same output contract and oracle as cat_stemmed_title."""
+    from pyspark.sql import functions as F
+
+    from . import text_index
+    from .io import ensure_materialized
+
+    ds = datasets_df(spark, sf_dir)
+    path = ensure_materialized(
+        text_index.text_index_path(sf_dir),
+        lambda p: text_index.build_text_index(ds, p),
+    )
+    cand = text_index.stem_candidates(spark, path, _stem_probe_terms())
+    return (
+        ds.join(cand, "id", "left_semi")
+        .select("id", "title")
+        .orderBy(F.col("id").cast("bigint"))
+    )
+
+
+def _stemmed_title_match_on(spark: SparkSession, ds: DataFrame) -> DataFrame:
+    """The exact stemmed-title predicate + projection over an arbitrary
+    datasets frame (full scan or index-narrowed candidates)."""
+    from pyspark.sql import functions as F
+
+    from . import analyzers
+
+    title_tokens = (
+        f"filter(split(lower(title), '{analyzers.STANDARD_SPLIT}'), x -> x != '')"
+    )
+    stemmed = analyzers.spark_stem_transform(title_tokens)
+    probes = "array(" + ", ".join(f"'{t}'" for t in _stem_probe_terms()) + ")"
+    return (
+        ds.where(F.expr(f"arrays_overlap({stemmed}, {probes})"))
+        .select("id", "title")
+        .orderBy(F.col("id").cast("bigint"))
+    )
 
 
 def partitioned_datasets_path(sf_dir: str) -> str:
@@ -352,6 +387,7 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_count_only_public"] = _total_query(CATALOG_CASES["cat_only_public"])
     out["cat_partitioned_only_public"] = _partitioned_only_public
     out["cat_text_search_indexed"] = _indexed_text_search
+    out["cat_stemmed_title_indexed"] = _indexed_stemmed_title
     return out
 
 
@@ -382,6 +418,9 @@ def catalog_oracles() -> dict[str, str]:
     # identical oracle to cat_text_search: the inverted index changes the
     # physical plan (posting probes + semi-join), never the result
     out["cat_text_search_indexed"] = f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq_text)}"
+    # identical oracle to cat_stemmed_title: the title_stem posting family
+    # changes WHERE stemming is paid (write-time), never the result
+    out["cat_stemmed_title_indexed"] = _stemmed_match_oracle()
     return out
 
 

@@ -22,6 +22,12 @@ with three posting families:
   (analyzers.token_match_pattern's equivalence guarantee), so token
   postings are lossless for this clause.
 - ``sourceUri``  → uri-analyzer tokens, same argument.
+- ``title_stem`` → PORTER-STEMMED standard-analyzer tokens of the title —
+  the write-time shape of ES's `english` analyzer (reference
+  configuration_const.py:26-29).  Stemmed-token-set intersection is
+  token-equality over this family, so the probe is lossless; stemming
+  moves off the per-query scan path (the r4 1.83 s regression) onto the
+  write path, which is where ES itself pays it.
 
 Candidates from the three clause arms union, then the EXACT compiled
 predicate + scoring re-runs on the semi-joined candidates — the index
@@ -56,8 +62,11 @@ TITLE_GRAM = 3
 
 def text_index_path(sf_dir: str) -> str:
     """Postings dir keyed by the source table's content stat — see
-    io.materialization_path (datasets derive from part.parquet)."""
-    return materialization_path(sf_dir, "text-index", "part.parquet")
+    io.materialization_path (datasets derive from part.parquet).  The
+    kind carries an index-format version: v2 added the title_stem family,
+    and a v1 dir on disk must not be reused (its probes would silently
+    return zero candidates for stem queries)."""
+    return materialization_path(sf_dir, "text-index-v2", "part.parquet")
 
 
 def build_text_index(ds: DataFrame, path: str) -> None:
@@ -81,6 +90,12 @@ def build_text_index(ds: DataFrame, path: str) -> None:
         f"array_distinct(filter(split(lower(sourceUri), '{analyzers.URI_SPLIT}'), "
         f"x -> x != '' AND NOT array_contains(array({uri_stop}), x)))"
     )
+    title_tokens = (
+        f"filter(split(lower(title), '{analyzers.STANDARD_SPLIT}'), x -> x != '')"
+    )
+    stem_tokens = F.expr(
+        f"array_distinct({analyzers.spark_stem_transform(title_tokens)})"
+    )
     parts = [
         ds.select(F.lit("title").alias("field"), F.explode(trigrams).alias("gram"), "id"),
         ds.select(
@@ -88,6 +103,9 @@ def build_text_index(ds: DataFrame, path: str) -> None:
         ),
         ds.select(
             F.lit("sourceUri").alias("field"), F.explode(uri_tokens).alias("gram"), "id"
+        ),
+        ds.select(
+            F.lit("title_stem").alias("field"), F.explode(stem_tokens).alias("gram"), "id"
         ),
     ]
     postings = parts[0]
@@ -147,3 +165,21 @@ def indexed_hits(
         return search.hits(ds, cq)
     cand = text_candidates(spark, index_path, cq.text, ds)
     return search.hits(ds.join(cand, "id", "left_semi"), cq)
+
+
+def stem_candidates(
+    spark: SparkSession, index_path: str, stemmed_terms: list[str]
+) -> DataFrame:
+    """1-column (id) candidates for a stemmed-title match: ids with ANY
+    posting in the title_stem family matching a probe term.  Because the
+    family stores exactly the stemmed standard tokens, this probe is
+    LOSSLESS for arrays_overlap(stemmed_tokens, probes) — the candidate
+    set IS the answer set; the caller still re-applies the exact scan
+    predicate on the semi-joined rows so the index can only ever
+    accelerate, never decide."""
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.where((F.col("field") == "title_stem") & F.col("gram").isin(stemmed_terms))
+        .select("id")
+        .distinct()
+    )

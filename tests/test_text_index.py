@@ -76,6 +76,45 @@ def test_indexed_entry_matches_oracle(spark, sf_dir, ddb):
     )
 
 
+def test_stem_candidates_are_lossless(spark, sf_dir, index_path):
+    """The title_stem family stores exactly the stemmed standard tokens,
+    so the any-overlap posting probe returns precisely the stemmed-match
+    answer set (unlike the trigram family's superset)."""
+    from data_catalog_spark.entries import _stem_probe_terms, _stemmed_title_match_on
+
+    ds = datasets_df(spark, sf_dir)
+    matches = {r.id for r in _stemmed_title_match_on(spark, ds).select("id").collect()}
+    cand = {
+        r.id
+        for r in text_index.stem_candidates(
+            spark, index_path, _stem_probe_terms()
+        ).collect()
+    }
+    assert matches == cand
+    assert matches  # the plural probe matches singular corpus titles
+
+
+def test_indexed_stemmed_title_equals_scan_and_oracle(spark, sf_dir, ddb):
+    """Write-time stemming changes where the Porter chain is paid, never
+    the result: identical rows to the scan path and to the shared DuckDB
+    oracle."""
+    from data_catalog_spark.entries import (
+        _indexed_stemmed_title,
+        _stemmed_title_match,
+        catalog_oracles,
+    )
+
+    want = [tuple(r) for r in _stemmed_title_match(spark, sf_dir).collect()]
+    got = [tuple(r) for r in _indexed_stemmed_title(spark, sf_dir).collect()]
+    assert got == want
+    assert want
+    assert_same(
+        _indexed_stemmed_title(spark, sf_dir),
+        ddb,
+        catalog_oracles()["cat_stemmed_title_indexed"],
+    )
+
+
 def test_indexed_plan_probes_postings(spark, sf_dir, index_path):
     """Plan shape: candidates reach the datasets scan as a LeftSemi join,
     and the postings scan carries the gram IN-list as a pushed filter plus
