@@ -92,6 +92,8 @@ HEADLINE = [
     "source_language_profile",
     # round 5 additions
     "cat_stemmed_title_indexed",
+    "bm25_search_topk",
+    "hybrid_search_rrf_bm25",
 ]
 
 

@@ -883,12 +883,25 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank) frames.  doc_id ≡ vec_id in the driver corpus."""
     from .tfidf import tfidf_scores
 
+    return _hybrid_rrf(spark, sf_dir, tfidf_scores)
+
+
+def hybrid_search_rrf_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search_rrf with the lexical leg upgraded to BM25 (the
+    ranking ES itself converged to) — identical fusion, vector leg, and
+    candidate-depth semantics; only the text-leg scorer differs."""
+    from .tfidf import bm25_scores
+
+    return _hybrid_rrf(spark, sf_dir, bm25_scores)
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str, scorer) -> DataFrame:
     # Both legs rank the SAME universe: doc_id ≡ vec_id, and vec_ids
     # 0..N_QUERIES-1 are reserved as query vectors, so the text leg
     # excludes them too — otherwise those docs could never earn a vector
     # rank (halved rrf) and the query's own document could surface.
     docs = _docs_table(spark, sf_dir).where(F.col("doc_id") >= N_QUERIES)
-    tscore = tfidf_scores(spark, docs).withColumnRenamed("score", "tscore")
+    tscore = scorer(spark, docs).withColumnRenamed("score", "tscore")
     # Rank within the top-RRF_CAND candidates only: the cut is a
     # distributed TakeOrderedAndProject, so the global row_number runs on a
     # bounded frame (standard RRF fuses top-k lists, not full rankings).
@@ -939,6 +952,35 @@ def _docs_table(spark: SparkSession, sf_dir: str):
 
 
 def _hybrid_oracle() -> str:
+    tscore_cte = """
+n AS (SELECT count(*) AS n_docs FROM corpus_docs),
+tscore AS (
+  SELECT doc_id, round(SUM(tf * ln((n_docs + 1) / (df + 1))), 6) AS tscore
+  FROM matched JOIN df_t USING (term) CROSS JOIN n GROUP BY doc_id
+)"""
+    return _hybrid_oracle_with(tscore_cte)
+
+
+def _hybrid_bm25_oracle() -> str:
+    from .tfidf import DUCK_TOKENS, _bm25_weight_sql
+
+    w = _bm25_weight_sql("n_docs", "total_tokens")
+    tscore_cte = f"""
+dl AS (SELECT doc_id, len({DUCK_TOKENS}) AS dl FROM corpus_docs),
+n AS (SELECT count(*) AS n_docs, (SELECT SUM(dl) FROM dl) AS total_tokens
+      FROM corpus_docs),
+tscore AS (
+  SELECT doc_id, round(SUM({w}), 6) AS tscore
+  FROM matched JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+  GROUP BY doc_id
+)"""
+    return _hybrid_oracle_with(tscore_cte)
+
+
+def _hybrid_oracle_with(tscore_cte: str) -> str:
+    """Shared DuckDB rendering of the RRF fusion; ``tscore_cte`` supplies
+    the lexical leg (tf·idf or BM25) as CTEs ending in tscore(doc_id,
+    tscore), with corpus_docs/matched/df_t in scope."""
     from .tfidf import DUCK_TOKENS, QUERY_TERMS
 
     terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
@@ -953,11 +995,7 @@ WITH corpus_docs AS (
 ), q(term) AS (VALUES {terms}),
 matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
 df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
-n AS (SELECT count(*) AS n_docs FROM corpus_docs),
-tscore AS (
-  SELECT doc_id, round(SUM(tf * ln((n_docs + 1) / (df + 1))), 6) AS tscore
-  FROM matched JOIN df_t USING (term) CROSS JOIN n GROUP BY doc_id
-),
+{tscore_cte},
 text_ranked AS (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY tscore DESC, doc_id) AS INTEGER) AS trank
@@ -986,6 +1024,7 @@ LIMIT {RRF_TOP}
 
 
 register("hybrid_search_rrf", hybrid_search_rrf, _hybrid_oracle())
+register("hybrid_search_rrf_bm25", hybrid_search_rrf_bm25, _hybrid_bm25_oracle())
 
 
 # -- cluster quality (Davies-Bouldin over labels) -----------------------------

@@ -147,6 +147,103 @@ register("tfidf_search_topk", tfidf_search_topk, _tfidf_oracle())
 register("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE)
 
 
+# -- BM25 ranked retrieval ---------------------------------------------------
+#
+# The ranking the reference's ES lineage converged to (ES 5+ default,
+# Lucene's Okapi BM25 with k1=1.2, b=0.75):
+#
+#   idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))       (always > 0)
+#   score(q,d) = Σ idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+#
+# vs tf·idf above, tf saturates (a 50-occurrence doc isn't 50× better) and
+# long documents are normalized by length.  Same postings shape — the only
+# extra input is the doc-length table and the corpus stats (N, avgdl),
+# which at 100 TB are planner-style scalars refreshed with the postings.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_weight_sql(n_docs: str, total_tokens: str) -> str:
+    """One BM25 term weight as engine-portable SQL (identical text runs on
+    Spark and DuckDB; every constant is CAST to DOUBLE so neither engine's
+    decimal-literal rules enter the arithmetic).  Expects columns
+    ``df`` (term document frequency), ``tf``, ``dl`` (doc token count) in
+    scope; ``n_docs``/``total_tokens`` are rendered expressions (literals
+    on the Spark side, CTE columns in the oracle)."""
+    k1 = f"CAST({BM25_K1!r} AS DOUBLE)"
+    k1p1 = f"CAST({BM25_K1 + 1!r} AS DOUBLE)"
+    b = f"CAST({BM25_B!r} AS DOUBLE)"
+    avgdl = f"(CAST({total_tokens} AS DOUBLE) / {n_docs})"
+    idf = (
+        f"ln(CAST(1.0 AS DOUBLE) + (CAST({n_docs} AS DOUBLE) - df "
+        f"+ CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))"
+    )
+    return (
+        f"{idf} * (tf * {k1p1}) / "
+        f"(tf + {k1} * (CAST(1.0 AS DOUBLE) - {b} + {b} * dl / {avgdl}))"
+    )
+
+
+def bm25_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, score): BM25 of QUERY_TERMS over ``docs`` — same postings
+    pipeline as tfidf_scores plus the doc-length join; N and total token
+    count are driver scalars (planner stats), embedded as literals so the
+    weight expression is identical text on both engines."""
+    n_docs = docs.count()
+    dl_df = docs.select("doc_id", F.size(F.expr(SPARK_TOKENS)).alias("dl"))
+    total_tokens = dl_df.agg(F.sum("dl")).collect()[0][0]
+    postings = doc_postings(docs)
+    q = spark.createDataFrame([(t,) for t in QUERY_TERMS], "term string")
+    matched = postings.join(F.broadcast(q), "term")
+    df_t = matched.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    w = _bm25_weight_sql(str(n_docs), str(total_tokens))
+    return (
+        matched.join(F.broadcast(df_t), "term")
+        .join(dl_df, "doc_id")
+        .withColumn("w", F.expr(w))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents for QUERY_TERMS by BM25, deterministic ties on
+    doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(spark, docs)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    w = _bm25_weight_sql("n_docs", "total_tokens")
+    return f"""
+WITH postings AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, term
+), q(term) AS (VALUES {terms}),
+matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+dl AS (SELECT doc_id, len({DUCK_TOKENS}) AS dl FROM documents),
+n AS (SELECT count(*) AS n_docs, (SELECT SUM(dl) FROM dl) AS total_tokens
+      FROM documents)
+SELECT doc_id, round(SUM({w}), 6) AS score
+FROM matched JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+register("bm25_search_topk", bm25_search_topk, _bm25_oracle())
+
+
 # -- subword vocabulary build + coverage -------------------------------------
 
 # Small enough that the synthetic corpus (~60 distinct words) has genuine

@@ -50,6 +50,48 @@ def test_rarer_terms_weigh_more(spark, sf_dir):
     assert all(idf[a] >= idf[b] for a, b in zip(ordered, ordered[1:]))
 
 
+def test_bm25_parity(spark, sf_dir, ddb):
+    assert_same(tfidf.bm25_search_topk(spark, sf_dir), ddb, tfidf._bm25_oracle())
+
+
+def test_bm25_semantics(spark, sf_dir):
+    """BM25 invariants vs raw tf·idf: scores positive and ranked; tf
+    SATURATES — a doc's per-term contribution is bounded by idf·(k1+1),
+    so no score can exceed Σ_t idf(t)·(k1+1)."""
+    import math
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = tfidf.bm25_search_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= tfidf.TOP_K
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    from pyspark.sql import functions as F
+
+    postings = tfidf.doc_postings(docs)
+    dfs = {
+        r.term: r.df
+        for r in postings.where(postings.term.isin(tfidf.QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    }
+    bound = sum(
+        math.log(1 + (n - d + 0.5) / (d + 0.5)) * (tfidf.BM25_K1 + 1)
+        for d in dfs.values()
+    )
+    assert all(s <= bound + 1e-6 for s in scores)
+
+
+def test_hybrid_bm25_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import similarity as sim
+
+    assert_same(
+        sim.hybrid_search_rrf_bm25(spark, sf_dir), ddb, sim._hybrid_bm25_oracle()
+    )
+
+
 def test_top_bigrams_parity(spark, sf_dir, ddb):
     assert_same(
         tfidf.corpus_top_bigrams(spark, sf_dir), ddb, tfidf.TOP_BIGRAMS_ORACLE
