@@ -94,6 +94,7 @@ HEADLINE = [
     "cat_stemmed_title_indexed",
     "bm25_search_topk",
     "hybrid_search_rrf_bm25",
+    "media_decode_report",
 ]
 
 

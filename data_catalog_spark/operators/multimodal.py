@@ -10,7 +10,10 @@ third-party package needed); other image formats and VIDEO decode stay
 STUBBED (pillow/ffmpeg are not in this container): ``decode_image``
 raises NotImplementedError on non-PNG bytes unless ``fake=True``, whose
 deterministic byte-histogram stands in so the distributed pipeline is
-exercisable end-to-end.
+exercisable end-to-end.  Undecodable media is never SILENT: every
+feature row carries ``decode_status`` and ``media_decode_report`` counts
+the reject lane per kind (the 100 TB honesty contract — a JPEG-heavy
+corpus shows up as a low real_fraction, not as fake features).
 
 Scale notes: media bytes stay in executor-side Arrow batches — never
 collected, never shuffled whole (feature extraction projects binary →
@@ -58,6 +61,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_md5", T.StringType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
+        # 'real' when the blob decoded through a REAL stdlib decoder
+        # (PNG for images, PCM WAV for audio); 'reject' otherwise — the
+        # counted reject lane: at 100 TB a job must REPORT undecodable
+        # media, never silently substitute the stand-in histogram
+        T.StructField("decode_status", T.StringType()),
     ]
 )
 
@@ -299,9 +307,33 @@ def _byte_histogram(content: bytes, bins: int = 4) -> list[float]:
     return [c / len(content) for c in counts]
 
 
+def classify_decode(kind: str, content: bytes) -> str:
+    """Reject-lane classification: 'real' iff the blob decodes through a
+    REAL stdlib decoder for its kind (PNG for images, PCM WAV for audio;
+    video is always 'reject' — ffmpeg-gated).  The classification is by
+    ATTEMPTING the decode, not by sniffing magic bytes, so a corrupt PNG
+    lands in the reject lane too."""
+    if kind == "image":
+        try:
+            decode_png(content)
+            return "real"
+        except ValueError:
+            return "reject"
+    if kind == "audio":
+        try:
+            _decode_audio_array(content)
+            return "real"
+        except ValueError:
+            return "reject"
+    return "reject"
+
+
 def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     """binary → small feature vectors via mapInPandas (Arrow-batched; one
-    pandas DataFrame per batch, never per-row Python)."""
+    pandas DataFrame per batch, never per-row Python).  Every row carries
+    ``decode_status`` ('real'/'reject'): rejected blobs still get the
+    deterministic stand-in features so one bad blob never fails the job,
+    but the lane is COUNTED, not silent (media_decode_report)."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,6 +350,10 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
                     "features": content.map(
                         lambda b: decode_image(bytes(b), fake=fake_decode)
                     ),
+                    "decode_status": [
+                        classify_decode(k, bytes(b))
+                        for k, b in zip(pdf["kind"], content)
+                    ],
                 }
             )
 
@@ -377,6 +413,87 @@ ORDER BY media_id
 """
 
 
+def synth_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synth_media with a deterministic REAL-decodable subset: image rows
+    with media_id % 6 == 0 become genuine 4×4 gray PNGs (encode_png over
+    the text's first bytes) and audio rows with media_id % 6 == 1 become
+    genuine 16-bit PCM WAVs — everything else keeps the raw utf-8 blob.
+    The real/reject split is therefore pure id arithmetic, which is what
+    makes media_decode_report's outcome SQL-expressible while the Spark
+    side proves it by actually decoding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.copy()
+            new_content = []
+            for mid, kind, blob in zip(out["media_id"], out["kind"], out["content"]):
+                raw = bytes(blob)
+                if kind == "image" and mid % 6 == 0:
+                    px = np.frombuffer((raw + b"\x00" * 16)[:16], dtype=np.uint8)
+                    new_content.append(encode_png(px.reshape(4, 4, 1)))
+                elif kind == "audio" and mid % 6 == 1:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(16000)
+                        pcm = (raw + b"\x00" * 32)[:32]
+                        w.writeframes(pcm[: len(pcm) - len(pcm) % 2])
+                    new_content.append(buf.getvalue())
+                else:
+                    new_content.append(raw)
+            out["content"] = new_content
+            yield out
+
+    return synth_media(spark, sf_dir).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counted reject lane, end-to-end: run extract_features over the
+    mixed media table and report per kind how much of the corpus REALLY
+    decoded vs landed in the reject lane.  This is the honesty contract a
+    100 TB media job needs — undecodable blobs are counted and reported,
+    never silently replaced by the stand-in features.  The Spark side
+    earns 'real' by decoding (classify_decode attempts the stdlib PNG/WAV
+    decoders); the oracle predicts the same counts from the mixed table's
+    construction arithmetic."""
+    feats = extract_features(synth_mixed_media(spark, sf_dir))
+    real = F.sum((F.col("decode_status") == "real").cast("bigint"))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            real.alias("n_real"),
+            (F.count(F.lit(1)) - real).alias("n_rejected"),
+            F.round(
+                real.cast("double") / F.count(F.lit(1)), 6
+            ).alias("real_fraction"),
+        )
+        .orderBy("kind")
+    )
+
+
+MEDIA_DECODE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CASE WHEN doc_id % 6 IN (0, 1) THEN 1 ELSE 0 END AS is_real
+  FROM documents
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(SUM(is_real) AS BIGINT) AS n_real,
+       CAST(count(*) - SUM(is_real) AS BIGINT) AS n_rejected,
+       round(CAST(SUM(is_real) AS DOUBLE) / count(*), 6) AS real_fraction
+FROM m GROUP BY kind ORDER BY kind
+"""
+
+
 def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sample_frames plumbing: per-video frame count + total sampled bytes
     (each of the n frames is exactly floor(len/n) bytes)."""
@@ -404,6 +521,7 @@ ORDER BY media_id
 
 register("media_feature_stats", media_feature_stats, MEDIA_FEATURES_ORACLE)
 register("media_frame_stats", media_frame_stats, MEDIA_FRAMES_ORACLE)
+register("media_decode_report", media_decode_report, MEDIA_DECODE_ORACLE)
 
 
 # -- resize ------------------------------------------------------------------

@@ -36,6 +36,34 @@ def test_extract_features_shape_and_determinism(media):
     assert sorted(feats, key=lambda r: r.media_id) == sorted(again, key=lambda r: r.media_id)
 
 
+def test_decode_report_counts_reject_lane(spark, sf_dir, ddb):
+    """The counted reject lane: mixed-table rows flagged 'real' actually
+    decode through the stdlib decoders, rejects are counted per kind, and
+    the report matches the construction-arithmetic oracle."""
+    assert_same(mm.media_decode_report(spark, sf_dir), ddb, mm.MEDIA_DECODE_ORACLE)
+    mixed = mm.synth_mixed_media(spark, sf_dir)
+    sample = mixed.where("media_id % 6 = 0 AND kind = 'image'").limit(3).collect()
+    assert sample
+    for r in sample:
+        w, h, ch, px = mm.decode_png(bytes(r.content))
+        assert (w, h, ch) == (4, 4, 1)
+    wavs = mixed.where("media_id % 6 = 1 AND kind = 'audio'").limit(3).collect()
+    assert wavs
+    for r in wavs:
+        assert len(mm.decode_audio(bytes(r.content))) > 0
+
+
+def test_classify_decode_attempts_not_sniffs():
+    """A blob with the PNG magic but corrupt payload must land in the
+    reject lane — classification is by decode attempt, not magic bytes."""
+    assert mm.classify_decode("image", b"\x89PNG\r\n\x1a\njunk") == "reject"
+    assert mm.classify_decode("video", b"anything") == "reject"
+    import numpy as np
+
+    png = mm.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert mm.classify_decode("image", png) == "real"
+
+
 def test_non_png_image_decode_is_stubbed_audio_is_real():
     # "\x89PNG..." is NOT the full 8-byte PNG signature — treated as an
     # unsupported (non-PNG) image format, which needs pillow
