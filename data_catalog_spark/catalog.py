@@ -181,6 +181,103 @@ class DatasetsCatalog:
             removed.append(v)
         return removed
 
+    @staticmethod
+    def _cell_tuple(cell: str) -> tuple[bool | None, int]:
+        """Inverse of ``_pkey``: manifest key → (partition value, bucket)."""
+        pval, bucket = cell.rsplit("/", 1)
+        v = None if pval == "__HIVE_DEFAULT_PARTITION__" else (pval == "true")
+        return v, int(bucket)
+
+    def _cell_dir(self, owner: int, cell: str) -> str:
+        pval, bucket = cell.rsplit("/", 1)
+        return os.path.join(
+            self._snapshot_dir(owner),
+            f"{self.PARTITION_COL}={pval}",
+            f"{self.BUCKET_COL}={bucket}",
+        )
+
+    def _cell_file_count(self, owner: int, cell: str) -> int:
+        try:
+            return len(
+                [
+                    f
+                    for f in os.listdir(self._cell_dir(owner, cell))
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+            )
+        except OSError:
+            return 0
+
+    def compact(self, max_files_per_cell: int = 1) -> dict:
+        """Small-file compaction as a MANIFEST COMMIT (Delta/Iceberg
+        OPTIMIZE): find cells whose owner dir holds more than
+        ``max_files_per_cell`` parquet files, read ONLY those cells,
+        bin-pack them (repartition by cell so each cell lands in one
+        task → one file), and commit with touched = the fragmented cells.
+        Untouched cells carry forward by reference; the table content is
+        byte-identical (``diff(pre, post)`` is empty) — only physical
+        layout and owners change.  Goes through ``_commit``, so it gets
+        the same CAS/lock protocol as any write and a concurrent mutator
+        simply wins or loses the version race.
+
+        O(fragmented), not O(table): churn-heavy tables compact the few
+        hot cells their upserts keep rewriting, not the cold bulk.
+        Returns a report dict (cells compacted, files before/after,
+        resulting version)."""
+        self.create_if_not_exists()
+        base = self._latest_version()
+        manifest = self._manifest(base)
+        if manifest is None:
+            # legacy manifest-less table: compaction IS the migration
+            # commit (full rewrite under a fresh manifest)
+            if base is None:
+                return {
+                    "compacted_cells": 0,
+                    "files_before": 0,
+                    "files_after": 0,
+                    "version": base,
+                }
+            post = self.df(version=base)
+            self._commit(post, touched=None, expected_version=base)
+            new = self._latest_version()
+            m = self._manifest(new) or {}
+            files = sum(self._cell_file_count(o, c) for c, o in m.items())
+            return {
+                "compacted_cells": len(m),
+                "files_before": None,
+                "files_after": files,
+                "version": new,
+            }
+        frag = {
+            cell: owner
+            for cell, owner in manifest.items()
+            if self._cell_file_count(owner, cell) > max_files_per_cell
+        }
+        files_before = sum(self._cell_file_count(o, c) for c, o in frag.items())
+        if not frag:
+            return {
+                "compacted_cells": 0,
+                "files_before": 0,
+                "files_after": 0,
+                "version": base,
+            }
+        post = self._read_cells(frag).repartition(
+            len(frag), F.col(self.PARTITION_COL), self._bucket_expr()
+        )
+        self._commit(
+            post,
+            touched={self._cell_tuple(c) for c in frag},
+            expected_version=base,
+        )
+        new = self._latest_version()
+        files_after = sum(self._cell_file_count(new, c) for c in frag)
+        return {
+            "compacted_cells": len(frag),
+            "files_before": files_before,
+            "files_after": files_after,
+            "version": new,
+        }
+
     # -- reads -------------------------------------------------------------
 
     def df(self, version: int | None = None) -> DataFrame:
@@ -223,6 +320,12 @@ class DatasetsCatalog:
             # instead of bricking the table.  The next commit migrates it
             # (full rewrite under a fresh manifest, see _commit).
             return self._read_legacy_snapshot(version)
+        return self._read_cells(manifest)
+
+    def _read_cells(self, manifest: dict[str, int]) -> DataFrame:
+        """Union-of-scans over the cells a (sub)manifest points at — the
+        read shape of both ``df()`` (full manifest) and ``compact()``
+        (fragmented cells only)."""
         file_schema = T.StructType(
             [f for f in DATASETS_SCHEMA.fields if f.name != self.PARTITION_COL]
         )

@@ -462,6 +462,38 @@ def test_stale_commit_lock_is_broken(spark, tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_compact_bin_packs_cells_and_preserves_content(spark, tmp_path):
+    """Small-file compaction as a manifest commit: fragmented cells are
+    bin-packed to one file each, untouched cells carry forward, and the
+    logical table is unchanged (empty CDC diff across the compaction)."""
+    path = str(tmp_path / "opt")
+    cat = DatasetsCatalog(spark, path)
+    for i in range(5):
+        cat.upsert(f"e{i}", {**ENTRY, "title": f"t{i}"})
+    cat.upsert("other-cell", {**ENTRY, "orgUUID": "org99", "isPublic": False})
+    base = cat._latest_version()
+    before = {r["id"] for r in cat.df().collect()}
+    rep = cat.compact(max_files_per_cell=0)  # force: every cell bin-packs
+    assert rep["compacted_cells"] >= 1
+    assert rep["version"] == base + 1
+    m = cat._manifest(rep["version"])
+    # every compacted cell now holds exactly one parquet file
+    for cell, owner in m.items():
+        if owner == rep["version"]:
+            assert cat._cell_file_count(owner, cell) == 1
+    assert rep["files_after"] <= rep["files_before"]
+    # logical content unchanged: CDC between pre and post is empty
+    assert cat.diff(base, rep["version"]).count() == 0
+    assert {r["id"] for r in cat.df().collect()} == before
+    # at threshold 1 there is nothing left to compact (idempotence)
+    rep2 = cat.compact(max_files_per_cell=1)
+    assert rep2["compacted_cells"] == 0
+    assert cat._latest_version() == rep["version"]
+    # reads and writes keep working on the compacted table
+    cat.upsert("post-compact", ENTRY)
+    assert {r["id"] for r in cat.df().collect()} == before | {"post-compact"}
+
+
 def test_broken_lock_aborts_before_version_repoint(spark, tmp_path):
     """A holder whose lock was broken mid-section (frozen past
     LOCK_STALE_AFTER) must abort at assert_held() BEFORE the VERSION
