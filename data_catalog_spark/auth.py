@@ -2,11 +2,13 @@
 
 Re-expresses the PURE-LOGIC half of data_catalog/auth.py — everything that
 happens AFTER token signature verification and after the user-management
-service has answered.  Those two edges (UAA JWT verification over HTTPS,
-auth.py:90-94, and the membership fetch, auth.py:172-180) are deployment
-I/O, not query semantics: this engine takes their outputs (token CLAIMS and
-the user's org list) as inputs, exactly as the reference's `_Authorization`
-consumes them.  The resolved `(org_uuid_list, is_admin)` pair is the
+service has answered.  Token-signature verification itself now lives in
+``jwt_verify.py`` (stdlib HS*/RS*; the reference delegates to PyJWT,
+auth.py:90-94) and is wired per-request by ``http_api.py``; only the
+membership fetch (auth.py:172-180, a cloud-controller HTTP call) remains
+an injectable deployment hook.  This module takes their outputs (token
+CLAIMS and the user's org list) as inputs, exactly as the reference's
+`_Authorization` consumes them.  The resolved `(org_uuid_list, is_admin)` pair is the
 precise contract `query.compile_query` already accepts, so
 ``resolve_request_scope`` composes directly with the search path.
 

@@ -1,0 +1,286 @@
+"""Stdlib HTTP transport for the service layer — the last deployment edge
+of the reference (``app.py:141-148`` wires Flask + flask_restful; this
+module wires ``http.server``) so a reference user can point their REST
+client at this engine unchanged.
+
+Route map (reference ``_create_app``):
+
+    GET    /api-docs                      → endpoint doc (auth-exempt)
+    GET    {base}                         → faceted search
+    GET    {base}/count                   → dataset count (plain number)
+    GET    {base}/<id>                    → entry | 403 | 404
+    PUT    {base}/<id>                    → upsert (201 created / 200)
+    POST   {base}/<id>                    → partial update
+    DELETE {base}/<id>                    → cascading delete
+    PUT    {base}/admin/elastic           → admin bulk load
+    DELETE {base}/admin/elastic           → admin drop
+
+Per-request auth mirrors ``Security.authenticate`` (auth.py:42-70): bearer
+token from the Authorization header, signature verification via
+``jwt_verify.decode`` (HS*/RS* fully stdlib), admin from the
+``console.admin`` scope, org scope via ``auth.resolve_request_scope`` —
+including the GET-strips/body-doesn't org-parsing asymmetry.  The
+membership lookup (the reference's cloud-controller HTTP fetch,
+auth.py:172-180) stays an injectable hook.  Errors render the reference's
+``ExceptionHandlingApi`` shape: ``{"message", "status", "timestamp"}``
+(app.py:38-63).
+
+``DataCatalogApp.handle`` is transport-agnostic (method, path, query,
+headers, body) → (status, payload); ``make_server`` is the thin
+``ThreadingHTTPServer`` adapter.  The Spark driver hosts the server;
+queries stay fully distributed — HTTP is only the front door.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+
+from . import auth as auth_mod
+from . import jwt_verify
+from .auth import ForbiddenError, UnauthorizedError
+from .query import DataSetFiltering
+from .service import DataCatalogService
+
+API_DOC = {
+    "apiVersion": "1.0",
+    "resources": [
+        {"path": "/rest/datasets", "method": "GET", "about": "faceted search"},
+        {"path": "/rest/datasets/count", "method": "GET", "about": "dataset count"},
+        {"path": "/rest/datasets/{id}", "methods": ["GET", "PUT", "POST", "DELETE"]},
+        {"path": "/rest/datasets/admin/elastic", "methods": ["PUT", "DELETE"]},
+    ],
+}
+
+
+def _error(status: int, message: str) -> tuple[int, dict]:
+    return status, {
+        "message": message,
+        "status": status,
+        "timestamp": int(time.time() * 1000),
+    }
+
+
+class TokenVerifier:
+    """``Security``'s verification half over ``jwt_verify``: one key +
+    algorithm (the parsed UAA answer, auth.py:90-94 / 100-122)."""
+
+    def __init__(self, key, algorithm: str = "RS256", audience: str | None = "cloud_controller"):
+        self.key = key
+        self.algorithm = auth_mod.normalize_sign_algorithm(algorithm)
+        self.audience = audience
+
+    def __call__(self, token: str) -> dict:
+        return jwt_verify.decode(
+            token, self.key, [self.algorithm], audience=self.audience
+        )
+
+
+class DataCatalogApp:
+    def __init__(
+        self,
+        service: DataCatalogService,
+        verify_token: Callable[[str], dict],
+        get_user_orgs: Callable[[dict, str], list[str]] | None = None,
+        base_path: str = "/rest/datasets",
+        auth_exceptions: tuple[str, ...] = ("/api-docs",),
+    ):
+        self.service = service
+        self.verify_token = verify_token
+        # membership fetch hook (reference: cloud-controller HTTP,
+        # auth.py:172-180); default reads a claims field so self-contained
+        # deployments work out of the box
+        self.get_user_orgs = get_user_orgs or (
+            lambda claims, token: list(claims.get("user_orgs", []))
+        )
+        self.base_path = base_path.rstrip("/")
+        self.auth_exceptions = auth_exceptions
+
+    # -- auth (Security.authenticate, auth.py:42-70) -----------------------
+
+    def _resolve_auth(
+        self, method: str, query: dict, headers: dict, body_json
+    ) -> tuple[list[str], bool, str]:
+        auth_header = headers.get("Authorization")
+        if auth_header is None:
+            raise UnauthorizedError("Authorization header not found.")
+        try:
+            token = auth_header.split()[1]
+        except IndexError as ex:
+            raise UnauthorizedError("malformed Authorization header") from ex
+        try:
+            claims = self.verify_token(token)
+        except jwt_verify.InvalidTokenError as ex:
+            raise UnauthorizedError(str(ex)) from ex
+        user_orgs = self.get_user_orgs(claims, token)
+        body_org = (
+            body_json.get("orgUUID") if isinstance(body_json, dict) else None
+        )
+        org_list, admin = auth_mod.resolve_request_scope(
+            claims,
+            user_orgs,
+            method,
+            query_orgs=query.get("orgs"),
+            body_org_uuid=body_org,
+        )
+        return org_list, admin, auth_header
+
+    # -- request dispatch ---------------------------------------------------
+
+    def handle(
+        self, method: str, path: str, query: dict, headers: dict, body: bytes
+    ) -> tuple[int, object]:
+        path = path.rstrip("/") or "/"
+        if any(exc in path for exc in self.auth_exceptions):
+            if method == "GET":
+                return 200, API_DOC
+            return _error(405, "method not allowed")
+
+        body_json = None
+        if body:
+            try:
+                body_json = json.loads(body)
+            except ValueError:
+                return _error(400, "request body is not valid JSON")
+
+        try:
+            org_list, admin, raw_auth = self._resolve_auth(
+                method, query, headers, body_json
+            )
+        except UnauthorizedError as ex:
+            return _error(401, str(ex))
+        except ForbiddenError as ex:
+            return _error(403, str(ex))
+
+        try:
+            return self._route(
+                method, path, query, body_json, org_list, admin, raw_auth
+            )
+        except (UnauthorizedError,) as ex:
+            return _error(401, str(ex))
+        except Exception as ex:  # ExceptionHandlingApi.handle_error shape
+            return _error(getattr(ex, "code", 500), str(ex))
+
+    def _route(
+        self, method, path, query, body_json, org_list, admin, raw_auth
+    ) -> tuple[int, object]:
+        base = self.base_path
+        filtering = self._filtering(query)
+        if path == base:
+            if method != "GET":
+                return _error(405, "method not allowed")
+            result, status = self.service.search(
+                query.get("query"), org_list, filtering, admin
+            )
+            return self._respond(result, status)
+        if path == f"{base}/count":
+            if method != "GET":
+                return _error(405, "method not allowed")
+            result, status = self.service.count(org_list, filtering, admin)
+            # the reference's count resource returns the bare number
+            # (dataset_count.py:43-48)
+            return self._respond(
+                result["total"] if status == 200 else result, status
+            )
+        if path == f"{base}/admin/elastic":
+            if method == "PUT":
+                entries = body_json if isinstance(body_json, list) else []
+                result, status = self.service.admin_bulk_load(entries, admin)
+                return self._respond(result, status)
+            if method == "DELETE":
+                result, status = self.service.admin_drop_index(admin)
+                return self._respond(result, status)
+            return _error(405, "method not allowed")
+        if path.startswith(f"{base}/"):
+            entry_id = path[len(base) + 1 :]
+            if "/" in entry_id or not entry_id:
+                return _error(404, f"no route for {path}")
+            if method == "GET":
+                result, status = self.service.get_entry(entry_id, org_list, admin)
+            elif method == "PUT":
+                if not isinstance(body_json, dict):
+                    return _error(400, "entry body must be a JSON object")
+                result, status = self.service.put_entry(
+                    entry_id, body_json, org_list, admin
+                )
+            elif method == "POST":
+                if not isinstance(body_json, dict):
+                    return _error(400, "patch body must be a JSON object")
+                result, status = self.service.post_entry(
+                    entry_id, body_json, org_list, admin, token=raw_auth
+                )
+            elif method == "DELETE":
+                result, status = self.service.delete_entry(
+                    entry_id, org_list, admin, token=raw_auth
+                )
+            else:
+                return _error(405, "method not allowed")
+            return self._respond(result, status)
+        return _error(404, f"no route for {path}")
+
+    @staticmethod
+    def _filtering(query: dict) -> str:
+        """search.py:138-147: onlyPublic/onlyPrivate args select the mode."""
+        if str(query.get("onlyPublic", "")).lower() == "true":
+            return DataSetFiltering.ONLY_PUBLIC
+        if str(query.get("onlyPrivate", "")).lower() == "true":
+            return DataSetFiltering.ONLY_PRIVATE
+        return DataSetFiltering.PRIVATE_AND_PUBLIC
+
+    @staticmethod
+    def _respond(result, status: int) -> tuple[int, object]:
+        if status >= 400:
+            message = (
+                result.get("error", "request failed")
+                if isinstance(result, dict)
+                else {401: "Unauthorized", 403: "Forbidden", 404: "Not Found"}.get(
+                    status, "request failed"
+                )
+            )
+            return _error(status, message)
+        return status, result
+
+
+def make_server(app: DataCatalogApp, host: str = "127.0.0.1", port: int = 0):
+    """ThreadingHTTPServer adapter; ``server.server_address[1]`` is the
+    bound port (pass port=0 for an ephemeral one)."""
+    import http.server
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _dispatch(self, method: str) -> None:
+            parsed = urllib.parse.urlsplit(self.path)
+            query = dict(urllib.parse.parse_qsl(parsed.query))
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            status, payload = app.handle(
+                method,
+                urllib.parse.unquote(parsed.path),
+                query,
+                dict(self.headers),
+                body,
+            )
+            data = json.dumps(payload).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_PUT(self):
+            self._dispatch("PUT")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+        def do_DELETE(self):
+            self._dispatch("DELETE")
+
+        def log_message(self, fmt, *args):  # keep pytest output clean
+            pass
+
+    return http.server.ThreadingHTTPServer((host, port), Handler)

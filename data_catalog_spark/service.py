@@ -2,9 +2,11 @@
 engine — status codes, auth/visibility checks, notification + cascade hooks.
 
 Mirrors data_catalog/metadata_entry.py, dataset_count.py, elastic_admin.py,
-search.py route behavior, minus HTTP itself (a Flask/FastAPI shim would map
-these methods 1:1).  Auth inputs (org_uuid_list, is_admin, filtering mode)
-arrive pre-resolved, exactly what the reference's auth.py:131-147 produces.
+search.py route behavior, minus HTTP itself — ``http_api.py`` is the
+stdlib transport that maps these methods 1:1 onto the reference's routes
+(with real JWT verification via ``jwt_verify.py``).  Auth inputs
+(org_uuid_list, is_admin, filtering mode) arrive pre-resolved, exactly
+what the reference's auth.py:131-147 produces.
 
 Status-code matrix preserved:
 - GET    /<id>     → 200 body | 403 (not admin, not owner, not public) | 404
