@@ -599,7 +599,12 @@ def _pq_parts(
         "aggregate(zip_with(slice({vec}, m * {sub} + 1, {sub}), c, "
         "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    # corpus → codes[m] = argmin_j ||slice - cb[m][j]||²
+    # corpus → codes[m] = argmin_j ||slice - cb[m][j]||².  The distance
+    # transform is deliberately rendered TWICE (array_position haystack +
+    # array_min argument): binding it once through a 1-element transform
+    # lambda looks cheaper but measured 84 s vs 2.5 s at sf0.1 — another
+    # instance of the interpreted-HOF re-evaluation trap (see
+    # _band_bits' docstring); the flat double render wins.
     code_expr = (
         f"transform(sequence(0, {PQ_M - 1}), m -> "
         f"CAST(array_position("
@@ -653,11 +658,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pins the pool plan to the compressed domain (no exact cosine, no
     cartesian re-rank)."""
     e, queries, pool = _pq_parts(spark, sf_dir)
-    # Exact re-rank: survivors (|queries|·PQ_RERANK rows — tiny) broadcast
-    # against the corpus vectors; only matched rows evaluate the full dot.
+    # Exact re-rank: the survivor set is BOUNDED by construction
+    # (|queries|·PQ_RERANK rows), so collect it once — like the facet
+    # rows, a legitimate driver-side bounded set — and join it back as a
+    # local relation.  Re-broadcasting the pool as a PLAN instead would
+    # re-run the whole ADC job for the broadcast exchange (measured
+    # +0.7 s at sf0.1).  An id IN-list pushed into the re-rank scan was
+    # measured SLOWER at this SF (≈+0.7 s of per-call In-list analysis
+    # for 1200 literals); at deployment scale, where the second scan
+    # matters, the survivors would come back via a Bloom/runtime filter
+    # on the materialized code table instead.
+    surv = pool.collect()
+    surv_df = spark.createDataFrame(surv, pool.schema)
     exact = (
         e.where(F.col("vec_id") >= N_QUERIES).alias("b")
-        .join(F.broadcast(pool).alias("p"), F.col("p.nid") == F.col("b.vec_id"))
+        .join(F.broadcast(surv_df).alias("p"), F.col("p.nid") == F.col("b.vec_id"))
         .join(F.broadcast(queries).alias("a"), F.col("p.qid") == F.col("a.vec_id"))
         .select(
             F.col("p.qid").alias("qid"),
