@@ -194,11 +194,96 @@ def test_rs_to_hs_downgrade_guard():
         decode(tok, pem, ["HS256"])
 
 
-def test_es_is_an_honest_gate():
-    h = _b64url(json.dumps({"alg": "ES256"}).encode())
-    p = _b64url(json.dumps(CLAIMS).encode())
-    with pytest.raises(InvalidTokenError, match="EC"):
-        decode(f"{h}.{p}.{_b64url(b'x')}", "k", ["ES256"])
+# -- ECDSA (test-only signer from the same curve constants) -------------------
+
+
+def _ec_keypair(curve: str, seed: int = 11):
+    p, a, b, gx, gy, n = jwt_verify._CURVES[curve]
+    d = random.Random(seed).randrange(1, n)
+    qx, qy = jwt_verify._ec_mul(d, (gx, gy), p, a)
+    return d, qx, qy
+
+
+def _mint_es(claims: dict, curve: str, d: int, alg: str, seed: int = 13) -> str:
+    p, a, b, gx, gy, n = jwt_verify._CURVES[curve]
+    header = {"alg": alg, "typ": "JWT"}
+    h = _b64url(json.dumps(header).encode())
+    pl = _b64url(json.dumps(claims).encode())
+    msg = f"{h}.{pl}".encode()
+    hash_name = {"ES256": "sha256", "ES384": "sha384", "ES512": "sha512"}[alg]
+    digest = hashlib.new(hash_name, msg).digest()
+    e = int.from_bytes(digest, "big")
+    excess = len(digest) * 8 - n.bit_length()
+    if excess > 0:
+        e >>= excess
+    rnd = random.Random(seed)
+    while True:
+        k = rnd.randrange(1, n)
+        R = jwt_verify._ec_mul(k, (gx, gy), p, a)
+        r = R[0] % n
+        if r == 0:
+            continue
+        s = pow(k, -1, n) * (e + r * d) % n
+        if s == 0:
+            continue
+        size = (n.bit_length() + 7) // 8
+        sig = r.to_bytes(size, "big") + s.to_bytes(size, "big")
+        return f"{h}.{pl}.{_b64url(sig)}"
+
+
+def _ec_spki_pem(curve: str, x: int, y: int) -> str:
+    curve_oid = {
+        "P-256": bytes.fromhex("2a8648ce3d030107"),
+        "P-384": bytes.fromhex("2b81040022"),
+        "P-521": bytes.fromhex("2b81040023"),
+    }[curve]
+    n = jwt_verify._CURVES[curve][5]
+    size = (n.bit_length() + 7) // 8
+    point = b"\x04" + x.to_bytes(size, "big") + y.to_bytes(size, "big")
+    alg = _der_seq(
+        b"\x06" + _der_len(len(jwt_verify._EC_OID)) + jwt_verify._EC_OID,
+        b"\x06" + _der_len(len(curve_oid)) + curve_oid,
+    )
+    bitstring = b"\x03" + _der_len(len(point) + 1) + b"\x00" + point
+    return _pem(_der_seq(alg, bitstring), "PUBLIC KEY")
+
+
+@pytest.mark.parametrize(
+    "alg,curve",
+    [("ES256", "P-256"), ("ES384", "P-384"), ("ES512", "P-521")],
+)
+def test_es_roundtrip(alg, curve):
+    d, qx, qy = _ec_keypair(curve)
+    tok = _mint_es(CLAIMS, curve, d, alg)
+    for key in (_ec_spki_pem(curve, qx, qy), (curve, qx, qy)):
+        got = decode(tok, key, [alg], audience="cloud_controller")
+        assert got["scope"] == ["console.admin"]
+    # bit-flipped signature fails
+    h, p, s = tok.split(".")
+    sig = bytearray(base64.urlsafe_b64decode(s + "=" * (-len(s) % 4)))
+    sig[-1] ^= 1
+    with pytest.raises(InvalidTokenError, match="ECDSA"):
+        decode(f"{h}.{p}.{_b64url(bytes(sig))}", (curve, qx, qy), [alg])
+
+
+@pytest.mark.parametrize("curve", ["P-256", "P-384", "P-521"])
+def test_curve_constants_are_consistent(curve):
+    """Domain-parameter self-check (a mistyped constant here silently
+    breaks all ES verification): G is on the curve and n·G = identity."""
+    p, a, b, gx, gy, n = jwt_verify._CURVES[curve]
+    assert jwt_verify._ec_on_curve(gx, gy, p, a % p, b)
+    assert jwt_verify._ec_mul(n, (gx, gy), p, a) is None
+    assert n.bit_length() == p.bit_length()
+
+
+def test_es_wrong_curve_and_invalid_point_rejected():
+    d, qx, qy = _ec_keypair("P-256")
+    tok = _mint_es(CLAIMS, "P-256", d, "ES256")
+    with pytest.raises(InvalidTokenError, match="requires"):
+        decode(tok, ("P-384", qx, qy), ["ES256"])
+    # an off-curve point must never verify (invalid-point guard)
+    with pytest.raises(InvalidTokenError, match="ECDSA"):
+        decode(tok, ("P-256", qx, (qy + 1)), ["ES256"])
 
 
 def test_malformed_tokens():
