@@ -62,6 +62,20 @@ def _error(status: int, message: str) -> tuple[int, dict]:
     }
 
 
+def token_verifier_from_uaa(
+    uaa_token_uri: str, audience: str | None = "cloud_controller", timeout: float = 10.0
+) -> "TokenVerifier":
+    """The reference's key bootstrap (auth.py:90-94): GET the UAA
+    token-key endpoint, parse ``{"value": <key>, "alg": <name>}`` through
+    the same algorithm-name normalization, return a ready verifier.
+    stdlib urllib — the one outbound HTTP call auth needs."""
+    import urllib.request
+
+    with urllib.request.urlopen(uaa_token_uri, timeout=timeout) as resp:
+        answer = json.loads(resp.read())
+    return TokenVerifier(answer["value"], answer["alg"], audience=audience)
+
+
 class TokenVerifier:
     """``Security``'s verification half over ``jwt_verify``: one key +
     algorithm (the parsed UAA answer, auth.py:90-94 / 100-122)."""

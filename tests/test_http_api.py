@@ -197,6 +197,40 @@ def test_full_crud_and_search_flow(server):
     assert status == 200 and n == 0
 
 
+def test_token_verifier_from_uaa_bootstrap():
+    """The UAA key-fetch bootstrap: serve a token-key answer from a local
+    http.server (Java-style algorithm name included) and verify a token
+    end-to-end through the fetched verifier."""
+    import http.server
+
+    from data_catalog_spark.http_api import token_verifier_from_uaa
+
+    answer = json.dumps({"value": SECRET, "alg": "SHA256WITHHMAC"}).encode()
+
+    class KeyHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(answer)))
+            self.end_headers()
+            self.wfile.write(answer)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), KeyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        verifier = token_verifier_from_uaa(
+            f"http://127.0.0.1:{srv.server_address[1]}/token_key"
+        )
+        assert verifier.algorithm == "HS256"
+        claims = verifier(ADMIN)
+        assert "console.admin" in claims["scope"]
+    finally:
+        srv.shutdown()
+
+
 def test_invalid_json_body_is_400(server):
     conn = http.client.HTTPConnection(*server, timeout=30)
     conn.request(
