@@ -208,7 +208,7 @@ class DatasetsCatalog:
         except OSError:
             return 0
 
-    def compact(self, max_files_per_cell: int = 1) -> dict:
+    def compact(self, max_files_per_cell: int = 1, sort_by: str | None = None) -> dict:
         """Small-file compaction as a MANIFEST COMMIT (Delta/Iceberg
         OPTIMIZE): find cells whose owner dir holds more than
         ``max_files_per_cell`` parquet files, read ONLY those cells,
@@ -219,6 +219,13 @@ class DatasetsCatalog:
         layout and owners change.  Goes through ``_commit``, so it gets
         the same CAS/lock protocol as any write and a concurrent mutator
         simply wins or loses the version race.
+
+        ``sort_by``: optionally cluster each compacted cell's file on a
+        column (e.g. ``"id"``) — parquet row-group min/max stats then
+        let POINT LOOKUPS skip whole row groups inside a cell, the same
+        reason Delta's OPTIMIZE takes a ZORDER/cluster spec.  The sort
+        runs within the per-cell task with the writer's required
+        partition-column prefix, so the file write adds no extra sort.
 
         O(fragmented), not O(table): churn-heavy tables compact the few
         hot cells their upserts keep rewriting, not the cold bulk.
@@ -261,13 +268,18 @@ class DatasetsCatalog:
                 "files_after": 0,
                 "version": base,
             }
-        post = self._read_cells(frag).repartition(
-            len(frag), F.col(self.PARTITION_COL), self._bucket_expr()
+        post = (
+            self._read_cells(frag)
+            .withColumn(self.BUCKET_COL, self._bucket_expr())
+            .repartition(
+                len(frag), F.col(self.PARTITION_COL), F.col(self.BUCKET_COL)
+            )
         )
         self._commit(
             post,
             touched={self._cell_tuple(c) for c in frag},
             expected_version=base,
+            sort_within=sort_by,
         )
         new = self._latest_version()
         files_after = sum(self._cell_file_count(new, c) for c in frag)
@@ -653,6 +665,7 @@ class DatasetsCatalog:
         df: DataFrame,
         touched: set[tuple[bool | None, int]] | None = None,
         expected_version: int | None | object = _UNSET,
+        sort_within: str | None = None,
     ) -> None:
         """File-granular versioned commit: write parquet for the TOUCHED
         (isPublic partition, orgUUID bucket) cells of the post-image into a
@@ -690,7 +703,8 @@ class DatasetsCatalog:
             tempfile.mkdtemp(dir=os.path.join(self.path, "snapshots")),
             f"commit-{uuid.uuid4().hex}",
         )
-        df = df.withColumn(self.BUCKET_COL, self._bucket_expr())
+        if self.BUCKET_COL not in df.columns:
+            df = df.withColumn(self.BUCKET_COL, self._bucket_expr())
         key_col = F.concat_ws(
             "/",
             F.coalesce(
@@ -721,9 +735,32 @@ class DatasetsCatalog:
                         f"outside touched∪carried cells (bucket-fn drift?)"
                     )
             df = df.where(key_col.isin(*tkeys) if tkeys else F.lit(False))
-        df.write.mode("overwrite").partitionBy(
-            self.PARTITION_COL, self.BUCKET_COL
-        ).parquet(tmp)
+        if sort_within:
+            # cluster rows inside each task/file (compact's OPTIMIZE spec).
+            # Subtlety: _read_cells injects the partition value as a LITERAL,
+            # so constant folding drops it from this Sort's output ordering
+            # and FileFormatWriter's required-(partition, bucket) check fails
+            # — its dynamic-partition re-sort would scramble the clustering.
+            # Concurrent output writers (the bounded per-task cell count is
+            # far under the limit) make the writer stream rows in arrival
+            # order instead of sorting, so the clustering reaches the file.
+            df = df.sortWithinPartitions(
+                self.PARTITION_COL, self.BUCKET_COL, sort_within
+            )
+            conf = self.spark.conf
+            key = "spark.sql.maxConcurrentOutputFileWriters"
+            saved_writers = conf.get(key, "0")
+            conf.set(key, str(4 * self.N_BUCKETS))
+            try:
+                df.write.mode("overwrite").partitionBy(
+                    self.PARTITION_COL, self.BUCKET_COL
+                ).parquet(tmp)
+            finally:
+                conf.set(key, saved_writers)
+        else:
+            df.write.mode("overwrite").partitionBy(
+                self.PARTITION_COL, self.BUCKET_COL
+            ).parquet(tmp)
         written = set()
         for pname in os.listdir(tmp):
             if not pname.startswith(f"{self.PARTITION_COL}="):

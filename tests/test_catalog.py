@@ -494,6 +494,41 @@ def test_compact_bin_packs_cells_and_preserves_content(spark, tmp_path):
     assert {r["id"] for r in cat.df().collect()} == before | {"post-compact"}
 
 
+def test_compact_sort_by_clusters_cells(spark, tmp_path):
+    """OPTIMIZE with a cluster column: each compacted cell file is sorted
+    by that column, so parquet row-group min/max stats can skip inside a
+    cell on point lookups; content still unchanged."""
+    import os
+
+    path = str(tmp_path / "zsort")
+    cat = DatasetsCatalog(spark, path)
+    for i in [7, 3, 9, 1, 5, 2]:
+        cat.upsert(f"{i:04d}", {**ENTRY, "title": f"t{i}"})
+    base = cat._latest_version()
+    before = {r["id"] for r in cat.df().collect()}
+    rep = cat.compact(max_files_per_cell=0, sort_by="id")
+    assert rep["compacted_cells"] >= 1
+    m = cat._manifest(rep["version"])
+    checked = 0
+    for cell, owner in m.items():
+        if owner != rep["version"]:
+            continue
+        d = cat._cell_dir(owner, cell)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+        ids = [
+            r.id
+            for r in spark.read.parquet(os.path.join(d, files[0]))
+            .select("id")
+            .collect()
+        ]
+        assert ids == sorted(ids), f"cell {cell} not clustered: {ids}"
+        checked += 1
+    assert checked >= 1
+    assert cat.diff(base, rep["version"]).count() == 0
+    assert {r["id"] for r in cat.df().collect()} == before
+
+
 def test_broken_lock_aborts_before_version_repoint(spark, tmp_path):
     """A holder whose lock was broken mid-section (frozen past
     LOCK_STALE_AFTER) must abort at assert_held() BEFORE the VERSION
