@@ -95,6 +95,7 @@ HEADLINE = [
     "bm25_search_topk",
     "hybrid_search_rrf_bm25",
     "media_decode_report",
+    "docs_repetition_stats",
 ]
 
 

@@ -426,3 +426,109 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 
 
 register("docs_boilerplate_ratio", docs_boilerplate_ratio, BOILERPLATE_ORACLE)
+
+
+# -- intra-document repetition (Gopher-style rules) ---------------------------
+#
+# docs_boilerplate_ratio measures INTER-document repetition (corpus-frequent
+# grams); these are the complementary INTRA-document signals from the Gopher
+# quality rules: a doc dominated by one repeated phrase, or whose n-grams
+# mostly repeat within the doc itself, is degenerate even if globally rare.
+
+# word-2-gram array (same short-input guard as the shingles)
+_SPARK_BIGRAMS = (
+    "CASE WHEN size(t) >= 2 THEN "
+    "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', slice(t, i + 1, 2))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+_DUCK_BIGRAMS = "[t[i] || ' ' || t[i+1] for i in range(1, len(t))]"
+
+TOP_BIGRAM_MAX_FRAC = 0.08  # top-bigram occupancy gate
+DUP_TRIGRAM_MAX_FRAC = 0.6  # duplicated-trigram occupancy gate
+
+
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: ``top_bigram_frac`` (share of bigram instances taken
+    by the single most frequent bigram — the 'same phrase over and over'
+    signal) and ``dup_trigram_frac`` (share of trigram instances whose
+    gram occurs more than once in the doc — Gopher's duplicated-n-gram
+    fraction), plus the keep verdict at the module thresholds.
+
+    Shape: explode → count per (doc, gram) → one agg per doc — the same
+    postings shuffle as every other n-gram operator here; no per-doc
+    state ever leaves the executors.  Short docs (no grams) keep frac 0
+    and pass the gate."""
+    docs = _docs(spark, sf_dir).withColumn("t", F.expr(SPARK_TOKENS))
+    bi = (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n_bi"),
+        )
+    )
+    tri = (
+        docs.select("doc_id", F.explode(F.expr(SPARK_SHINGLES_ALL)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_tri"),
+            F.sum("c").alias("n_tri"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("n_bi"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_tri") / F.col("n_tri"), F.lit(0.0)), 6
+            ).alias("dup_trigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX_FRAC)
+            & (F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX_FRAC),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+bi AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS g FROM toks)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+         sum(c) AS n_tri FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest({DUCK_SHINGLES_ALL}) AS g FROM toks)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(CAST(top_c AS DOUBLE) / n_bi, 0.0), 6) AS top_bigram_frac,
+       round(COALESCE(CAST(dup_tri AS DOUBLE) / n_tri, 0.0), 6) AS dup_trigram_frac,
+       round(COALESCE(CAST(top_c AS DOUBLE) / n_bi, 0.0), 6) <= {TOP_BIGRAM_MAX_FRAC}
+         AND round(COALESCE(CAST(dup_tri AS DOUBLE) / n_tri, 0.0), 6) <= {DUP_TRIGRAM_MAX_FRAC}
+           AS keep
+FROM toks d LEFT JOIN bi ON d.doc_id = bi.doc_id LEFT JOIN tri ON d.doc_id = tri.doc_id
+ORDER BY d.doc_id
+"""
+
+
+register("docs_repetition_stats", docs_repetition_stats, REPETITION_ORACLE)

@@ -136,6 +136,49 @@ def test_boilerplate_ratio_bounds(spark, sf_dir):
     assert any(r.n_boiler > 0 for r in rows)
 
 
+def test_repetition_stats_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import text as tx
+
+    assert_same(tx.docs_repetition_stats(spark, sf_dir), ddb, tx.REPETITION_ORACLE)
+
+
+def test_repetition_stats_semantics(spark, sf_dir):
+    """Fracs bounded in [0,1], every doc covered, the gate splits the
+    corpus non-trivially, and a hand-built degenerate doc is flagged."""
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import text as tx
+
+    rows = tx.docs_repetition_stats(spark, sf_dir).collect()
+    assert len(rows) == read_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)  # the gate does real work on this corpus
+
+
+def test_repetition_flags_degenerate_doc(spark, tmp_path):
+    """'spam spam spam ...' must fail both repetition gates; normal prose
+    must pass — checked through the same pipeline on a scratch table."""
+    import os
+
+    from data_catalog_spark.operators import text as tx
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [
+            (0, " ".join(["spam"] * 50), "en", "s", 249),
+            (1, "the quick brown fox jumps over the lazy dog near a quiet river bank today", "en", "s", 74),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in tx.docs_repetition_stats(spark, d).collect()}
+    assert rows[0].top_bigram_frac == 1.0 and rows[0].dup_trigram_frac == 1.0
+    assert not rows[0].keep
+    assert rows[1].keep
+
+
 def test_stemmer_python_duckdb_fuzz(ddb):
     """Property fuzz: the python twin and the DuckDB rendering of the stem
     chain agree on arbitrary lowercase tokens — guards Python-re vs RE2
