@@ -96,6 +96,7 @@ HEADLINE = [
     "hybrid_search_rrf_bm25",
     "media_decode_report",
     "docs_repetition_stats",
+    "cap_docs_per_source",
 ]
 
 

@@ -14,7 +14,7 @@ both engines have it; 32 bits is plenty for percent-level rates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
@@ -77,6 +77,50 @@ ORDER BY doc_id
 
 register("sample_documents_hash", sample_documents_hash, SAMPLE_ORACLE)
 register("stratified_sample_documents", stratified_sample_documents, STRATIFIED_ORACLE)
+
+
+# -- per-source document caps -------------------------------------------------
+
+SOURCE_CAP = 15  # max documents kept per source (bites from sf0.01 up)
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source at SOURCE_CAP documents, keeping the LONGEST ones
+    (length as the quality proxy; deterministic doc_id tie-break) — the
+    over-represented-domain downsampling step every web-scale corpus
+    build runs (a handful of crawl hosts otherwise dominate training
+    mixture weights).
+
+    One window over the source partition — a single shuffle on the
+    source key; at 100 TB a skewed mega-source is exactly one partition,
+    so the standard salting/two-phase top-k applies if a host exceeds
+    executor memory (same playbook as salted_returnflag_stats)."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", F.col("r").cast("int").alias("rank_in_source"))
+        .orderBy("doc_id")
+    )
+
+
+SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source, n_chars, CAST(r AS INTEGER) AS rank_in_source
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+)
+WHERE r <= {SOURCE_CAP}
+ORDER BY doc_id
+"""
+
+
+register("cap_docs_per_source", cap_docs_per_source, SOURCE_CAP_ORACLE)
 
 
 # -- weighted sampling without replacement (A-Res) ---------------------------

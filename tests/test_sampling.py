@@ -42,3 +42,35 @@ def test_stratified_rates_respected(spark, sf_dir):
     rate_en = sampled.get("en", 0) / totals["en"]
     others = [sampled.get(l, 0) / totals[l] for l in ("de", "es", "fr") if l in totals]
     assert others and rate_en < min(others)
+
+
+def test_cap_docs_per_source_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import sampling as sm
+
+    assert_same(sm.cap_docs_per_source(spark, sf_dir), ddb, sm.SOURCE_CAP_ORACLE)
+
+
+def test_cap_docs_per_source_semantics(spark, sf_dir):
+    """No source exceeds the cap, the kept docs are each source's longest,
+    and the cap actually removes something on this corpus."""
+    from collections import Counter
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import sampling as sm
+
+    rows = sm.cap_docs_per_source(spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "documents").count()
+    per_src = Counter(r.source for r in rows)
+    assert max(per_src.values()) <= sm.SOURCE_CAP
+    assert len(rows) < total  # the cap does real work
+    # kept docs dominate dropped docs within each source (length proxy)
+    docs = read_table(spark, sf_dir, "documents").collect()
+    kept = {r.doc_id for r in rows}
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d)
+    for src, ds in by_src.items():
+        kept_lens = [d.n_chars for d in ds if d.doc_id in kept]
+        drop_lens = [d.n_chars for d in ds if d.doc_id not in kept]
+        if drop_lens:
+            assert min(kept_lens) >= max(drop_lens) - 0  # ties broken by id
