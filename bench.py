@@ -97,6 +97,7 @@ HEADLINE = [
     "media_decode_report",
     "docs_repetition_stats",
     "cap_docs_per_source",
+    "source_token_budget_mix",
 ]
 
 

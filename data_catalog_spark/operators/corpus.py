@@ -450,3 +450,63 @@ GROUP BY sp.split ORDER BY sp.split
 
 
 register("training_corpus_e2e", training_corpus_e2e, _e2e_oracle())
+
+
+# -- token-budget mixture construction ----------------------------------------
+#
+# The final step of corpus assembly: each source contributes AT MOST a token
+# budget to the training mixture (Pile/Dolma-style mixture weights expressed
+# as absolute token counts).  Selection order within a source is a
+# deterministic content hash — reproducible at any parallelism, no
+# quality-rank feedback loop — and a doc is kept while the RUNNING token
+# total (inclusive) is within budget, so the mixture overshoots by at most
+# one document per source (the standard greedy-prefix contract).
+
+SOURCE_TOKEN_BUDGET = 800  # subword tokens per source (bites from sf0.01 up)
+
+_MIX_ORDER = "substring(md5(CAST(doc_id AS STRING)), 1, 8)"
+_DUCK_MIX_ORDER = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+def source_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-prefix token-budget selection per source: one window cumsum
+    over the deterministic per-source order, keep while the inclusive
+    running total ≤ budget.  Single shuffle on the source key; the cumsum
+    is a running frame (no per-group collect), so a mega-source streams
+    through its partition."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.expr(_MIX_ORDER), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "n_subword_tokens",
+        F.expr(f'size(regexp_extract_all(text, "{BPE_PATTERN}", 0))').cast("long"),
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_subword_tokens").over(w))
+        .where(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
+        .select("doc_id", "source", "n_subword_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+MIX_ORACLE = f"""
+SELECT doc_id, source, n_subword_tokens, cum_tokens
+FROM (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+             AS n_subword_tokens,
+         CAST(SUM(CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT))
+              OVER (PARTITION BY source
+                    ORDER BY {_DUCK_MIX_ORDER}, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+  FROM documents
+)
+WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
+register("source_token_budget_mix", source_token_budget_mix, MIX_ORACLE)

@@ -153,3 +153,30 @@ def test_embedding_dup_clusters_consistent_with_pairs(spark, sf_dir):
     for v, c in label.items():
         members.setdefault(c, []).append(v)
     assert all(min(vs) == c for c, vs in members.items())
+
+
+def test_source_token_budget_mix_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import corpus as cp
+
+    assert_same(cp.source_token_budget_mix(spark, sf_dir), ddb, cp.MIX_ORACLE)
+
+
+def test_source_token_budget_semantics(spark, sf_dir):
+    """Every source's kept total is within budget (greedy inclusive prefix),
+    the selection is a strict subset on this corpus, and re-running gives
+    the identical mixture (determinism — the property that lets a 100 TB
+    mixture be rebuilt or audited)."""
+    from collections import defaultdict
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import corpus as cp
+
+    rows = cp.source_token_budget_mix(spark, sf_dir).collect()
+    tot = defaultdict(int)
+    for r in rows:
+        tot[r.source] += r.n_subword_tokens
+        assert r.cum_tokens <= cp.SOURCE_TOKEN_BUDGET
+    assert max(tot.values()) <= cp.SOURCE_TOKEN_BUDGET
+    assert len(rows) < read_table(spark, sf_dir, "documents").count()
+    again = cp.source_token_budget_mix(spark, sf_dir).collect()
+    assert rows == again
