@@ -115,6 +115,23 @@ def test_indexed_stemmed_title_equals_scan_and_oracle(spark, sf_dir, ddb):
     )
 
 
+def test_stem_index_plan_probes_postings(spark, sf_dir):
+    """Scale claim for the stem path, pinned on the plan: candidates reach
+    the datasets scan as a LeftSemi join, and the postings scan carries
+    the stemmed-term IN-list as a pushed data filter (plus partition
+    pruning to the title_stem family dir)."""
+    from data_catalog_spark.entries import _indexed_stemmed_title
+
+    plan = (
+        _indexed_stemmed_title(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "gram" in plan and (" IN (" in plan or "EqualTo(gram" in plan or "In(gram" in plan)
+
+
 def test_indexed_plan_probes_postings(spark, sf_dir, index_path):
     """Plan shape: candidates reach the datasets scan as a LeftSemi join,
     and the postings scan carries the gram IN-list as a pushed filter plus
