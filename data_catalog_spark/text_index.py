@@ -115,12 +115,18 @@ def build_text_index(ds: DataFrame, path: str) -> None:
 
 
 def text_candidates(
-    spark: SparkSession, index_path: str, text: str, scan_df: DataFrame
+    spark: SparkSession, index_path, text: str, scan_df: DataFrame
 ) -> DataFrame:
     """1-column (id) candidate frame — a SUPERSET of the docs any of the
     three text clauses can match, from postings probes only (plus the
-    documented short-query scan fallback for the title clause)."""
-    idx = spark.read.parquet(index_path)
+    documented short-query scan fallback for the title clause).
+    ``index_path``: a postings dir, or a live postings DataFrame (the
+    SegmentedTextIndex read view)."""
+    idx = (
+        index_path
+        if isinstance(index_path, DataFrame)
+        else spark.read.parquet(index_path)
+    )
     q = text.lower()
     arms: list[DataFrame] = []
     if len(q) >= TITLE_GRAM:
@@ -168,7 +174,7 @@ def indexed_hits(
 
 
 def stem_candidates(
-    spark: SparkSession, index_path: str, stemmed_terms: list[str]
+    spark: SparkSession, index_path, stemmed_terms: list[str]
 ) -> DataFrame:
     """1-column (id) candidates for a stemmed-title match: ids with ANY
     posting in the title_stem family matching a probe term.  Because the
@@ -177,9 +183,175 @@ def stem_candidates(
     set IS the answer set; the caller still re-applies the exact scan
     predicate on the semi-joined rows so the index can only ever
     accelerate, never decide."""
-    idx = spark.read.parquet(index_path)
+    idx = (
+        index_path
+        if isinstance(index_path, DataFrame)
+        else spark.read.parquet(index_path)
+    )
     return (
         idx.where((F.col("field") == "title_stem") & F.col("gram").isin(stemmed_terms))
         .select("id")
         .distinct()
     )
+
+
+def indexed_hits_df(
+    spark: SparkSession, ds: DataFrame, postings: DataFrame, cq: CompiledQuery
+) -> DataFrame:
+    """``indexed_hits`` over a live postings DataFrame (segmented-index
+    read view) instead of a materialized dir."""
+    if not cq.text:
+        return search.hits(ds, cq)
+    cand = text_candidates(spark, postings, cq.text, ds)
+    return search.hits(ds.join(cand, "id", "left_semi"), cq)
+
+
+# -- incremental (segmented) index -------------------------------------------
+#
+# The static materialization above serves an immutable corpus; a LIVE
+# catalog needs the ES behavior — writes keep search in sync.  Lucene's
+# answer is segments, re-expressed in parquet:
+#
+#   seg-000/postings/   (+ _ids.json, _tombstones.json)
+#   seg-001/postings/   ...
+#
+# Each upsert batch becomes a NEW immutable segment holding the full
+# postings of the affected docs; the batch's ids are tombstoned in every
+# earlier segment that contains them (per-segment id lists make that an
+# O(|batch| × segments) driver-side set operation — at deployment scale
+# the id lists become bloom/roaring sidecars, same protocol).  The read
+# view unions live rows of every segment, so queries see every committed
+# write immediately; ``compact()`` folds the chain back to one segment,
+# dropping dead postings — exactly Lucene's merge.
+
+
+class SegmentedTextIndex:
+    """Incremental postings index with Lucene-style segment + tombstone
+    maintenance.  All postings reads are plain distributed scans; only id
+    LISTS (bounded by batch sizes) touch the driver."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- segment bookkeeping ---------------------------------------------
+
+    def _segments(self) -> list[str]:
+        import os
+
+        return sorted(d for d in os.listdir(self.path) if d.startswith("seg-"))
+
+    def _seg_dir(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.path, name)
+
+    def _read_meta(self, seg: str, fname: str) -> list[str]:
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self._seg_dir(seg), fname)) as f:
+                return json.load(f)
+        except OSError:
+            return []
+
+    def _write_meta(self, seg: str, fname: str, ids: list[str]) -> None:
+        import json
+        import os
+
+        with open(os.path.join(self._seg_dir(seg), fname), "w") as f:
+            json.dump(sorted(set(ids)), f)
+
+    # -- writes -----------------------------------------------------------
+
+    def _new_segment(self, ds_slice: DataFrame, ids: list[str]) -> None:
+        import os
+
+        name = f"seg-{len(self._segments()):03d}"
+        build_text_index(ds_slice, os.path.join(self._seg_dir(name), "postings"))
+        self._write_meta(name, "_ids.json", ids)
+        self._write_meta(name, "_tombstones.json", [])
+
+    def rebuild(self, ds: DataFrame) -> None:
+        """Full (re)build as the single base segment."""
+        import shutil
+
+        for seg in self._segments():
+            shutil.rmtree(self._seg_dir(seg))
+        ids = [r.id for r in ds.select("id").collect()]
+        self._new_segment(ds, ids)
+
+    def upsert(self, ds_slice: DataFrame) -> None:
+        """Index the docs in ``ds_slice`` (new or changed): one new
+        segment with their postings; their old postings in earlier
+        segments are tombstoned."""
+        ids = [r.id for r in ds_slice.select("id").collect()]
+        self.delete(ids)
+        self._new_segment(ds_slice, ids)
+
+    def delete(self, ids: list[str]) -> None:
+        """Tombstone every existing posting of ``ids`` (pure metadata —
+        no data file is rewritten)."""
+        batch = set(ids)
+        for seg in self._segments():
+            hit = batch & set(self._read_meta(seg, "_ids.json"))
+            if hit:
+                self._write_meta(
+                    seg,
+                    "_tombstones.json",
+                    self._read_meta(seg, "_tombstones.json") + sorted(hit),
+                )
+
+    # -- reads ------------------------------------------------------------
+
+    def postings(self) -> DataFrame:
+        """Live postings: union of segments minus each segment's
+        tombstoned ids (the per-seg dead list is an isin filter —
+        bounded by that segment's superseded batch sizes)."""
+        import os
+
+        parts = []
+        for seg in self._segments():
+            # explicit schema: an empty segment (zero-row upsert / compact
+            # of an empty index) has no footers to infer from
+            df = self.spark.read.schema("gram STRING, id STRING, field STRING").parquet(
+                os.path.join(self._seg_dir(seg), "postings")
+            )
+            dead = self._read_meta(seg, "_tombstones.json")
+            if dead:
+                df = df.where(~F.col("id").isin(dead))
+            parts.append(df.select("gram", "id", "field"))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "gram string, id string, field string"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact(self) -> int:
+        """Lucene merge: fold the segment chain into one segment holding
+        only live postings; returns the resulting segment count (1)."""
+        import os
+        import shutil
+        import uuid
+
+        live = self.postings()
+        ids = sorted({r.id for r in live.select("id").distinct().collect()})
+        tmp = f"{self.path}.merge-{uuid.uuid4().hex}"
+        merged = SegmentedTextIndex(self.spark, tmp)
+        live.write.mode("overwrite").partitionBy("field").parquet(
+            os.path.join(tmp, "seg-000", "postings")
+        )
+        merged._write_meta("seg-000", "_ids.json", ids)
+        merged._write_meta("seg-000", "_tombstones.json", [])
+        old = f"{self.path}.old-{uuid.uuid4().hex}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        return len(self._segments())

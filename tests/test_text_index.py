@@ -295,3 +295,93 @@ def test_ensure_materialized_build_failure_cleans_and_raises(tmp_path):
         ensure_materialized(target, bad_build)
     assert not os.path.exists(target)
     assert [d for d in os.listdir(tmp_path) if ".build-" in d] == []
+
+
+# -- incremental (segmented) index --------------------------------------------
+
+
+def _postings_set(df):
+    return {(r.field, r.gram, r.id) for r in df.collect()}
+
+
+def test_segmented_index_upsert_delete_compact(spark, sf_dir, tmp_path):
+    """Lucene-style incremental maintenance: an upsert batch becomes a new
+    segment and tombstones the old postings; reads see every write
+    immediately; compaction folds to one segment with identical content;
+    the final state equals a from-scratch rebuild."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.text_index import SegmentedTextIndex
+
+    ds = datasets_df(spark, sf_dir)
+    idx = SegmentedTextIndex(spark, str(tmp_path / "segidx"))
+    idx.rebuild(ds)
+    assert len(idx._segments()) == 1
+
+    # upsert: change one doc's title to a unique token
+    victim = ds.orderBy("id").limit(1).collect()[0]
+    changed = ds.where(F.col("id") == victim.id).withColumn(
+        "title", F.lit("zzzuniquetoken alpha")
+    )
+    idx.upsert(changed)
+    assert len(idx._segments()) == 2
+
+    live = idx.postings()
+    stem_hits = {
+        r.id
+        for r in live.where(
+            (F.col("field") == "title_stem") & (F.col("gram") == "zzzuniquetoken")
+        ).collect()
+    }
+    assert stem_hits == {victim.id}
+    # the victim's OLD title postings are gone from the live view
+    old_first_token = victim.title.lower().split()[0]
+    old_ids = {
+        r.id
+        for r in live.where(
+            (F.col("field") == "title_stem") & F.col("id").isin([victim.id])
+        ).collect()
+    }
+    assert old_ids == {victim.id}  # only via the new segment's grams
+    # equivalence with a full rebuild over the updated corpus
+    updated = ds.where(F.col("id") != victim.id).unionByName(changed)
+    fresh = SegmentedTextIndex(spark, str(tmp_path / "fresh"))
+    fresh.rebuild(updated)
+    assert _postings_set(live) == _postings_set(fresh.postings())
+
+    # delete tombstones without rewriting data
+    idx.delete([victim.id])
+    assert victim.id not in {r.id for r in idx.postings().collect()}
+
+    # compact folds to one live-only segment, content unchanged
+    before = _postings_set(idx.postings())
+    assert idx.compact() == 1
+    assert _postings_set(idx.postings()) == before
+
+
+def test_segmented_index_serves_search(spark, sf_dir, tmp_path):
+    """indexed_hits over the live segmented view equals the scan path
+    AFTER a write — the ES contract (search is read-your-writes)."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark import text_index as ti
+    from data_catalog_spark.query import DataSetFiltering, compile_query
+
+    ds = datasets_df(spark, sf_dir)
+    idx = ti.SegmentedTextIndex(spark, str(tmp_path / "live"))
+    idx.rebuild(ds)
+    victim = ds.orderBy("id").limit(1).collect()[0]
+    changed = ds.where(F.col("id") == victim.id).withColumn(
+        "title", F.lit("freshly indexed widget")
+    )
+    idx.upsert(changed)
+    updated = ds.where(F.col("id") != victim.id).unionByName(changed)
+    cq = compile_query(
+        {"query": "widget", "size": 25}, [], DataSetFiltering.ONLY_PUBLIC, False
+    )
+    want = [tuple(r) for r in search.hits(updated, cq).collect()]
+    got = [
+        tuple(r)
+        for r in ti.indexed_hits_df(spark, updated, idx.postings(), cq).collect()
+    ]
+    assert got == want
