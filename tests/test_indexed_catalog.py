@@ -1,0 +1,100 @@
+"""Catalog + index sync: every mutation is immediately searchable through
+the postings probe, and indexed search equals the scan path at every step."""
+
+from __future__ import annotations
+
+from data_catalog_spark import search
+from data_catalog_spark.catalog import DatasetsCatalog
+from data_catalog_spark.indexed_catalog import IndexedCatalog
+from data_catalog_spark.query import DataSetFiltering, compile_query
+
+ENTRY = {
+    "orgUUID": "org02",
+    "category": "health",
+    "dataSample": "alpha,beta",
+    "format": "csv",
+    "recordCount": 2,
+    "size": 10,
+    "sourceUri": "http://example.com/widget.csv",
+    "targetUri": "hdfs://h:8200/broker/x/abc/000000_1",
+    "title": "shiny widget metrics",
+    "isPublic": True,
+    "creationTime": "2015-02-13T13:00:00",
+}
+
+
+def _q(text):
+    return compile_query(
+        {"query": text, "size": 25}, [], DataSetFiltering.ONLY_PUBLIC, False
+    )
+
+
+def _ids(df):
+    return {r.id for r in df.collect()}
+
+
+def test_mutations_are_immediately_searchable(spark, tmp_path):
+    cat = DatasetsCatalog(spark, str(tmp_path / "tbl"))
+    ic = IndexedCatalog(cat, str(tmp_path / "idx"))
+    ic.resync()  # empty build
+
+    ic.upsert("a", ENTRY)
+    ic.upsert(
+        "b",
+        {
+            **ENTRY,
+            "title": "plain gizmo report",
+            "sourceUri": "http://example.com/gizmo.csv",
+        },
+    )
+    assert _ids(ic.hits(_q("widget"))) == {"a"}
+    assert _ids(ic.hits(_q("gizmo"))) == {"b"}
+
+    # update: title change is visible at once; 'widget' still matches a's
+    # unchanged sourceUri clause, but the new title term matches too
+    ic.partial_update("a", {"title": "renamed sprocket metrics"})
+    assert _ids(ic.hits(_q("sprocket"))) == {"a"}
+    assert _ids(ic.hits(_q("renamed"))) == {"a"}
+
+    # delete drops it from search
+    ic.delete("b")
+    assert _ids(ic.hits(_q("gizmo"))) == set()
+
+    # bulk load is indexed too (rejects are not)
+    created, rejects = ic.bulk_upsert(
+        [
+            (
+                "c",
+                {
+                    **ENTRY,
+                    "title": "bulk carburetor data",
+                    "sourceUri": "http://example.com/carb.csv",
+                },
+            ),
+            ("d", {**ENTRY, "recordCount": "not-a-number"}),
+        ],
+        skip_invalid=True,
+    )
+    assert "c" in created and [r[0] for r in rejects] == ["d"]
+    assert _ids(ic.hits(_q("carburetor"))) == {"c"}
+
+    # invariant at every step: indexed hits == scan hits on current state
+    for text in ("sprocket", "carburetor", "metrics"):
+        cq = _q(text)
+        want = [tuple(r) for r in search.hits(cat.df(), cq).collect()]
+        got = [tuple(r) for r in ic.hits(cq).collect()]
+        assert got == want
+
+
+def test_resync_recovers_a_stale_index(spark, tmp_path):
+    """Crash model: a catalog write that never reached the index leaves
+    search stale-but-never-wrong; resync() restores full parity."""
+    cat = DatasetsCatalog(spark, str(tmp_path / "tbl"))
+    ic = IndexedCatalog(cat, str(tmp_path / "idx"))
+    ic.upsert("a", ENTRY)
+    # write behind the index's back (the crash window)
+    cat.upsert("ghost", {**ENTRY, "title": "phantom widget"})
+    hits = _ids(ic.hits(_q("widget")))
+    assert "a" in hits and "ghost" not in hits  # stale: misses, never wrong
+    ic.resync()
+    assert _ids(ic.hits(_q("widget"))) == {"a", "ghost"}
