@@ -131,6 +131,10 @@ class DataCatalogApp:
         body_org = (
             body_json.get("orgUUID") if isinstance(body_json, dict) else None
         )
+        if not isinstance(body_org, str):
+            # a non-string orgUUID can't request any org scope (the
+            # entry-body validation will 400 it later; auth must not crash)
+            body_org = None
         org_list, admin = auth_mod.resolve_request_scope(
             claims,
             user_orgs,
@@ -264,18 +268,27 @@ def make_server(app: DataCatalogApp, host: str = "127.0.0.1", port: int = 0):
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def _dispatch(self, method: str) -> None:
-            parsed = urllib.parse.urlsplit(self.path)
-            query = dict(urllib.parse.parse_qsl(parsed.query))
-            length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length) if length else b""
-            status, payload = app.handle(
-                method,
-                urllib.parse.unquote(parsed.path),
-                query,
-                dict(self.headers),
-                body,
-            )
-            data = json.dumps(payload).encode("utf-8")
+            try:
+                parsed = urllib.parse.urlsplit(self.path)
+                query = dict(urllib.parse.parse_qsl(parsed.query))
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                status, payload = app.handle(
+                    method,
+                    urllib.parse.unquote(parsed.path),
+                    query,
+                    dict(self.headers),
+                    body,
+                )
+                data = json.dumps(payload).encode("utf-8")
+            except Exception as ex:  # last resort: never drop the socket
+                status, data = 500, json.dumps(
+                    {
+                        "message": str(ex),
+                        "status": 500,
+                        "timestamp": int(time.time() * 1000),
+                    }
+                ).encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))

@@ -243,3 +243,36 @@ def test_invalid_json_body_is_400(server):
     assert resp.status == 400
     resp.read()
     conn.close()
+
+
+def test_router_never_throws_fuzz(server):
+    """Robustness: arbitrary method/path/query/body combinations always
+    produce a well-formed JSON response with a known status — the handler
+    must never leak a traceback or hang (the ExceptionHandlingApi
+    contract)."""
+    import random
+
+    rng = random.Random(0xF00D)
+    methods = ["GET", "PUT", "POST", "DELETE"]
+    paths = [
+        "/", "/rest", "/rest/datasets", "/rest/datasets/", "/rest/datasets//x",
+        "/rest/datasets/%2e%2e/escape", "/rest/datasets/count",
+        "/rest/datasets/admin/elastic", "/api-docs", "/nope",
+        "/rest/datasets/has%20space", "/rest/datasets/%C3%A9%C3%A9",
+    ]
+    bodies = [None, {}, [], {"orgUUID": 5}, {"filters": "x"}, "plain", 42]
+    for _ in range(60):
+        method = rng.choice(methods)
+        path = rng.choice(paths)
+        q = rng.choice(["", "?query=%7Bbad", "?orgs=a,b", "?onlyPublic=true&onlyPrivate=true"])
+        tok = rng.choice([None, USER, ADMIN, "garbage"])
+        body = rng.choice(bodies)
+        conn = http.client.HTTPConnection(*server, timeout=120)
+        headers = {"Authorization": f"bearer {tok}"} if tok else {}
+        conn.request(method, path + q, body=json.dumps(body) if body is not None else None, headers=headers)
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        assert resp.status in (200, 201, 400, 401, 403, 404, 405, 500), (
+            method, path, q, resp.status)
+        json.loads(data) if data else None  # always valid JSON
