@@ -385,3 +385,44 @@ def test_segmented_index_serves_search(spark, sf_dir, tmp_path):
         for r in ti.indexed_hits_df(spark, updated, idx.postings(), cq).collect()
     ]
     assert got == want
+
+
+def test_segmented_index_random_ops_equal_rebuild(spark, tmp_path):
+    """Property: after ANY sequence of upsert/delete batches, the live
+    postings equal a from-scratch rebuild over the logically-current
+    corpus — segments + tombstones are pure physical layout."""
+    import random
+
+    from data_catalog_spark.text_index import SegmentedTextIndex
+
+    rng = random.Random(7)
+    words = ["amber", "bolt", "crate", "delta", "ember", "flux", "widget"]
+
+    def phrase():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(1, 4)))
+
+    state = {}
+
+    def df_of(ids):
+        rows = [(i, *state[i]) for i in ids]
+        return spark.createDataFrame(
+            rows, "id string, title string, dataSample string, sourceUri string"
+        )
+
+    idx = SegmentedTextIndex(spark, str(tmp_path / "rnd"))
+    idx.rebuild(df_of([]))
+    for step in range(6):
+        if state and rng.random() < 0.4:
+            victims = rng.sample(sorted(state), k=min(2, len(state)))
+            for i in victims:
+                state.pop(i)
+            idx.delete(victims)
+        else:
+            ids = sorted({str(rng.randrange(10)) for _ in range(rng.randint(1, 3))})
+            for i in ids:
+                w = rng.choice(words)
+                state[i] = (phrase(), phrase(), f"http://www.{w}.com/{w}")
+            idx.upsert(df_of(ids))
+        fresh = SegmentedTextIndex(spark, str(tmp_path / f"fresh{step}"))
+        fresh.rebuild(df_of(sorted(state)))
+        assert _postings_set(idx.postings()) == _postings_set(fresh.postings()), step
