@@ -49,7 +49,9 @@ def _never_sampled_first(names: list[str]) -> list[str]:
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                data = json.load(f)
+            if isinstance(data, dict):
+                seen.update(data.keys())
         except (OSError, ValueError):
             continue
     fresh = [n for n in names if n not in seen]

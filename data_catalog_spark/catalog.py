@@ -388,8 +388,14 @@ class DatasetsCatalog:
             # permissions, corrupt footers — must surface, not silently
             # return empty and let the next commit drop every legacy row.
             # Probe the dir for parquet data files directly instead of
-            # matching Spark's (version-dependent) error wording.
-            for root, _dirs, files in os.walk(snap):
+            # matching Spark's (version-dependent) error wording.  The
+            # probe itself must not swallow listing errors (os.walk's
+            # default onerror does): an unlistable dir re-raises the
+            # original read failure, it is NOT an empty table.
+            def _reraise(err):
+                raise
+
+            for root, _dirs, files in os.walk(snap, onerror=_reraise):
                 if any(
                     f.endswith(".parquet") and not f.startswith((".", "_"))
                     for f in files
@@ -643,20 +649,33 @@ class DatasetsCatalog:
             try:
                 yield _Handle(token)
             finally:
-                released = f"{lock}.release-{uuid.uuid4().hex}"
+                # Never touch a lock we don't own: check ownership FIRST
+                # (if ours was broken and a successor holds the path, we
+                # leave it completely alone — no rename-aside window that
+                # could hide a live lock from O_EXCL waiters).  Only when
+                # the file still carries our token do we claim it by
+                # rename; the re-read guards the read→rename gap, and the
+                # restore path uses link() (fails rather than clobbers a
+                # third waiter's fresh lock).
                 try:
-                    os.rename(lock, released)  # atomic claim of the file
-                    with open(released) as f:
+                    with open(lock) as f:
                         mine = f.read() == token
-                    if mine:
-                        os.unlink(released)
-                    else:
-                        # we renamed a SUCCESSOR's lock (ours was broken
-                        # and reacquired between our last op and release):
-                        # put it back instead of destroying it
-                        os.rename(released, lock)
                 except OSError:
-                    pass  # already broken/removed by a successor
+                    mine = False
+                if mine:
+                    released = f"{lock}.release-{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, released)  # atomic claim
+                        with open(released) as f:
+                            still_mine = f.read() == token
+                        if not still_mine:
+                            try:
+                                os.link(released, lock)  # no-clobber restore
+                            except OSError:
+                                pass  # a third waiter already holds it
+                        os.unlink(released)
+                    except OSError:
+                        pass  # already broken/removed by a successor
 
         return _lock()
 

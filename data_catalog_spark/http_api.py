@@ -116,7 +116,12 @@ class DataCatalogApp:
     def _resolve_auth(
         self, method: str, query: dict, headers: dict, body_json
     ) -> tuple[list[str], bool, str]:
-        auth_header = headers.get("Authorization")
+        # HTTP header names are case-insensitive; plain-dict callers (and
+        # proxies that normalize to lowercase) must still authenticate
+        auth_header = next(
+            (v for k, v in headers.items() if k.lower() == "authorization"),
+            None,
+        )
         if auth_header is None:
             raise UnauthorizedError("Authorization header not found.")
         try:
@@ -150,7 +155,9 @@ class DataCatalogApp:
         self, method: str, path: str, query: dict, headers: dict, body: bytes
     ) -> tuple[int, object]:
         path = path.rstrip("/") or "/"
-        if any(exc in path for exc in self.auth_exceptions):
+        # the doc ROUTE is exact; the auth EXEMPTION below stays substring
+        # (reference Security.authenticate, auth.py:52 — containment test)
+        if path in self.auth_exceptions:
             if method == "GET":
                 return 200, API_DOC
             return _error(405, "method not allowed")
@@ -162,14 +169,21 @@ class DataCatalogApp:
             except ValueError:
                 return _error(400, "request body is not valid JSON")
 
-        try:
-            org_list, admin, raw_auth = self._resolve_auth(
-                method, query, headers, body_json
-            )
-        except UnauthorizedError as ex:
-            return _error(401, str(ex))
-        except ForbiddenError as ex:
-            return _error(403, str(ex))
+        if any(exc in path for exc in self.auth_exceptions):
+            # auth-exempt by the reference's substring rule, but NOT the
+            # doc path itself (handled above): route anonymously — an
+            # entry id containing 'api-docs' resolves with no org scope
+            # (403/404 from the resource, never a silent doc hijack)
+            org_list, admin, raw_auth = [], False, ""
+        else:
+            try:
+                org_list, admin, raw_auth = self._resolve_auth(
+                    method, query, headers, body_json
+                )
+            except UnauthorizedError as ex:
+                return _error(401, str(ex))
+            except ForbiddenError as ex:
+                return _error(403, str(ex))
 
         try:
             return self._route(
@@ -203,8 +217,10 @@ class DataCatalogApp:
             )
         if path == f"{base}/admin/elastic":
             if method == "PUT":
-                entries = body_json if isinstance(body_json, list) else []
-                result, status = self.service.admin_bulk_load(entries, admin)
+                if not isinstance(body_json, list):
+                    # a malformed bulk body must not report 200-loaded-nothing
+                    return _error(400, "bulk load body must be a JSON array")
+                result, status = self.service.admin_bulk_load(body_json, admin)
                 return self._respond(result, status)
             if method == "DELETE":
                 result, status = self.service.admin_drop_index(admin)

@@ -220,6 +220,33 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def _png_luma_hist(content: bytes) -> list[float]:
+    """Decoded-pixel features: normalized 4-bin luminance histogram of a
+    decodable PNG (raises ValueError for anything decode_png rejects)."""
+    import numpy as np
+
+    _, _, channels, px = decode_png(content)
+    # luminance = mean over COLOR channels only: gray/GA use the single
+    # gray plane, RGB/RGBA the three color planes — alpha never votes
+    color_ch = 1 if channels <= 2 else 3
+    lum = px[:, :, :color_ch].mean(axis=2)
+    counts, _ = np.histogram(lum, bins=4, range=(0, 256))
+    total = counts.sum()
+    return [float(c) / total for c in counts] if total else [0.0] * 4
+
+
+def _image_features(content: bytes) -> list[float] | None:
+    """ONE real-decode attempt: pixel features for a decodable PNG, None
+    otherwise — the single-pass primitive extract_features uses so a blob
+    is never decoded twice (once for features, once for status)."""
+    if not content.startswith(_PNG_MAGIC):
+        return None
+    try:
+        return _png_luma_hist(content)
+    except ValueError:
+        return None
+
+
 def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     """Decode an image blob to features.  Decodable PNG blobs get the REAL
     stdlib decode (``decode_png``) — features are the normalized 4-bin
@@ -230,21 +257,12 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     the fake path therefore NEVER raises, which the mapInPandas pipelines
     rely on (one bad blob must not fail the job)."""
     if content.startswith(_PNG_MAGIC):
-        import numpy as np
-
         try:
-            _, _, channels, px = decode_png(content)
+            return _png_luma_hist(content)
         except ValueError:
             if not fake:
                 raise
             return _byte_histogram(content)
-        # luminance = mean over COLOR channels only: gray/GA use the single
-        # gray plane, RGB/RGBA the three color planes — alpha never votes
-        color_ch = 1 if channels <= 2 else 3
-        lum = px[:, :, :color_ch].mean(axis=2)
-        counts, _ = np.histogram(lum, bins=4, range=(0, 256))
-        total = counts.sum()
-        return [float(c) / total for c in counts] if total else [0.0] * 4
     if not fake:
         raise NotImplementedError(
             "non-PNG image decode requires pillow/opencv (not installed); "
@@ -336,9 +354,35 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
     but the lane is COUNTED, not silent (media_decode_report)."""
     import hashlib
 
+    def one_row(kind: str, blob: bytes) -> tuple[list[float], str]:
+        # ONE decode attempt per blob: the PNG/WAV decoders run once and
+        # serve both the features and the status (decoding twice — once
+        # for each — doubled the dominant per-byte Python cost)
+        img = _image_features(blob)
+        if img is not None:
+            features = img
+        elif not fake_decode:
+            features = decode_image(blob, fake=False)  # raises, documented
+        else:
+            features = _byte_histogram(blob)
+        if kind == "image":
+            status = "real" if img is not None else "reject"
+        elif kind == "audio":
+            try:
+                _decode_audio_array(blob)
+                status = "real"
+            except ValueError:
+                status = "reject"
+        else:
+            status = "reject"
+        return features, status
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            decoded = [
+                one_row(k, bytes(b)) for k, b in zip(pdf["kind"], content)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -347,13 +391,8 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
                     "content_md5": content.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    "features": content.map(
-                        lambda b: decode_image(bytes(b), fake=fake_decode)
-                    ),
-                    "decode_status": [
-                        classify_decode(k, bytes(b))
-                        for k, b in zip(pdf["kind"], content)
-                    ],
+                    "features": [d[0] for d in decoded],
+                    "decode_status": [d[1] for d in decoded],
                 }
             )
 

@@ -255,16 +255,26 @@ class SegmentedTextIndex:
 
         try:
             with open(os.path.join(self._seg_dir(seg), fname)) as f:
-                return json.load(f)
+                out = json.load(f)
+                return out if isinstance(out, list) else []
         except OSError:
             return []
+        # note: no ValueError catch — _write_meta is atomic (tmp+rename),
+        # so invalid JSON here is real corruption and must surface
 
     def _write_meta(self, seg: str, fname: str, ids: list[str]) -> None:
+        """Atomic metadata write (tmp + rename): a crash mid-write must
+        leave the previous file intact — the module's crash contract is
+        STALE, never broken."""
         import json
         import os
+        import uuid
 
-        with open(os.path.join(self._seg_dir(seg), fname), "w") as f:
+        final = os.path.join(self._seg_dir(seg), fname)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump(sorted(set(ids)), f)
+        os.replace(tmp, final)
 
     # -- writes -----------------------------------------------------------
 

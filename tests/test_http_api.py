@@ -276,3 +276,27 @@ def test_router_never_throws_fuzz(server):
         assert resp.status in (200, 201, 400, 401, 403, 404, 405, 500), (
             method, path, q, resp.status)
         json.loads(data) if data else None  # always valid JSON
+
+
+def test_review_fixes_round5(server):
+    """Regression pins for the round-5 review findings."""
+    # 1. lowercase authorization header authenticates (case-insensitive)
+    conn = http.client.HTTPConnection(*server, timeout=120)
+    conn.putrequest("GET", "/rest/datasets/count")
+    conn.putheader("authorization", f"bearer {ADMIN}")
+    conn.endheaders()
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    assert resp.status == 200, body
+    # 2. an entry id containing 'api-docs' is not hijacked by the doc route:
+    #    anonymous (auth-exempt substring rule) but routed to the resource
+    status, payload = _req(server, "GET", "/rest/datasets/api-docs-v2")
+    assert status == 404  # resource answer, not the static doc
+    assert "resources" not in (payload or {})
+    # 3. malformed bulk body is a 400, never 200-loaded-nothing
+    status, err = _req(
+        server, "PUT", "/rest/datasets/admin/elastic", token=ADMIN,
+        body={"entries": []},
+    )
+    assert status == 400 and err["status"] == 400
