@@ -98,6 +98,7 @@ HEADLINE = [
     "docs_repetition_stats",
     "cap_docs_per_source",
     "source_token_budget_mix",
+    "media_video_report",
 ]
 
 

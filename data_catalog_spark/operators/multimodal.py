@@ -271,6 +271,60 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     return _byte_histogram(content)
 
 
+_RIFF = b"RIFF"
+_AVI = b"AVI "
+
+
+def encode_avi_mjpeg(frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI writer: a LIST('movi') of '00dc' frame chunks
+    (even-padded, per the RIFF rule) — the MJPEG-in-AVI layout, which is
+    just independent per-frame blobs in a chunked container.  Paired with
+    ``decode_avi_frames`` it makes video FRAME EXTRACTION real container
+    parsing; only the per-frame image decode stays format-gated."""
+    import struct
+
+    body = b""
+    for fr in frames:
+        body += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) % 2:
+            body += b"\x00"  # RIFF chunks are word-aligned
+    movi = b"LIST" + struct.pack("<I", 4 + len(body)) + b"movi" + body
+    return _RIFF + struct.pack("<I", 4 + len(movi)) + _AVI + movi
+
+
+def decode_avi_frames(content: bytes) -> list[bytes]:
+    """REAL RIFF/AVI container parse in pure stdlib: validate the RIFF
+    header, walk the chunk tree to LIST('movi'), and return the video
+    frame payloads ('00dc'/'00db' chunks).  Raises ValueError for
+    non-AVI or truncated containers — callers route those to the counted
+    reject lane."""
+    import struct
+
+    if len(content) < 12 or content[:4] != _RIFF or content[8:12] != _AVI:
+        raise ValueError("not a RIFF/AVI container")
+    (riff_size,) = struct.unpack("<I", content[4:8])
+    if 8 + riff_size > len(content):
+        raise ValueError("truncated RIFF container")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data = buf[pos + 8 : pos + 8 + size]
+            if len(data) != size:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(data[4:])  # skip the list type fourcc
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(data)
+            pos += 8 + size + (size % 2)  # word alignment
+
+    walk(content[12:])
+    return frames
+
+
 def decode_audio(content: bytes) -> list[float]:
     """REAL WAV decode via stdlib ``wave``; list-of-floats public contract
     (the numpy-array core is ``_decode_audio_array`` — hot mapInPandas
@@ -400,21 +454,27 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
 
 
 def sample_frames(media: DataFrame) -> DataFrame:
-    """Video frame sampling plumbing: split each blob into meta.n_frames
-    equal chunks ("frames") — one output row per frame.  The chunking is the
-    stub; the batch/explode shape is the real thing being exercised."""
+    """Video frame extraction: blobs that parse as RIFF/AVI get REAL
+    container parsing (``decode_avi_frames`` — one output row per movi
+    frame chunk); anything else falls back to splitting the blob into
+    meta.n_frames equal chunks (the documented stand-in for containers
+    that need ffmpeg).  One output row per frame either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_idx, out_frame = [], [], []
             for _, row in pdf.iterrows():
                 blob = bytes(row["content"])
-                n = max(int(row["n_frames"]), 1)
-                step = max(len(blob) // n, 1)
-                for i in range(n):
+                try:
+                    frames = decode_avi_frames(blob)
+                except ValueError:
+                    n = max(int(row["n_frames"]), 1)
+                    step = max(len(blob) // n, 1)
+                    frames = [blob[i * step : (i + 1) * step] for i in range(n)]
+                for i, fb in enumerate(frames):
                     out_id.append(row["media_id"])
                     out_idx.append(i)
-                    out_frame.append(blob[i * step : (i + 1) * step])
+                    out_frame.append(fb)
             yield pd.DataFrame(
                 {"media_id": out_id, "frame_idx": out_idx, "frame_bytes": out_frame}
             )
@@ -455,11 +515,14 @@ ORDER BY media_id
 def synth_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """synth_media with a deterministic REAL-decodable subset: image rows
     with media_id % 6 == 0 become genuine 4×4 gray PNGs (encode_png over
-    the text's first bytes) and audio rows with media_id % 6 == 1 become
-    genuine 16-bit PCM WAVs — everything else keeps the raw utf-8 blob.
-    The real/reject split is therefore pure id arithmetic, which is what
-    makes media_decode_report's outcome SQL-expressible while the Spark
-    side proves it by actually decoding."""
+    the text's first bytes), audio rows with media_id % 6 == 1 genuine
+    16-bit PCM WAVs, and video rows with media_id % 6 == 2 genuine
+    RIFF/AVI containers whose frames are exactly the byte-chunks the
+    fallback sampler would produce — everything else keeps the raw utf-8
+    blob.  The real/reject split is therefore pure id arithmetic, which
+    is what makes media_decode_report's / media_video_report's outcomes
+    SQL-expressible while the Spark side proves them by actually
+    decoding/parsing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -470,7 +533,9 @@ def synth_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = pdf.copy()
             new_content = []
-            for mid, kind, blob in zip(out["media_id"], out["kind"], out["content"]):
+            for mid, kind, blob, meta in zip(
+                out["media_id"], out["kind"], out["content"], out["meta"]
+            ):
                 raw = bytes(blob)
                 if kind == "image" and mid % 6 == 0:
                     px = np.frombuffer((raw + b"\x00" * 16)[:16], dtype=np.uint8)
@@ -484,6 +549,11 @@ def synth_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         pcm = (raw + b"\x00" * 32)[:32]
                         w.writeframes(pcm[: len(pcm) - len(pcm) % 2])
                     new_content.append(buf.getvalue())
+                elif kind == "video" and mid % 6 == 2:
+                    n = max(int(meta["n_frames"]), 1)
+                    step = max(len(raw) // n, 1)
+                    frames = [raw[i * step : (i + 1) * step] for i in range(n)]
+                    new_content.append(encode_avi_mjpeg(frames))
                 else:
                     new_content.append(raw)
             out["content"] = new_content
@@ -533,6 +603,71 @@ FROM m GROUP BY kind ORDER BY kind
 """
 
 
+VIDEO_REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),  # real | reject
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def media_video_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video container report over the mixed table: blobs that parse
+    as RIFF/AVI get their frames REALLY extracted (container='real');
+    everything else is counted into the reject lane and sampled with the
+    fallback chunker.  The mixed table constructs AVI frames as exactly
+    the fallback's byte-chunks, so frame counts and byte totals are pure
+    id/length arithmetic for the oracle while the Spark side earns
+    'real' by parsing the container."""
+    videos = (
+        synth_mixed_media(spark, sf_dir)
+        .where(F.col("kind") == "video")
+        .select("media_id", "content", F.col("meta.n_frames").alias("n_frames"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, stats, counts, totals = [], [], [], []
+            for _, row in pdf.iterrows():
+                blob = bytes(row["content"])
+                try:
+                    frames = decode_avi_frames(blob)
+                    status = "real"
+                except ValueError:
+                    n = max(int(row["n_frames"]), 1)
+                    step = max(len(blob) // n, 1)
+                    frames = [blob[i * step : (i + 1) * step] for i in range(n)]
+                    status = "reject"
+                mids.append(row["media_id"])
+                stats.append(status)
+                counts.append(len(frames))
+                totals.append(sum(len(fb) for fb in frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "container": stats,
+                    "n_frames": counts,
+                    "total_frame_bytes": totals,
+                }
+            )
+
+    return videos.mapInPandas(run, schema=VIDEO_REPORT_SCHEMA).orderBy("media_id")
+
+
+MEDIA_VIDEO_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 6 = 2 THEN 'real' ELSE 'reject' END AS container,
+       CAST(n_chars % 8 + 1 AS BIGINT) AS n_frames,
+       CAST((n_chars % 8 + 1) * (octet_length(encode(text)) // (n_chars % 8 + 1))
+            AS BIGINT) AS total_frame_bytes
+FROM documents
+WHERE doc_id % 3 = 2
+ORDER BY media_id
+"""
+
+
 def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sample_frames plumbing: per-video frame count + total sampled bytes
     (each of the n frames is exactly floor(len/n) bytes)."""
@@ -561,6 +696,7 @@ ORDER BY media_id
 register("media_feature_stats", media_feature_stats, MEDIA_FEATURES_ORACLE)
 register("media_frame_stats", media_frame_stats, MEDIA_FRAMES_ORACLE)
 register("media_decode_report", media_decode_report, MEDIA_DECODE_ORACLE)
+register("media_video_report", media_video_report, MEDIA_VIDEO_ORACLE)
 
 
 # -- resize ------------------------------------------------------------------

@@ -53,6 +53,36 @@ def test_decode_report_counts_reject_lane(spark, sf_dir, ddb):
         assert len(mm.decode_audio(bytes(r.content))) > 0
 
 
+def test_avi_roundtrip_and_video_report(spark, sf_dir, ddb):
+    """RIFF/AVI frame extraction is real container parsing: encode →
+    decode round-trips frame bytes exactly (incl. odd-length padding),
+    truncated/non-AVI blobs raise, sample_frames extracts the true
+    frames for AVI rows, and the per-video report matches the
+    construction-arithmetic oracle."""
+    frames = [b"abc", b"de", b"f" * 7, b""]
+    blob = mm.encode_avi_mjpeg(frames)
+    assert mm.decode_avi_frames(blob) == frames
+    with pytest.raises(ValueError):
+        mm.decode_avi_frames(b"RIFFxxxxAVI ")  # header only, no size room
+    with pytest.raises(ValueError):
+        mm.decode_avi_frames(b"not a container")
+    with pytest.raises(ValueError):
+        mm.decode_avi_frames(blob[:-3])  # truncated chunk
+
+    assert_same(mm.media_video_report(spark, sf_dir), ddb, mm.MEDIA_VIDEO_ORACLE)
+
+    # sample_frames really parses the container for the AVI subset
+    mixed = mm.synth_mixed_media(spark, sf_dir)
+    avi_row = mixed.where("kind = 'video' AND media_id % 6 = 2").limit(1).collect()[0]
+    want = mm.decode_avi_frames(bytes(avi_row.content))
+    got = (
+        mm.sample_frames(mixed.where(f"media_id = {avi_row.media_id}"))
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [bytes(r.frame_bytes) for r in got] == want
+
+
 def test_classify_decode_attempts_not_sniffs():
     """A blob with the PNG magic but corrupt payload must land in the
     reject lane — classification is by decode attempt, not magic bytes."""
