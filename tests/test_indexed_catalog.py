@@ -98,3 +98,67 @@ def test_resync_recovers_a_stale_index(spark, tmp_path):
     assert "a" in hits and "ghost" not in hits  # stale: misses, never wrong
     ic.resync()
     assert _ids(ic.hits(_q("widget"))) == {"a", "ghost"}
+
+
+def test_streaming_ingest_keeps_search_in_sync(spark, tmp_path):
+    """ES's streaming-ingest contract end-to-end: entries arriving on a
+    stream land in the catalog AND the postings index via foreachBatch,
+    and are searchable as soon as their micro-batch commits."""
+    import json as _json
+    import os
+
+    cat = DatasetsCatalog(spark, str(tmp_path / "tbl"))
+    ic = IndexedCatalog(cat, str(tmp_path / "idx"))
+    ic.resync()
+
+    # JSONL drop directory as the stream source (the ingest shape a
+    # catalog actually sees: files of entry payloads)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    schema = "id string, title string, payload string"
+
+    def write_file(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_file(
+        "b0.jsonl",
+        [
+            {"id": "s1", "title": "streamed turbine stats", "payload": ""},
+            {"id": "s2", "title": "streamed anemometer log", "payload": ""},
+        ],
+    )
+
+    def ingest(batch_df, batch_id):
+        for row in batch_df.collect():  # tiny control-plane batch
+            ic.upsert(row.id, {**ENTRY, "title": row.title})
+
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    assert _ids(ic.hits(_q("turbine"))) == {"s1"}
+    assert _ids(ic.hits(_q("anemometer"))) == {"s2"}
+
+    # a second file = a later micro-batch; restart processes ONLY it
+    write_file("b1.jsonl", [{"id": "s3", "title": "late gearbox report", "payload": ""}])
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    assert _ids(ic.hits(_q("gearbox"))) == {"s3"}
+    # earlier docs still present and indexed exactly once
+    assert cat.count() == 3
+    cq = _q("streamed")
+    assert [tuple(r) for r in ic.hits(cq).collect()] == [
+        tuple(r) for r in search.hits(cat.df(), cq).collect()
+    ]
