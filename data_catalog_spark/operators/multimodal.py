@@ -295,9 +295,14 @@ def encode_avi_mjpeg(frames: list[bytes]) -> bytes:
 def decode_avi_frames(content: bytes) -> list[bytes]:
     """REAL RIFF/AVI container parse in pure stdlib: validate the RIFF
     header, walk the chunk tree to LIST('movi'), and return the video
-    frame payloads ('00dc'/'00db' chunks).  Raises ValueError for
+    frame payloads ('xxdc'/'xxdb' chunks INSIDE movi lists only — a
+    vendor chunk elsewhere is not a frame).  Raises ValueError for
     non-AVI or truncated containers — callers route those to the counted
-    reject lane."""
+    reject lane.  The walk is iterative (an explicit stack): a crafted
+    deeply-nested LIST blob must surface as a ValueError-class reject,
+    never a RecursionError that kills the task.  Only the DECLARED riff
+    payload is parsed — real-world trailing padding is ignored, and
+    undeclared tail bytes can never become phantom frames."""
     import struct
 
     if len(content) < 12 or content[:4] != _RIFF or content[8:12] != _AVI:
@@ -306,23 +311,49 @@ def decode_avi_frames(content: bytes) -> list[bytes]:
     if 8 + riff_size > len(content):
         raise ValueError("truncated RIFF container")
     frames: list[bytes] = []
-
-    def walk(buf: bytes) -> None:
-        pos = 0
+    # stack of (buffer, position, in_movi); payload bounded by riff_size
+    stack: list[tuple[bytes, int, bool]] = [(content[12 : 8 + riff_size], 0, False)]
+    while stack:
+        buf, pos, in_movi = stack.pop()
         while pos + 8 <= len(buf):
             cid = buf[pos : pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             data = buf[pos + 8 : pos + 8 + size]
             if len(data) != size:
                 raise ValueError("truncated AVI chunk")
+            nxt = pos + 8 + size + (size % 2)  # word alignment
             if cid == b"LIST":
-                walk(data[4:])  # skip the list type fourcc
-            elif cid[2:4] in (b"dc", b"db"):
+                if len(stack) >= 64:
+                    raise ValueError("AVI LIST nesting too deep")
+                # resume the current level later; descend into the list
+                stack.append((buf, nxt, in_movi))
+                stack.append((data[4:], 0, in_movi or data[:4] == b"movi"))
+                break
+            if in_movi and cid[2:4] in (b"dc", b"db"):
                 frames.append(data)
-            pos += 8 + size + (size % 2)  # word alignment
-
-    walk(content[12:])
+            pos = nxt
     return frames
+
+
+def _fallback_chunks(blob: bytes, n_frames: int) -> list[bytes]:
+    """The equal-chunk frame stand-in, defined ONCE: three call sites
+    (sample_frames, media_video_report, synth_mixed_media's AVI builder)
+    must stay bit-identical for the construction-arithmetic oracles to
+    hold."""
+    n = max(int(n_frames), 1)
+    step = max(len(blob) // n, 1)
+    return [blob[i * step : (i + 1) * step] for i in range(n)]
+
+
+def _avi_frames_or_none(blob: bytes) -> list[bytes] | None:
+    """One parse attempt: the frame list for a well-formed AVI with at
+    least one frame, else None (empty containers route to the fallback so
+    every video keeps its ≥1-output-row invariant)."""
+    try:
+        frames = decode_avi_frames(blob)
+    except ValueError:
+        return None
+    return frames or None
 
 
 def decode_audio(content: bytes) -> list[float]:
@@ -465,12 +496,9 @@ def sample_frames(media: DataFrame) -> DataFrame:
             out_id, out_idx, out_frame = [], [], []
             for _, row in pdf.iterrows():
                 blob = bytes(row["content"])
-                try:
-                    frames = decode_avi_frames(blob)
-                except ValueError:
-                    n = max(int(row["n_frames"]), 1)
-                    step = max(len(blob) // n, 1)
-                    frames = [blob[i * step : (i + 1) * step] for i in range(n)]
+                frames = _avi_frames_or_none(blob) or _fallback_chunks(
+                    blob, row["n_frames"]
+                )
                 for i, fb in enumerate(frames):
                     out_id.append(row["media_id"])
                     out_idx.append(i)
@@ -512,7 +540,9 @@ ORDER BY media_id
 """
 
 
-def synth_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_mixed_media(
+    spark: SparkSession, sf_dir: str, only_kind: str | None = None
+) -> DataFrame:
     """synth_media with a deterministic REAL-decodable subset: image rows
     with media_id % 6 == 0 become genuine 4×4 gray PNGs (encode_png over
     the text's first bytes), audio rows with media_id % 6 == 1 genuine
@@ -550,16 +580,21 @@ def synth_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                         w.writeframes(pcm[: len(pcm) - len(pcm) % 2])
                     new_content.append(buf.getvalue())
                 elif kind == "video" and mid % 6 == 2:
-                    n = max(int(meta["n_frames"]), 1)
-                    step = max(len(raw) // n, 1)
-                    frames = [raw[i * step : (i + 1) * step] for i in range(n)]
-                    new_content.append(encode_avi_mjpeg(frames))
+                    new_content.append(
+                        encode_avi_mjpeg(_fallback_chunks(raw, meta["n_frames"]))
+                    )
                 else:
                     new_content.append(raw)
             out["content"] = new_content
             yield out
 
-    return synth_media(spark, sf_dir).mapInPandas(run, schema=MEDIA_SCHEMA)
+    base = synth_media(spark, sf_dir)
+    if only_kind is not None:
+        # filter BEFORE the mixing UDF: predicates don't push through
+        # mapInPandas, and a caller wanting one kind must not pay the
+        # PNG/WAV/AVI encode cost of the other two-thirds of the corpus
+        base = base.where(F.col("kind") == only_kind)
+    return base.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,10 +656,8 @@ def media_video_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fallback's byte-chunks, so frame counts and byte totals are pure
     id/length arithmetic for the oracle while the Spark side earns
     'real' by parsing the container."""
-    videos = (
-        synth_mixed_media(spark, sf_dir)
-        .where(F.col("kind") == "video")
-        .select("media_id", "content", F.col("meta.n_frames").alias("n_frames"))
+    videos = synth_mixed_media(spark, sf_dir, only_kind="video").select(
+        "media_id", "content", F.col("meta.n_frames").alias("n_frames")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -632,14 +665,10 @@ def media_video_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             mids, stats, counts, totals = [], [], [], []
             for _, row in pdf.iterrows():
                 blob = bytes(row["content"])
-                try:
-                    frames = decode_avi_frames(blob)
-                    status = "real"
-                except ValueError:
-                    n = max(int(row["n_frames"]), 1)
-                    step = max(len(blob) // n, 1)
-                    frames = [blob[i * step : (i + 1) * step] for i in range(n)]
-                    status = "reject"
+                frames = _avi_frames_or_none(blob)
+                status = "real" if frames is not None else "reject"
+                if frames is None:
+                    frames = _fallback_chunks(blob, row["n_frames"])
                 mids.append(row["media_id"])
                 stats.append(status)
                 counts.append(len(frames))
@@ -656,11 +685,17 @@ def media_video_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return videos.mapInPandas(run, schema=VIDEO_REPORT_SCHEMA).orderBy("media_id")
 
 
+# total bytes mirror the chunker exactly, including the max(step, 1)
+# guard: a blob shorter than its frame count yields 1-byte slices that
+# run off the end (total = len), not n * 0
 MEDIA_VIDEO_ORACLE = """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 6 = 2 THEN 'real' ELSE 'reject' END AS container,
        CAST(n_chars % 8 + 1 AS BIGINT) AS n_frames,
-       CAST((n_chars % 8 + 1) * (octet_length(encode(text)) // (n_chars % 8 + 1))
+       CAST(CASE WHEN octet_length(encode(text)) >= n_chars % 8 + 1
+                 THEN (n_chars % 8 + 1)
+                      * (octet_length(encode(text)) // (n_chars % 8 + 1))
+                 ELSE octet_length(encode(text)) END
             AS BIGINT) AS total_frame_bytes
 FROM documents
 WHERE doc_id % 3 = 2
@@ -682,10 +717,15 @@ def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# same max(step, 1) guard as MEDIA_VIDEO_ORACLE: sub-frame-count blobs
+# total their own length, not n * 0
 MEDIA_FRAMES_ORACLE = """
 SELECT doc_id AS media_id,
        CAST(n_chars % 8 + 1 AS BIGINT) AS n_frames,
-       CAST((n_chars % 8 + 1) * (octet_length(encode(text)) // (n_chars % 8 + 1))
+       CAST(CASE WHEN octet_length(encode(text)) >= n_chars % 8 + 1
+                 THEN (n_chars % 8 + 1)
+                      * (octet_length(encode(text)) // (n_chars % 8 + 1))
+                 ELSE octet_length(encode(text)) END
             AS BIGINT) AS total_bytes
 FROM documents
 WHERE doc_id % 3 = 2

@@ -141,7 +141,7 @@ def test_streaming_ingest_keeps_search_in_sync(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    stream.awaitTermination(120)
+    assert stream.awaitTermination(300)
     assert _ids(ic.hits(_q("turbine"))) == {"s1"}
     assert _ids(ic.hits(_q("anemometer"))) == {"s2"}
 
@@ -154,7 +154,7 @@ def test_streaming_ingest_keeps_search_in_sync(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    stream.awaitTermination(120)
+    assert stream.awaitTermination(300)
     assert _ids(ic.hits(_q("gearbox"))) == {"s3"}
     # earlier docs still present and indexed exactly once
     assert cat.count() == 3

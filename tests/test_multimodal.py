@@ -69,6 +69,31 @@ def test_avi_roundtrip_and_video_report(spark, sf_dir, ddb):
     with pytest.raises(ValueError):
         mm.decode_avi_frames(blob[:-3])  # truncated chunk
 
+    # adversarial containers (review-pass pins):
+    import struct
+
+    # 1. deep LIST nesting must be a ValueError-class reject, never a
+    #    RecursionError that kills the task
+    inner = b""
+    for _ in range(200):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"movi" + inner
+    deep = mm._RIFF + struct.pack("<I", 4 + len(inner)) + mm._AVI + inner
+    with pytest.raises(ValueError, match="nesting"):
+        mm.decode_avi_frames(deep)
+    # 2. trailing padding after the declared riff size is tolerated...
+    assert mm.decode_avi_frames(blob + b"\x00" * 9) == frames
+    # 3. ...and undeclared tail bytes can never become phantom frames
+    tail = b"00dc" + struct.pack("<I", 4) + b"ZZZZ"
+    assert mm.decode_avi_frames(blob + tail) == frames
+    # 4. dc-suffixed chunks OUTSIDE a movi list are not frames
+    stray = b"00dc" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    hdr_only = mm._RIFF + struct.pack("<I", 4 + len(stray)) + mm._AVI + stray
+    assert mm.decode_avi_frames(hdr_only) == []
+    # 5. a valid but frameless container routes to the fallback lane
+    empty = mm.encode_avi_mjpeg([])
+    assert mm.decode_avi_frames(empty) == []
+    assert mm._avi_frames_or_none(empty) is None
+
     assert_same(mm.media_video_report(spark, sf_dir), ddb, mm.MEDIA_VIDEO_ORACLE)
 
     # sample_frames really parses the container for the AVI subset
