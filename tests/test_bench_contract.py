@@ -1,0 +1,55 @@
+"""bench.py stdout contract: the FINAL line must be compact and parseable.
+
+The driver tail-captures a bounded window of stdout; rounds 4-5 shipped a
+final line with all ~78 per-query timings (~2.6 kB) and the driver recorded
+"parsed": null both times.  These tests pin the contract so it cannot
+regress a third time.
+"""
+
+import json
+import random
+
+from bench import headline_line
+
+
+def _fake_timings(n: int) -> dict:
+    rng = random.Random(42)
+    return {
+        f"some_rather_long_query_name_{i:03d}": round(rng.uniform(0.05, 9.0), 3)
+        for i in range(n)
+    }
+
+
+def test_headline_line_is_compact_and_parseable():
+    for n in (0, 1, 10, 78, 200, 500):
+        line = headline_line(_fake_timings(n), sf=0.1)
+        assert len(line) < 1024, (n, len(line))
+        obj = json.loads(line)
+        assert obj["metric"] == "headline_queries_total_sec"
+        assert obj["unit"] == "sec"
+        assert obj["sf"] == 0.1
+        assert obj["n_queries"] == n
+        assert isinstance(obj["value"], (int, float))
+
+
+def test_headline_line_value_is_total_of_all_queries():
+    timings = _fake_timings(78)
+    obj = json.loads(headline_line(timings, sf=0.1))
+    assert obj["value"] == round(sum(timings.values()), 3)
+    # Truncated "queries" carries the slowest entries first.
+    if obj["queries"]:
+        shown = set(obj["queries"])
+        slowest = max(timings, key=timings.get)
+        assert slowest in shown
+        for name, sec in obj["queries"].items():
+            assert timings[name] == sec
+
+
+def test_headline_line_is_single_line():
+    line = headline_line(_fake_timings(78), sf=0.1)
+    assert "\n" not in line
+
+
+def test_headline_line_handles_null_sf():
+    obj = json.loads(headline_line(_fake_timings(5), sf=None))
+    assert obj["sf"] is None
