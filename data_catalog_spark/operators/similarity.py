@@ -612,16 +612,32 @@ def _pq_parts(
         f"array_min(transform(element_at({cb_lit}, m + 1), c -> {sqd.format(vec='v', sub=sub)}))"
         f") - 1 AS INT))"
     )
-    corpus = e.where(F.col("vec_id") >= N_QUERIES).withColumn(
-        "codes", F.expr(code_expr.replace("slice(v,", "slice(vn,"))
+    # repartition before the per-row-expensive code assignment: the local
+    # test parquet is a single row group → a 1-task scan that would compute
+    # every code on one core (no-op at deployment scale, where file splits
+    # provide the parallelism)
+    corpus = (
+        e.where(F.col("vec_id") >= N_QUERIES)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("codes", F.expr(code_expr.replace("slice(v,", "slice(vn,")))
     )
     queries = e.where(F.col("vec_id") < N_QUERIES)
-    # ADC: approx ||q - x||² = Σ_m ||q_slice_m - cb[m][codes[m]]||²
+    # Classic ADC lookup tables, built ONCE per query row on the broadcast
+    # side: lut[m][j] = ||q_slice_m − cb[m][j]||².  Per (query, corpus)
+    # pair the distance is then PQ_M table lookups instead of PQ_M
+    # interpreted zip_with folds over the raw slices — the same arithmetic
+    # in the same order (each lut entry IS that fold), so pool membership
+    # is bit-identical to the inlined form, ~8× cheaper per pair.
+    lut_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"transform(element_at({cb_lit}, m + 1), c -> {sqd.format(vec='vn', sub=sub)}))"
+    )
+    q_lut = queries.select(
+        "vec_id", F.expr(lut_expr).alias("lut")
+    )
     adc = (
         f"aggregate(sequence(0, {PQ_M - 1}), CAST(0.0 AS DOUBLE), (acc, m) -> acc + "
-        f"aggregate(zip_with(slice(a.vn, m * {sub} + 1, {sub}), "
-        f"element_at(element_at({cb_lit}, m + 1), element_at(b.codes, m + 1) + 1), "
-        f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc2, x) -> acc2 + x))"
+        f"element_at(element_at(a.lut, m + 1), element_at(b.codes, m + 1) + 1))"
     )
     w_adc = Window.partitionBy("qid").orderBy(F.col("approx_d"), F.col("nid"))
     # Compressed-domain pass: the crossJoin × window stage touches ONLY the
@@ -631,7 +647,7 @@ def _pq_parts(
     # paid for just |queries|·PQ_RERANK survivors (re-rank join below), not
     # for 100% of the corpus as the pre-r5 shape did.
     pool = (
-        F.broadcast(queries.select("vec_id", "vn")).alias("a")
+        F.broadcast(q_lut).alias("a")
         .crossJoin(corpus.select("vec_id", "codes").alias("b"))
         .select(
             F.col("a.vec_id").alias("qid"),
@@ -659,21 +675,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian re-rank)."""
     e, queries, pool = _pq_parts(spark, sf_dir)
     # Exact re-rank: the survivor set is BOUNDED by construction
-    # (|queries|·PQ_RERANK rows), so collect it once — like the facet
-    # rows, a legitimate driver-side bounded set — and join it back as a
-    # local relation.  Re-broadcasting the pool as a PLAN instead would
-    # re-run the whole ADC job for the broadcast exchange (measured
-    # +0.7 s at sf0.1).  An id IN-list pushed into the re-rank scan was
-    # measured SLOWER at this SF (≈+0.7 s of per-call In-list analysis
-    # for 1200 literals); at deployment scale, where the second scan
-    # matters, the survivors would come back via a Bloom/runtime filter
-    # on the materialized code table instead.
-    surv = pool.collect()
-    surv_df = spark.createDataFrame(surv, pool.schema)
+    # (|queries|·PQ_RERANK rows), so hand it back via a broadcast hash
+    # join — the ADC job runs exactly once, inside the broadcast
+    # exchange, and no survivor row touches the driver.  (The pre-r6
+    # shape collected the pool into a local relation; an id IN-list was
+    # measured SLOWER still — ≈+0.7 s of per-call In-list analysis for
+    # 1200 literals.  At deployment scale the same shape holds: the
+    # bounded pool broadcasts, the full-precision vector table streams.)
     exact = (
         e.where(F.col("vec_id") >= N_QUERIES).alias("b")
-        .join(F.broadcast(surv_df).alias("p"), F.col("p.nid") == F.col("b.vec_id"))
-        .join(F.broadcast(queries).alias("a"), F.col("p.qid") == F.col("a.vec_id"))
+        .join(F.broadcast(pool).alias("p"), F.col("p.nid") == F.col("b.vec_id"))
+        .join(
+            F.broadcast(queries.select("vec_id", "v", "nrm")).alias("a"),
+            F.col("p.qid") == F.col("a.vec_id"),
+        )
         .select(
             F.col("p.qid").alias("qid"),
             F.col("p.nid").alias("nid"),
