@@ -212,23 +212,46 @@ def indexed_hits_df(
 # catalog needs the ES behavior — writes keep search in sync.  Lucene's
 # answer is segments, re-expressed in parquet:
 #
-#   seg-000/postings/   (+ _ids.json, _tombstones.json)
-#   seg-001/postings/   ...
+#   MANIFEST.json            (the ONLY mutable file — atomic os.replace)
+#   seg-<uuid>/postings/     immutable parquet, partitioned by field
+#   seg-<uuid>/ids/          immutable parquet id sidecar (one column)
+#   seg-<uuid>/ts-<uuid>/    immutable tombstone-id snapshot dirs
 #
 # Each upsert batch becomes a NEW immutable segment holding the full
 # postings of the affected docs; the batch's ids are tombstoned in every
-# earlier segment that contains them (per-segment id lists make that an
-# O(|batch| × segments) driver-side set operation — at deployment scale
-# the id lists become bloom/roaring sidecars, same protocol).  The read
-# view unions live rows of every segment, so queries see every committed
-# write immediately; ``compact()`` folds the chain back to one segment,
-# dropping dead postings — exactly Lucene's merge.
+# earlier segment that contains them.  Segment membership checks run as a
+# Spark semi-join against the parquet id sidecars (never a driver-side
+# full-id-list set op); per-segment tombstones live INLINE in the manifest
+# while small and spill to immutable parquet snapshot dirs past
+# TS_INLINE_MAX, after which reads apply them by LEFT-ANTI JOIN — so no
+# structure anywhere is O(segment rows) on the driver.
+#
+# Every mutation (rebuild / upsert / delete / compact) commits by writing
+# new immutable dirs and then atomically replacing MANIFEST.json — a crash
+# at ANY point leaves the previous manifest naming only complete dirs
+# (stale, never broken; orphan dirs are swept by the next compact or
+# rebuild).  Mutations are serialized by an O_EXCL lock file with the
+# catalog's rename-aside stale-break protocol (catalog.py _commit_lock),
+# and segment names are uuids, so concurrent writers can neither mint the
+# same segment nor interleave manifest read-modify-writes.  The read view
+# unions live rows of every manifest segment, so queries see every
+# committed write immediately; ``compact()`` folds the chain back to one
+# segment, dropping dead postings — exactly Lucene's merge.
+
+TS_INLINE_MAX = 512  # per-segment tombstones kept in the manifest JSON
+LOCK_STALE_AFTER = 60.0
+
+
+class IndexLockError(RuntimeError):
+    pass
 
 
 class SegmentedTextIndex:
     """Incremental postings index with Lucene-style segment + tombstone
-    maintenance.  All postings reads are plain distributed scans; only id
-    LISTS (bounded by batch sizes) touch the driver."""
+    maintenance.  All postings/id-sidecar reads are plain distributed
+    scans; the driver only ever holds the caller's batch id lists, the
+    (seg, id) tombstone hits they produce, and inline tombstone lists
+    bounded by TS_INLINE_MAX per segment."""
 
     def __init__(self, spark: SparkSession, path: str):
         import os
@@ -237,103 +260,250 @@ class SegmentedTextIndex:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    # -- segment bookkeeping ---------------------------------------------
+    # -- manifest + lock ----------------------------------------------------
 
-    def _segments(self) -> list[str]:
+    def _manifest_file(self) -> str:
         import os
 
-        return sorted(d for d in os.listdir(self.path) if d.startswith("seg-"))
+        return os.path.join(self.path, "MANIFEST.json")
+
+    def _manifest(self) -> list[dict]:
+        """Ordered segment records: {"name", "ts_inline": [...] | None,
+        "ts_dir": str | None}.  Missing manifest = empty index.  No
+        ValueError catch: writes are atomic (tmp + os.replace), so invalid
+        JSON is real corruption and must surface."""
+        import json
+
+        try:
+            with open(self._manifest_file()) as f:
+                return json.load(f)["segments"]
+        except OSError:
+            return []
+
+    def _write_manifest(self, segments: list[dict]) -> None:
+        import json
+        import os
+        import uuid
+
+        final = self._manifest_file()
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"segments": segments}, f)
+        os.replace(tmp, final)
+
+    def _mutation_lock(self, timeout: float = 30.0):
+        """Serialize index mutations: O_EXCL lock file + rename-aside
+        stale-break — the catalog commit-lock protocol (catalog.py:566),
+        scoped to this index dir.  Readers never take it (they see the
+        manifest snapshot of the last atomic replace)."""
+        import contextlib
+        import os
+        import time
+        import uuid
+
+        lock = os.path.join(self.path, ".INDEX_LOCK")
+
+        @contextlib.contextmanager
+        def _lock():
+            token = f"{os.getpid()}:{uuid.uuid4().hex}"
+            t0 = time.time()
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, token.encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        age = time.time() - os.path.getmtime(lock)
+                    except OSError:
+                        continue  # holder released between open and stat
+                    if age > LOCK_STALE_AFTER:
+                        broken = f"{lock}.broken-{uuid.uuid4().hex}"
+                        try:
+                            os.rename(lock, broken)  # atomic: one winner
+                            os.unlink(broken)
+                        except OSError:
+                            pass  # another waiter won the break
+                        continue
+                    if time.time() - t0 > timeout:
+                        raise IndexLockError(
+                            f"could not acquire index mutation lock at {lock} "
+                            f"within {timeout}s"
+                        )
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                # release via rename-aside: never unlinks a successor's
+                # lock if ours was broken mid-section
+                aside = f"{lock}.release-{uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, aside)
+                    with open(aside) as f:
+                        mine = f.read() == token
+                    if mine:
+                        os.unlink(aside)
+                    else:
+                        os.rename(aside, lock)
+                except OSError:
+                    pass
+
+        return _lock()
+
+    # -- segment bookkeeping -------------------------------------------------
+
+    def _segments(self) -> list[str]:
+        return [s["name"] for s in self._manifest()]
 
     def _seg_dir(self, name: str) -> str:
         import os
 
         return os.path.join(self.path, name)
 
-    def _read_meta(self, seg: str, fname: str) -> list[str]:
-        import json
+    def _sweep_orphans(self, keep: set[str]) -> None:
+        """Remove seg dirs the manifest no longer references (failed
+        mutations / superseded compactions).  Only called under the
+        mutation lock, after the manifest swap has made ``keep`` the
+        committed truth.  NOTE: invalidates lazy DataFrames obtained from
+        postings() BEFORE the swap — consume those before compacting."""
         import os
+        import shutil
 
-        try:
-            with open(os.path.join(self._seg_dir(seg), fname)) as f:
-                out = json.load(f)
-                return out if isinstance(out, list) else []
-        except OSError:
-            return []
-        # note: no ValueError catch — _write_meta is atomic (tmp+rename),
-        # so invalid JSON here is real corruption and must surface
+        for d in os.listdir(self.path):
+            if d.startswith("seg-") and d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
-    def _write_meta(self, seg: str, fname: str, ids: list[str]) -> None:
-        """Atomic metadata write (tmp + rename): a crash mid-write must
-        leave the previous file intact — the module's crash contract is
-        STALE, never broken."""
-        import json
+    # -- writes ---------------------------------------------------------------
+
+    def _build_segment(self, ds_slice: DataFrame) -> dict:
+        """Write a new immutable segment (postings + id sidecar) and return
+        its manifest record.  Fully distributed — no id ever touches the
+        driver; the dir is invisible until a manifest swap references it."""
         import os
         import uuid
 
-        final = os.path.join(self._seg_dir(seg), fname)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(sorted(set(ids)), f)
-        os.replace(tmp, final)
+        name = f"seg-{uuid.uuid4().hex[:12]}"
+        build_text_index(ds_slice, os.path.join(self._seg_dir(name), "postings"))
+        ds_slice.select("id").distinct().write.mode("overwrite").parquet(
+            os.path.join(self._seg_dir(name), "ids")
+        )
+        return {"name": name, "ts_inline": [], "ts_dir": None}
 
-    # -- writes -----------------------------------------------------------
-
-    def _new_segment(self, ds_slice: DataFrame, ids: list[str]) -> None:
+    def _ids_df(self, rec: dict) -> DataFrame:
         import os
 
-        name = f"seg-{len(self._segments()):03d}"
-        build_text_index(ds_slice, os.path.join(self._seg_dir(name), "postings"))
-        self._write_meta(name, "_ids.json", ids)
-        self._write_meta(name, "_tombstones.json", [])
+        return self.spark.read.schema("id STRING").parquet(
+            os.path.join(self._seg_dir(rec["name"]), "ids")
+        )
+
+    def _ts_df(self, rec: dict) -> DataFrame:
+        import os
+
+        return self.spark.read.schema("id STRING").parquet(
+            os.path.join(self._seg_dir(rec["name"]), rec["ts_dir"])
+        )
+
+    def _tombstoned(self, segments: list[dict], batch: list[str]) -> list[dict]:
+        """Return manifest records with ``batch`` ids tombstoned wherever
+        they exist.  Membership runs as ONE Spark job: every segment's id
+        sidecar (tagged) semi-joined against the batch — the driver sees
+        only the (seg, id) hits, bounded by |batch| × live copies."""
+        if not segments or not batch:
+            return segments
+        batch_df = F.broadcast(
+            self.spark.createDataFrame([(i,) for i in sorted(set(batch))], "id string")
+        )
+        tagged = None
+        for i, rec in enumerate(segments):
+            part = self._ids_df(rec).withColumn("seg", F.lit(i))
+            tagged = part if tagged is None else tagged.unionByName(part)
+        hits = tagged.join(batch_df, "id", "left_semi").collect()
+        by_seg: dict[int, set] = {}
+        for r in hits:
+            by_seg.setdefault(r.seg, set()).add(r.id)
+        out = []
+        for i, rec in enumerate(segments):
+            hit = by_seg.get(i)
+            if not hit:
+                out.append(rec)
+                continue
+            rec = dict(rec)
+            if rec["ts_dir"] is None and len(rec["ts_inline"]) + len(hit) <= TS_INLINE_MAX:
+                rec["ts_inline"] = sorted(set(rec["ts_inline"]) | hit)
+            else:
+                rec = self._spill_tombstones(rec, hit)
+            out.append(rec)
+        return out
+
+    def _spill_tombstones(self, rec: dict, new_dead: set) -> dict:
+        """Write the segment's full tombstone set (previous inline/dir ∪
+        new hits) as a NEW immutable parquet snapshot dir; the manifest
+        swap repoints to it.  Distributed union-distinct — the old
+        snapshot is read as parquet, never collected."""
+        import os
+        import uuid
+
+        dead_local = self.spark.createDataFrame(
+            [(i,) for i in sorted(set(rec["ts_inline"]) | new_dead)], "id string"
+        )
+        full = (
+            self._ts_df(rec).unionByName(dead_local).distinct()
+            if rec["ts_dir"]
+            else dead_local.distinct()
+        )
+        ts_name = f"ts-{uuid.uuid4().hex[:12]}"
+        full.write.mode("overwrite").parquet(
+            os.path.join(self._seg_dir(rec["name"]), ts_name)
+        )
+        return {"name": rec["name"], "ts_inline": [], "ts_dir": ts_name}
 
     def rebuild(self, ds: DataFrame) -> None:
-        """Full (re)build as the single base segment."""
-        import shutil
-
-        for seg in self._segments():
-            shutil.rmtree(self._seg_dir(seg))
-        ids = [r.id for r in ds.select("id").collect()]
-        self._new_segment(ds, ids)
+        """Full (re)build as the single base segment.  No id list is ever
+        collected — the sidecar is written by Spark."""
+        with self._mutation_lock():
+            rec = self._build_segment(ds)
+            self._write_manifest([rec])
+            self._sweep_orphans({rec["name"]})
 
     def upsert(self, ds_slice: DataFrame) -> None:
         """Index the docs in ``ds_slice`` (new or changed): one new
         segment with their postings; their old postings in earlier
-        segments are tombstoned."""
-        ids = [r.id for r in ds_slice.select("id").collect()]
-        self.delete(ids)
-        self._new_segment(ds_slice, ids)
+        segments are tombstoned.  Both effects commit in ONE manifest
+        swap, so no reader can observe the delete without the add."""
+        ids = [r.id for r in ds_slice.select("id").distinct().collect()]
+        with self._mutation_lock():
+            updated = self._tombstoned(self._manifest(), ids)
+            updated.append(self._build_segment(ds_slice))
+            self._write_manifest(updated)
 
     def delete(self, ids: list[str]) -> None:
-        """Tombstone every existing posting of ``ids`` (pure metadata —
-        no data file is rewritten)."""
-        batch = set(ids)
-        for seg in self._segments():
-            hit = batch & set(self._read_meta(seg, "_ids.json"))
-            if hit:
-                self._write_meta(
-                    seg,
-                    "_tombstones.json",
-                    self._read_meta(seg, "_tombstones.json") + sorted(hit),
-                )
+        """Tombstone every existing posting of ``ids`` (metadata + at most
+        one immutable tombstone snapshot per affected segment — no
+        postings file is rewritten)."""
+        with self._mutation_lock():
+            self._write_manifest(self._tombstoned(self._manifest(), ids))
 
-    # -- reads ------------------------------------------------------------
+    # -- reads ----------------------------------------------------------------
 
     def postings(self) -> DataFrame:
-        """Live postings: union of segments minus each segment's
-        tombstoned ids (the per-seg dead list is an isin filter —
-        bounded by that segment's superseded batch sizes)."""
+        """Live postings: union of manifest segments minus each segment's
+        tombstones — inline lists (≤ TS_INLINE_MAX) filter via isin;
+        spilled sets apply by LEFT-ANTI JOIN against their parquet
+        snapshot, so no tombstone materializes on the driver."""
         import os
 
         parts = []
-        for seg in self._segments():
+        for rec in self._manifest():
             # explicit schema: an empty segment (zero-row upsert / compact
             # of an empty index) has no footers to infer from
             df = self.spark.read.schema("gram STRING, id STRING, field STRING").parquet(
-                os.path.join(self._seg_dir(seg), "postings")
+                os.path.join(self._seg_dir(rec["name"]), "postings")
             )
-            dead = self._read_meta(seg, "_tombstones.json")
-            if dead:
-                df = df.where(~F.col("id").isin(dead))
+            if rec["ts_dir"]:
+                df = df.join(self._ts_df(rec), "id", "left_anti")
+            elif rec["ts_inline"]:
+                df = df.where(~F.col("id").isin(rec["ts_inline"]))
             parts.append(df.select("gram", "id", "field"))
         if not parts:
             return self.spark.createDataFrame(
@@ -346,22 +516,26 @@ class SegmentedTextIndex:
 
     def compact(self) -> int:
         """Lucene merge: fold the segment chain into one segment holding
-        only live postings; returns the resulting segment count (1)."""
+        only live postings; returns the resulting segment count (1).
+        Fully distributed (the merged id sidecar comes from the postings
+        themselves); commits via the same single manifest swap as every
+        other mutation, so a crash at any point leaves the previous
+        generation fully readable."""
         import os
-        import shutil
         import uuid
 
-        live = self.postings()
-        ids = sorted({r.id for r in live.select("id").distinct().collect()})
-        tmp = f"{self.path}.merge-{uuid.uuid4().hex}"
-        merged = SegmentedTextIndex(self.spark, tmp)
-        live.write.mode("overwrite").partitionBy("field").parquet(
-            os.path.join(tmp, "seg-000", "postings")
-        )
-        merged._write_meta("seg-000", "_ids.json", ids)
-        merged._write_meta("seg-000", "_tombstones.json", [])
-        old = f"{self.path}.old-{uuid.uuid4().hex}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old)
-        return len(self._segments())
+        with self._mutation_lock():
+            live = self.postings()
+            name = f"seg-{uuid.uuid4().hex[:12]}"
+            live.write.mode("overwrite").partitionBy("field").parquet(
+                os.path.join(self._seg_dir(name), "postings")
+            )
+            merged = self.spark.read.schema(
+                "gram STRING, id STRING, field STRING"
+            ).parquet(os.path.join(self._seg_dir(name), "postings"))
+            merged.select("id").distinct().write.mode("overwrite").parquet(
+                os.path.join(self._seg_dir(name), "ids")
+            )
+            self._write_manifest([{"name": name, "ts_inline": [], "ts_dir": None}])
+            self._sweep_orphans({name})
+            return len(self._segments())

@@ -426,3 +426,150 @@ def test_segmented_index_random_ops_equal_rebuild(spark, tmp_path):
         fresh = SegmentedTextIndex(spark, str(tmp_path / f"fresh{step}"))
         fresh.rebuild(df_of(sorted(state)))
         assert _postings_set(idx.postings()) == _postings_set(fresh.postings()), step
+
+
+def _mini_corpus(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, title string, dataSample string, sourceUri string"
+    )
+
+
+def test_rebuild_and_compact_never_collect(spark, tmp_path, monkeypatch):
+    """The 100×-catalog claim, pinned: rebuild() and compact() must not
+    materialize ANY rows on the driver (r5 collected every id of a
+    rebuilt/merged segment).  DataFrame.collect is forbidden for the
+    duration of both calls."""
+    from pyspark.sql import DataFrame
+
+    from data_catalog_spark.text_index import SegmentedTextIndex
+
+    idx = SegmentedTextIndex(spark, str(tmp_path / "nocollect"))
+    corpus = _mini_corpus(
+        spark,
+        [(str(i), f"widget {i}", f"sample {i}", f"http://x.com/{i}") for i in range(20)],
+    )
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side collect during rebuild/compact")
+
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "collect", _boom)
+        idx.rebuild(corpus)
+    idx.upsert(_mini_corpus(spark, [("3", "renamed gadget", "s", "http://x.com/3")]))
+    idx.delete(["5"])
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "collect", _boom)
+        assert idx.compact() == 1
+    live = {r.id for r in idx.postings().select("id").distinct().collect()}
+    assert "5" not in live and "3" in live and len(live) == 19
+
+
+def test_tombstone_spill_applies_by_anti_join(spark, tmp_path, monkeypatch):
+    """Past TS_INLINE_MAX, per-segment tombstones live in parquet and are
+    applied by LEFT-ANTI JOIN — no isin literal list, no driver copy."""
+    from data_catalog_spark import text_index as ti
+
+    monkeypatch.setattr(ti, "TS_INLINE_MAX", 2)
+    idx = ti.SegmentedTextIndex(spark, str(tmp_path / "spill"))
+    idx.rebuild(
+        _mini_corpus(
+            spark,
+            [(str(i), f"doc {i}", "s", f"http://x.com/{i}") for i in range(10)],
+        )
+    )
+    idx.delete(["0", "1", "2", "3"])  # 4 > TS_INLINE_MAX=2 → spill
+    (rec,) = idx._manifest()
+    assert rec["ts_dir"] is not None and rec["ts_inline"] == []
+    live = idx.postings()
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    ids = {r.id for r in live.select("id").distinct().collect()}
+    assert ids == {str(i) for i in range(4, 10)}
+    # a later delete unions into the spilled set (new immutable snapshot)
+    old_ts = rec["ts_dir"]
+    idx.delete(["4"])
+    (rec2,) = idx._manifest()
+    assert rec2["ts_dir"] is not None and rec2["ts_dir"] != old_ts
+    ids = {r.id for r in idx.postings().select("id").distinct().collect()}
+    assert ids == {str(i) for i in range(5, 10)}
+
+
+def test_concurrent_upserts_do_not_collide(spark, tmp_path):
+    """ADVICE r5: uuid segment names + the mutation lock mean concurrent
+    writers can never mint the same segment or lose a tombstone — the
+    final index equals a rebuild over the logical end state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_catalog_spark.text_index import SegmentedTextIndex
+
+    idx = SegmentedTextIndex(spark, str(tmp_path / "conc"))
+    idx.rebuild(
+        _mini_corpus(
+            spark, [(str(i), f"base {i}", "s", f"http://x.com/{i}") for i in range(8)]
+        )
+    )
+
+    def writer(k):
+        # each thread rewrites its own doc AND doc k+4 (overlap across threads)
+        rows = [
+            (str(k), f"thread {k} fresh", "s", f"http://t.com/{k}"),
+            (str(k + 4), f"thread {k} also", "s", f"http://t.com/{k + 4}"),
+        ]
+        SegmentedTextIndex(spark.newSession(), str(tmp_path / "conc")).upsert(
+            _mini_corpus(spark, rows)
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(writer, range(4)))
+
+    segs = idx._segments()
+    assert len(segs) == 5 and len(set(segs)) == 5  # no name collision
+    # every id appears in the live view exactly once per (field, gram):
+    # the overlapping upserts tombstoned each other in commit order, so
+    # each doc's postings come from exactly one segment
+    live = idx.postings().select("id", "field", "gram").collect()
+    assert len(live) == len(set(live))
+    assert {r.id for r in live} == {str(i) for i in range(8)}
+
+
+def test_crash_before_manifest_swap_leaves_index_readable(spark, tmp_path, monkeypatch):
+    """Every mutation commits via ONE atomic manifest replace: a crash
+    after the data writes but before the swap leaves the previous
+    generation fully readable (stale, never broken), and the next
+    mutation succeeds normally.  Covers ADVICE r5's non-atomic-compact
+    finding — there is no window where the index dir is missing."""
+    from data_catalog_spark.text_index import SegmentedTextIndex
+
+    idx = SegmentedTextIndex(spark, str(tmp_path / "crash"))
+    idx.rebuild(
+        _mini_corpus(
+            spark, [(str(i), f"doc {i}", "s", f"http://x.com/{i}") for i in range(6)]
+        )
+    )
+    idx.delete(["0"])
+    before = {
+        (r.field, r.gram, r.id) for r in idx.postings().collect()
+    }
+
+    def crash(self, segments):
+        raise OSError("simulated crash before manifest swap")
+
+    with monkeypatch.context() as m:
+        m.setattr(SegmentedTextIndex, "_write_manifest", crash)
+        import pytest as _pytest
+
+        with _pytest.raises(OSError):
+            idx.compact()
+        with _pytest.raises(OSError):
+            idx.upsert(_mini_corpus(spark, [("9", "new", "s", "http://x.com/9")]))
+    # previous generation intact — including on a FRESH handle (constructor
+    # must not resurrect an empty index)
+    again = SegmentedTextIndex(spark, str(tmp_path / "crash"))
+    assert {(r.field, r.gram, r.id) for r in again.postings().collect()} == before
+    # and the chain is not wedged: the next compact commits and sweeps orphans
+    assert again.compact() == 1
+    assert {(r.field, r.gram, r.id) for r in again.postings().collect()} == before
+    import os
+
+    leftover = [d for d in os.listdir(tmp_path / "crash") if d.startswith("seg-")]
+    assert len(leftover) == 1
