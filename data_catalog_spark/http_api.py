@@ -155,8 +155,12 @@ class DataCatalogApp:
         self, method: str, path: str, query: dict, headers: dict, body: bytes
     ) -> tuple[int, object]:
         path = path.rstrip("/") or "/"
-        # the doc ROUTE is exact; the auth EXEMPTION below stays substring
-        # (reference Security.authenticate, auth.py:52 — containment test)
+        # Both the doc ROUTE and the auth EXEMPTION match on the EXACT
+        # path.  The reference (Security.authenticate, auth.py:52) uses a
+        # substring containment test, which quietly auth-exempts any entry
+        # id containing 'api-docs' (GET /rest/datasets/api-docs-x reads a
+        # public entry with no token at all) — a deliberate divergence:
+        # exemptions here are full paths only.
         if path in self.auth_exceptions:
             if method == "GET":
                 return 200, API_DOC
@@ -169,21 +173,14 @@ class DataCatalogApp:
             except ValueError:
                 return _error(400, "request body is not valid JSON")
 
-        if any(exc in path for exc in self.auth_exceptions):
-            # auth-exempt by the reference's substring rule, but NOT the
-            # doc path itself (handled above): route anonymously — an
-            # entry id containing 'api-docs' resolves with no org scope
-            # (403/404 from the resource, never a silent doc hijack)
-            org_list, admin, raw_auth = [], False, ""
-        else:
-            try:
-                org_list, admin, raw_auth = self._resolve_auth(
-                    method, query, headers, body_json
-                )
-            except UnauthorizedError as ex:
-                return _error(401, str(ex))
-            except ForbiddenError as ex:
-                return _error(403, str(ex))
+        try:
+            org_list, admin, raw_auth = self._resolve_auth(
+                method, query, headers, body_json
+            )
+        except UnauthorizedError as ex:
+            return _error(401, str(ex))
+        except ForbiddenError as ex:
+            return _error(403, str(ex))
 
         try:
             return self._route(

@@ -301,13 +301,14 @@ def decode(
 
     if alg in _HS:
         if isinstance(key, str):
-            if "-----BEGIN" in key:
-                # RS→HS downgrade guard: a public key is public — using it
-                # as a MAC secret lets anyone mint valid tokens
-                raise InvalidTokenError(
-                    "refusing to use a PEM public key as an HMAC secret"
-                )
             key = key.encode("utf-8")
+        # RS→HS downgrade guard, on the BYTES form so a PEM read in 'rb'
+        # mode is caught too: a public key is public — using it as a MAC
+        # secret lets anyone mint valid tokens
+        if b"-----BEGIN" in key:
+            raise InvalidTokenError(
+                "refusing to use a PEM public key as an HMAC secret"
+            )
         mac = hmac.new(key, signing_input, _HS[alg]).digest()
         if not hmac.compare_digest(mac, sig):
             raise InvalidTokenError("HMAC signature mismatch")

@@ -289,10 +289,16 @@ def test_review_fixes_round5(server):
     body = resp.read()
     conn.close()
     assert resp.status == 200, body
-    # 2. an entry id containing 'api-docs' is not hijacked by the doc route:
-    #    anonymous (auth-exempt substring rule) but routed to the resource
+    # 2. an entry id containing 'api-docs' is neither hijacked by the doc
+    #    route NOR auth-exempt: the reference's substring containment test
+    #    (auth.py:52) would read such an entry with no token at all — here
+    #    exemptions match the exact path, so the anonymous read is a 401
     status, payload = _req(server, "GET", "/rest/datasets/api-docs-v2")
-    assert status == 404  # resource answer, not the static doc
+    assert status == 401  # auth required: not an exempted path
+    assert "resources" not in (payload or {})
+    # authenticated, it routes to the resource (404), not the static doc
+    status, payload = _req(server, "GET", "/rest/datasets/api-docs-v2", token=ADMIN)
+    assert status == 404
     assert "resources" not in (payload or {})
     # 3. malformed bulk body is a 400, never 200-loaded-nothing
     status, err = _req(

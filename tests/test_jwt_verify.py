@@ -192,6 +192,11 @@ def test_rs_to_hs_downgrade_guard():
     tok = _mint_hs(CLAIMS, pem)
     with pytest.raises(InvalidTokenError, match="PEM public key"):
         decode(tok, pem, ["HS256"])
+    # ADVICE r5: the same pem read in 'rb' mode (bytes key) must be
+    # rejected too — the str-only guard re-enabled the downgrade
+    tok_b = _mint_hs(CLAIMS, pem)
+    with pytest.raises(InvalidTokenError, match="PEM public key"):
+        decode(tok_b, pem.encode("utf-8"), ["HS256"])
 
 
 # -- ECDSA (test-only signer from the same curve constants) -------------------
