@@ -105,6 +105,8 @@ HEADLINE = [
     "cap_docs_per_source",
     "source_token_budget_mix",
     "media_video_report",
+    # round 6 additions
+    "dedup_blocking_stats",
 ]
 
 

@@ -679,6 +679,137 @@ SELECT * FROM exact UNION ALL SELECT * FROM near ORDER BY doc_id
 """
 
 
+# -- blocking-cap observability ------------------------------------------------
+
+
+def blocking_cap_stats(df: DataFrame, keys: list[str], cap: int, arm: str) -> DataFrame:
+    """One row quantifying what a blocking cap COSTS on this input: of the
+    pairable buckets (>1 member) keyed by ``keys``, how many exceed
+    ``cap`` and how many candidate pairs (n·(n−1)/2 each) those dropped
+    buckets would have contributed.  The caps (MAX_SHINGLE_DF,
+    MAX_BAND_BUCKET) silently bound recall — a 100 TB run must REPORT the
+    truncation, not hide it.  Two hash aggs, no data movement beyond the
+    count pre-pass the capped operators already pay."""
+    per_bucket = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return per_bucket.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias("db"),
+        F.sum(
+            F.when(F.col("n") > cap, F.expr("n * (n - 1) DIV 2")).otherwise(0)
+        ).alias("dp"),
+    ).select(
+        F.lit(arm).alias("arm"),
+        F.col("b").cast("bigint").alias("buckets"),
+        F.coalesce(F.col("db"), F.lit(0)).cast("bigint").alias("dropped_buckets"),
+        F.coalesce(F.col("dp"), F.lit(0)).cast("bigint").alias("dropped_pairs"),
+    )
+
+
+def dedup_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm truncation report for every dedup blocking cap: the n-gram
+    join's MAX_SHINGLE_DF cutoff and the MinHash-band / SimHash-chunk
+    MAX_BAND_BUCKET skew caps.  Columns: pairable buckets, buckets dropped
+    by the cap, candidate pairs those drops cost.  At the test SFs every
+    dropped count is 0 (the caps sit far above real bucket sizes — that's
+    the point of the row: it PROVES the caps were free here); at crawl
+    scale the same query is the recall-loss audit for dedup_minhash /
+    dedup_simhash / dedup_ngram_jaccard / dedup_incremental."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = _shingles(docs)
+    sig = minhash_signatures(docs)
+    bands = minhash_bands(sig)
+    chunks = simhash_fingerprints(docs).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"(fp >> {15 * j}) & 32767").alias("c"),
+                    )
+                    for j in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck")
+    ).select(F.col("ck.j").alias("j"), F.col("ck.c").alias("c"))
+    out = (
+        blocking_cap_stats(bands, ["band", "band_hash"], MAX_BAND_BUCKET, "minhash_band")
+        .unionByName(blocking_cap_stats(sh, ["s"], MAX_SHINGLE_DF, "ngram_shingle_df"))
+        .unionByName(blocking_cap_stats(chunks, ["j", "c"], MAX_BAND_BUCKET, "simhash_chunk"))
+    )
+    return out.orderBy("arm")
+
+
+def _blocking_stats_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    """DuckDB rendering of the same three-arm truncation report (the md5
+    machinery makes every bucket key engine-independent)."""
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    )
+    band_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, substr(md5(concat_ws('|', "
+        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
+        + ")), 1, 16) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    w = SIMHASH_BITS // SIMHASH_CHUNKS
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN cnt ELSE -cnt END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    chunk_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT {j} AS j, (fp >> {w * j}) & {(1 << w) - 1} AS c FROM fpst"
+        for j in range(SIMHASH_CHUNKS)
+    )
+
+    def stat(src: str, cap: int, arm: str) -> str:
+        return f"""
+  SELECT '{arm}' AS arm,
+         CAST(count(*) AS BIGINT) AS buckets,
+         CAST(coalesce(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS dropped_buckets,
+         CAST(coalesce(sum(CASE WHEN n > {cap} THEN (n * (n - 1)) // 2 ELSE 0 END), 0)
+             AS BIGINT) AS dropped_pairs
+  FROM {src}"""
+
+    return f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
+shbuckets AS (SELECT count(*) AS n FROM sh0 GROUP BY s HAVING count(*) > 1),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh0),
+sig AS (SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id),
+bandt AS (
+  {band_arms}),
+bbuckets AS (SELECT count(*) AS n FROM bandt GROUP BY band, band_hash
+             HAVING count(*) > 1),
+tok AS (SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+thashed AS (SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+votes AS (SELECT doc_id, {votes}
+          FROM thashed GROUP BY doc_id),
+fpst AS (SELECT doc_id, {packed} AS fp FROM votes),
+chunkt AS (
+  {chunk_arms}),
+cbuckets AS (SELECT count(*) AS n FROM chunkt GROUP BY j, c HAVING count(*) > 1)
+SELECT * FROM ({stat('bbuckets', MAX_BAND_BUCKET, 'minhash_band')}
+UNION ALL {stat('shbuckets', MAX_SHINGLE_DF, 'ngram_shingle_df')}
+UNION ALL {stat('cbuckets', MAX_BAND_BUCKET, 'simhash_chunk')})
+ORDER BY arm
+"""
+
+
 DEDUP_MINHASH_ORACLE = _minhash_oracle()
 DEDUP_SIMHASH_ORACLE = _simhash_oracle()
 
@@ -686,4 +817,5 @@ register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE)
 register("dedup_minhash", dedup_minhash, DEDUP_MINHASH_ORACLE)
 register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
+register("dedup_blocking_stats", dedup_blocking_stats, _blocking_stats_oracle())
 register("dedup_incremental", dedup_incremental, _incremental_oracle())

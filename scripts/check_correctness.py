@@ -47,7 +47,12 @@ def norm_rows(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     from data_catalog_spark.session import get_spark
     import __spark_entry__ as e
 
@@ -61,6 +66,8 @@ def main():
     qs, oracles = e.queries(), e.oracle_sql()
     failures, no_oracle = [], []
     for name, fn in sorted(qs.items()):
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -97,8 +104,9 @@ def main():
         else:
             print(f"PASS {name}: {len(rows)} rows in {time.time()-t0:.1f}s")
 
+    n_run = len(qs) if only is None else len([n for n in qs if n in only])
     print(
-        f"\n{len(qs) - len(failures) - len(no_oracle)} passed, "
+        f"\n{n_run - len(failures) - len(no_oracle)} passed, "
         f"{len(failures)} failed, {len(no_oracle)} rows-only"
     )
     spark.stop()

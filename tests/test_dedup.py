@@ -229,3 +229,44 @@ def test_xxhash64_variant_agrees_with_md5_pairs(spark, sf_dir, exact_pairs):
     # and the variant keeps recall against the exact Jaccard ground truth
     truth = set(exact_pairs)
     assert len(xx_pairs & truth) / len(truth) >= 0.7
+
+
+def test_blocking_cap_stats_counts_truncation(spark):
+    """VERDICT r5 #7: the caps must REPORT what they cost.  A crafted
+    hot-bucket input (one bucket far over a tiny cap, several admissible
+    ones) yields exact dropped-bucket and dropped-pair counters."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.operators.dedup import blocking_cap_stats
+
+    rows = (
+        [("hot", i) for i in range(10)]          # 10 members, 45 pairs
+        + [("warm", i) for i in range(4)]        # 4 members, 6 pairs
+        + [("pair", i) for i in range(2)]        # 2 members, 1 pair
+        + [("solo", 0)]                          # not pairable
+    )
+    df = spark.createDataFrame(rows, "k string, doc_id int")
+    (r,) = blocking_cap_stats(df, ["k"], cap=4, arm="crafted").collect()
+    assert (r.arm, r.buckets, r.dropped_buckets, r.dropped_pairs) == (
+        "crafted", 3, 1, 45
+    )
+    # cap high enough → zero truncation, same bucket census
+    (r2,) = blocking_cap_stats(df, ["k"], cap=1024, arm="crafted").collect()
+    assert (r2.buckets, r2.dropped_buckets, r2.dropped_pairs) == (3, 0, 0)
+    # empty input → a single all-zero row (the report never vanishes)
+    (r3,) = blocking_cap_stats(
+        df.where(F.lit(False)), ["k"], cap=4, arm="crafted"
+    ).collect()
+    assert (r3.buckets, r3.dropped_buckets, r3.dropped_pairs) == (0, 0, 0)
+
+
+def test_blocking_stats_zero_truncation_at_test_sf(spark, sf_dir):
+    """At the test SFs every cap sits far above real bucket sizes — the
+    registered audit row must prove the caps were free here."""
+    from data_catalog_spark.operators.dedup import dedup_blocking_stats
+
+    rows = {r.arm: r for r in dedup_blocking_stats(spark, sf_dir).collect()}
+    assert set(rows) == {"minhash_band", "ngram_shingle_df", "simhash_chunk"}
+    for arm, r in rows.items():
+        assert r.buckets > 0, arm          # the census sees real buckets
+        assert r.dropped_buckets == 0 and r.dropped_pairs == 0, arm
