@@ -4,16 +4,19 @@ The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, ``mapInPandas`` UDF signatures.  AUDIO decode is REAL (stdlib
 ``wave`` PCM parsing; ``decode_audio`` raises ValueError on non-WAV bytes
 and ``window_audio`` falls back to bytes-as-samples for them).  IMAGE
-decode/resample is REAL for PNG (stdlib ``zlib`` inflate + scanline
-unfiltering in ``decode_png``, re-encode in ``encode_png`` — no
-third-party package needed); other image formats and VIDEO decode stay
+decode is REAL for PNG (stdlib ``zlib`` inflate + scanline unfiltering in
+``decode_png``, re-encode in ``encode_png``) AND for baseline JPEG
+(``operators.jpeg``: Huffman + dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0,
+restart intervals — no third-party package needed); remaining image
+formats (GIF/TIFF/progressive JPEG/…) and VIDEO frame decode stay
 STUBBED (pillow/ffmpeg are not in this container): ``decode_image``
-raises NotImplementedError on non-PNG bytes unless ``fake=True``, whose
+raises NotImplementedError on them unless ``fake=True``, whose
 deterministic byte-histogram stands in so the distributed pipeline is
 exercisable end-to-end.  Undecodable media is never SILENT: every
-feature row carries ``decode_status`` and ``media_decode_report`` counts
-the reject lane per kind (the 100 TB honesty contract — a JPEG-heavy
-corpus shows up as a low real_fraction, not as fake features).
+feature row carries ``decode_status`` + ``decode_fmt`` and
+``media_decode_report`` counts the reject lane per (kind, fmt) — the
+100 TB honesty contract: a progressive-JPEG-heavy corpus shows up as a
+low real_fraction, not as fake features.
 
 Scale notes: media bytes stay in executor-side Arrow batches — never
 collected, never shuffled whole (feature extraction projects binary →
@@ -33,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import read_table
+from . import jpeg
 from .registry import register
 
 MEDIA_SCHEMA = T.StructType(
@@ -62,10 +66,12 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("content_md5", T.StringType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
         # 'real' when the blob decoded through a REAL stdlib decoder
-        # (PNG for images, PCM WAV for audio); 'reject' otherwise — the
-        # counted reject lane: at 100 TB a job must REPORT undecodable
-        # media, never silently substitute the stand-in histogram
+        # (PNG/baseline-JPEG for images, PCM WAV for audio); 'reject'
+        # otherwise — the counted reject lane: at 100 TB a job must REPORT
+        # undecodable media, never silently substitute the stand-in
         T.StructField("decode_status", T.StringType()),
+        # which real decoder accepted the blob: png | jpeg | wav | none
+        T.StructField("decode_fmt", T.StringType()),
     ]
 )
 
@@ -220,12 +226,11 @@ def encode_png(pixels) -> bytes:
     )
 
 
-def _png_luma_hist(content: bytes) -> list[float]:
-    """Decoded-pixel features: normalized 4-bin luminance histogram of a
-    decodable PNG (raises ValueError for anything decode_png rejects)."""
+def _luma_hist(px, channels: int) -> list[float]:
+    """Normalized 4-bin luminance histogram of decoded pixels — the
+    shared feature shape for both real image decoders."""
     import numpy as np
 
-    _, _, channels, px = decode_png(content)
     # luminance = mean over COLOR channels only: gray/GA use the single
     # gray plane, RGB/RGBA the three color planes — alpha never votes
     color_ch = 1 if channels <= 2 else 3
@@ -235,40 +240,56 @@ def _png_luma_hist(content: bytes) -> list[float]:
     return [float(c) / total for c in counts] if total else [0.0] * 4
 
 
-def _image_features(content: bytes) -> list[float] | None:
-    """ONE real-decode attempt: pixel features for a decodable PNG, None
-    otherwise — the single-pass primitive extract_features uses so a blob
-    is never decoded twice (once for features, once for status)."""
-    if not content.startswith(_PNG_MAGIC):
-        return None
-    try:
-        return _png_luma_hist(content)
-    except ValueError:
-        return None
+def _png_luma_hist(content: bytes) -> list[float]:
+    """Decoded-pixel features of a decodable PNG (raises ValueError for
+    anything decode_png rejects)."""
+    _, _, channels, px = decode_png(content)
+    return _luma_hist(px, channels)
+
+
+def _image_features(content: bytes) -> tuple[list[float], str] | None:
+    """ONE real-decode attempt: (pixel features, fmt) for a decodable
+    PNG or baseline JPEG, None otherwise — the single-pass primitive
+    extract_features uses so a blob is never decoded twice (once for
+    features, once for status)."""
+    if content.startswith(_PNG_MAGIC):
+        try:
+            return _png_luma_hist(content), "png"
+        except ValueError:
+            return None
+    if content.startswith(jpeg.JPEG_MAGIC):
+        try:
+            _, _, channels, px = jpeg.decode_jpeg(content)
+            return _luma_hist(px, channels), "jpeg"
+        except ValueError:
+            return None
+    return None
 
 
 def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     """Decode an image blob to features.  Decodable PNG blobs get the REAL
-    stdlib decode (``decode_png``) — features are the normalized 4-bin
-    luminance histogram of the actual pixels (alpha excluded for both GA
-    and RGBA).  Everything else — non-PNG formats (JPEG etc., which need
-    pillow), and PNG variants/corruption ``decode_png`` rejects — raises
-    unless ``fake=True``, whose deterministic byte-histogram stands in;
-    the fake path therefore NEVER raises, which the mapInPandas pipelines
-    rely on (one bad blob must not fail the job)."""
+    stdlib decode (``decode_png``) and decodable baseline JPEGs the REAL
+    stdlib+numpy decode (``jpeg.decode_jpeg``) — features are the
+    normalized 4-bin luminance histogram of the actual pixels (alpha
+    excluded for GA/RGBA).  Everything else — other formats (GIF etc.,
+    which need pillow), and the variants/corruption the real decoders
+    reject (progressive JPEG, 16-bit PNG, …) — raises unless
+    ``fake=True``, whose deterministic byte-histogram stands in; the fake
+    path therefore NEVER raises, which the mapInPandas pipelines rely on
+    (one bad blob must not fail the job)."""
+    real = _image_features(content)
+    if real is not None:
+        return real[0]
+    if fake:
+        return _byte_histogram(content)
     if content.startswith(_PNG_MAGIC):
-        try:
-            return _png_luma_hist(content)
-        except ValueError:
-            if not fake:
-                raise
-            return _byte_histogram(content)
-    if not fake:
-        raise NotImplementedError(
-            "non-PNG image decode requires pillow/opencv (not installed); "
-            "pass fake=True for the deterministic stand-in"
-        )
-    return _byte_histogram(content)
+        decode_png(content)  # raises the specific ValueError
+    if content.startswith(jpeg.JPEG_MAGIC):
+        jpeg.decode_jpeg(content)  # raises the specific ValueError
+    raise NotImplementedError(
+        "image decode beyond PNG/baseline-JPEG requires pillow/opencv "
+        "(not installed); pass fake=True for the deterministic stand-in"
+    )
 
 
 _RIFF = b"RIFF"
@@ -412,16 +433,13 @@ def _byte_histogram(content: bytes, bins: int = 4) -> list[float]:
 
 def classify_decode(kind: str, content: bytes) -> str:
     """Reject-lane classification: 'real' iff the blob decodes through a
-    REAL stdlib decoder for its kind (PNG for images, PCM WAV for audio;
-    video is always 'reject' — ffmpeg-gated).  The classification is by
-    ATTEMPTING the decode, not by sniffing magic bytes, so a corrupt PNG
-    lands in the reject lane too."""
+    REAL stdlib decoder for its kind (PNG / baseline JPEG for images,
+    PCM WAV for audio; video is always 'reject' — ffmpeg-gated).  The
+    classification is by ATTEMPTING the decode, not by sniffing magic
+    bytes, so a corrupt PNG or a progressive JPEG lands in the reject
+    lane too."""
     if kind == "image":
-        try:
-            decode_png(content)
-            return "real"
-        except ValueError:
-            return "reject"
+        return "real" if _image_features(content) is not None else "reject"
     if kind == "audio":
         try:
             _decode_audio_array(content)
@@ -439,28 +457,30 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
     but the lane is COUNTED, not silent (media_decode_report)."""
     import hashlib
 
-    def one_row(kind: str, blob: bytes) -> tuple[list[float], str]:
-        # ONE decode attempt per blob: the PNG/WAV decoders run once and
-        # serve both the features and the status (decoding twice — once
-        # for each — doubled the dominant per-byte Python cost)
+    def one_row(kind: str, blob: bytes) -> tuple[list[float], str, str]:
+        # ONE decode attempt per blob: the PNG/JPEG/WAV decoders run once
+        # and serve features, status AND fmt (decoding twice — once for
+        # each — doubled the dominant per-byte Python cost)
         img = _image_features(blob)
         if img is not None:
-            features = img
+            features, fmt = img
         elif not fake_decode:
             features = decode_image(blob, fake=False)  # raises, documented
+            fmt = "none"
         else:
-            features = _byte_histogram(blob)
+            features, fmt = _byte_histogram(blob), "none"
         if kind == "image":
             status = "real" if img is not None else "reject"
         elif kind == "audio":
+            fmt = "none"
             try:
                 _decode_audio_array(blob)
-                status = "real"
+                status, fmt = "real", "wav"
             except ValueError:
                 status = "reject"
         else:
-            status = "reject"
-        return features, status
+            status, fmt = "reject", "none"
+        return features, status, fmt
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -478,6 +498,7 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
                     ),
                     "features": [d[0] for d in decoded],
                     "decode_status": [d[1] for d in decoded],
+                    "decode_fmt": [d[2] for d in decoded],
                 }
             )
 
@@ -545,14 +566,15 @@ def synth_mixed_media(
 ) -> DataFrame:
     """synth_media with a deterministic REAL-decodable subset: image rows
     with media_id % 6 == 0 become genuine 4×4 gray PNGs (encode_png over
-    the text's first bytes), audio rows with media_id % 6 == 1 genuine
-    16-bit PCM WAVs, and video rows with media_id % 6 == 2 genuine
-    RIFF/AVI containers whose frames are exactly the byte-chunks the
-    fallback sampler would produce — everything else keeps the raw utf-8
-    blob.  The real/reject split is therefore pure id arithmetic, which
-    is what makes media_decode_report's / media_video_report's outcomes
-    SQL-expressible while the Spark side proves them by actually
-    decoding/parsing."""
+    the text's first bytes), image rows with media_id % 12 == 3 genuine
+    8×8 gray baseline JPEGs (jpeg.encode_jpeg over the text's first
+    bytes), audio rows with media_id % 6 == 1 genuine 16-bit PCM WAVs,
+    and video rows with media_id % 6 == 2 genuine RIFF/AVI containers
+    whose frames are exactly the byte-chunks the fallback sampler would
+    produce — everything else keeps the raw utf-8 blob.  The real/reject
+    split is therefore pure id arithmetic, which is what makes
+    media_decode_report's / media_video_report's outcomes SQL-expressible
+    while the Spark side proves them by actually decoding/parsing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -570,6 +592,9 @@ def synth_mixed_media(
                 if kind == "image" and mid % 6 == 0:
                     px = np.frombuffer((raw + b"\x00" * 16)[:16], dtype=np.uint8)
                     new_content.append(encode_png(px.reshape(4, 4, 1)))
+                elif kind == "image" and mid % 12 == 3:
+                    px = np.frombuffer((raw + b"\x00" * 64)[:64], dtype=np.uint8)
+                    new_content.append(jpeg.encode_jpeg(px.reshape(8, 8, 1)))
                 elif kind == "audio" and mid % 6 == 1:
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as w:
@@ -603,13 +628,16 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded vs landed in the reject lane.  This is the honesty contract a
     100 TB media job needs — undecodable blobs are counted and reported,
     never silently replaced by the stand-in features.  The Spark side
-    earns 'real' by decoding (classify_decode attempts the stdlib PNG/WAV
-    decoders); the oracle predicts the same counts from the mixed table's
-    construction arithmetic."""
+    earns 'real' by decoding (extract_features attempts the stdlib
+    PNG/JPEG/WAV decoders); the oracle predicts the same counts from the
+    mixed table's construction arithmetic.  Grouped by (kind, fmt) so a
+    format mix is visible per lane — the round-5 report could only say
+    'image rejected', not 'your corpus is JPEG and the PNG decoder is
+    why'."""
     feats = extract_features(synth_mixed_media(spark, sf_dir))
     real = F.sum((F.col("decode_status") == "real").cast("bigint"))
     return (
-        feats.groupBy("kind")
+        feats.groupBy("kind", F.col("decode_fmt").alias("fmt"))
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             real.alias("n_real"),
@@ -618,7 +646,7 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 real.cast("double") / F.count(F.lit(1)), 6
             ).alias("real_fraction"),
         )
-        .orderBy("kind")
+        .orderBy("kind", "fmt")
     )
 
 
@@ -627,14 +655,19 @@ WITH m AS (
   SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         CASE WHEN doc_id % 6 IN (0, 1) THEN 1 ELSE 0 END AS is_real
+         CASE WHEN doc_id % 6 = 0 THEN 'png'
+              WHEN doc_id % 12 = 3 THEN 'jpeg'
+              WHEN doc_id % 6 = 1 THEN 'wav'
+              ELSE 'none' END AS fmt,
+         CASE WHEN doc_id % 6 IN (0, 1) OR doc_id % 12 = 3
+              THEN 1 ELSE 0 END AS is_real
   FROM documents
 )
-SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+SELECT kind, fmt, CAST(count(*) AS BIGINT) AS n_media,
        CAST(SUM(is_real) AS BIGINT) AS n_real,
        CAST(count(*) - SUM(is_real) AS BIGINT) AS n_rejected,
        round(CAST(SUM(is_real) AS DOUBLE) / count(*), 6) AS real_fraction
-FROM m GROUP BY kind ORDER BY kind
+FROM m GROUP BY kind, fmt ORDER BY kind, fmt
 """
 
 
