@@ -43,15 +43,245 @@ from .auth import ForbiddenError, UnauthorizedError
 from .query import DataSetFiltering
 from .service import DataCatalogService
 
-API_DOC = {
-    "apiVersion": "1.0",
-    "resources": [
-        {"path": "/rest/datasets", "method": "GET", "about": "faceted search"},
-        {"path": "/rest/datasets/count", "method": "GET", "about": "dataset count"},
-        {"path": "/rest/datasets/{id}", "methods": ["GET", "PUT", "POST", "DELETE"]},
-        {"path": "/rest/datasets/admin/elastic", "methods": ["PUT", "DELETE"]},
-    ],
-}
+def _swagger_doc() -> dict:
+    """Full Swagger 2.0 contract for the served API, GENERATED from the
+    schema module's field inventory — the same document surface the
+    reference ships as a static 471-line api_doc.json (api_doc.py:38-42),
+    authored here from our own route table so the doc can never drift
+    from the validator.  Two deliberate truthfulness divergences: GET
+    /{entry_id} is documented as returning the entry object (which this
+    server actually returns — the reference doc's ES QueryHit wrapper
+    describes its backing store's shape, not its handler's), and the
+    admin bulk-load endpoint is documented because it is served."""
+    from . import schema as schema_mod
+
+    def prop(field: str) -> dict:
+        if field in schema_mod._LONG_FIELDS:
+            return {"type": "integer"}
+        if field == schema_mod.IS_PUBLIC_FIELD:
+            return {"type": "boolean"}
+        if field == schema_mod.CREATION_TIME_FIELD:
+            return {"type": "string", "format": "date-time"}
+        return {"type": "string"}
+
+    entry_props = {f: prop(f) for f in sorted(schema_mod.FILTERABLE_FIELDS)}
+    entry = {
+        "required": sorted(schema_mod.REQUIRED_FIELDS),
+        "properties": entry_props,
+    }
+    entry_with_id = {
+        "required": sorted(schema_mod.REQUIRED_FIELDS | {"id"}),
+        "properties": {**entry_props, "id": {"type": "string"}},
+    }
+    search_params = [
+        {
+            "name": "query",
+            "in": "query",
+            "required": False,
+            "type": "string",
+            "description": "A query JSON object.",
+        },
+        {
+            "name": "orgs",
+            "in": "query",
+            "required": False,
+            "type": "array",
+            "items": {"type": "string"},
+            "description": "A list of org UUIDs.",
+        },
+        {
+            "name": "onlyPublic",
+            "in": "query",
+            "required": False,
+            "type": "boolean",
+            "description": "Return only public data sets.",
+        },
+        {
+            "name": "onlyPrivate",
+            "in": "query",
+            "required": False,
+            "type": "boolean",
+            "description": "Return only private data sets.",
+        },
+    ]
+    id_param = {
+        "name": "entry_id",
+        "in": "path",
+        "required": True,
+        "type": "string",
+        "description": "Data set identifier.",
+    }
+    err = {
+        "400": {"description": "Invalid or malformed request."},
+        "401": {"description": "Missing or invalid token."},
+        "403": {"description": "Access forbidden for this org scope."},
+        "404": {"description": "No data set with this id."},
+        "500": {"description": "Internal error."},
+    }
+    return {
+        "swagger": "2.0",
+        "produces": ["application/json"],
+        "basePath": "/",
+        "info": {
+            "version": "1.0",
+            "title": "Data Catalog API",
+            "description": (
+                "Search, retrieval and storage of metadata describing "
+                "data sets."
+            ),
+        },
+        "paths": {
+            "/rest/datasets": {
+                "get": {
+                    "tags": ["search"],
+                    "parameters": search_params,
+                    "responses": {
+                        "200": {
+                            "description": "Search hits with facets.",
+                            "schema": {"$ref": "#/definitions/SearchHits"},
+                        },
+                        **{k: err[k] for k in ("400", "401", "500")},
+                    },
+                }
+            },
+            "/rest/datasets/count": {
+                "get": {
+                    "tags": ["search"],
+                    "parameters": search_params,
+                    "responses": {
+                        "200": {
+                            "description": "Number of visible data sets.",
+                            "schema": {"type": "integer"},
+                        },
+                        **{k: err[k] for k in ("400", "401", "500")},
+                    },
+                }
+            },
+            "/rest/datasets/{entry_id}": {
+                "get": {
+                    "tags": ["entries"],
+                    "parameters": [id_param],
+                    "responses": {
+                        "200": {
+                            "description": "The data set entry.",
+                            "schema": {
+                                "$ref": "#/definitions/InputMetadataEntryWithID"
+                            },
+                        },
+                        **{k: err[k] for k in ("401", "403", "404", "500")},
+                    },
+                },
+                "put": {
+                    "tags": ["entries"],
+                    "parameters": [
+                        id_param,
+                        {
+                            "name": "body",
+                            "in": "body",
+                            "required": True,
+                            "schema": {
+                                "$ref": "#/definitions/InputMetadataEntry"
+                            },
+                        },
+                    ],
+                    "responses": {
+                        "200": {"description": "Entry updated."},
+                        "201": {"description": "Entry created."},
+                        **{k: err[k] for k in ("400", "401", "403", "500")},
+                    },
+                },
+                "post": {
+                    "tags": ["entries"],
+                    "parameters": [
+                        id_param,
+                        {
+                            "name": "body",
+                            "in": "body",
+                            "required": True,
+                            "description": "Partial entry: fields to update.",
+                            "schema": {"type": "object"},
+                        },
+                    ],
+                    "responses": {
+                        "200": {"description": "Entry partially updated."},
+                        **{k: err[k] for k in ("400", "401", "403", "404", "500")},
+                    },
+                },
+                "delete": {
+                    "tags": ["entries"],
+                    "parameters": [id_param],
+                    "responses": {
+                        "200": {
+                            "description": "Entry deleted (with cascade report).",
+                            "schema": {"$ref": "#/definitions/DeleteResponse"},
+                        },
+                        **{k: err[k] for k in ("401", "403", "404", "500")},
+                    },
+                },
+            },
+            "/rest/datasets/admin/elastic": {
+                "put": {
+                    "tags": ["admin"],
+                    "parameters": [
+                        {
+                            "name": "body",
+                            "in": "body",
+                            "required": True,
+                            "description": "Bulk load: array of entries.",
+                            "schema": {
+                                "type": "array",
+                                "items": {
+                                    "$ref": "#/definitions/InputMetadataEntryWithID"
+                                },
+                            },
+                        }
+                    ],
+                    "responses": {
+                        "200": {"description": "Bulk load report."},
+                        **{k: err[k] for k in ("400", "401", "403", "500")},
+                    },
+                },
+                "delete": {
+                    "responses": {
+                        "200": {"description": "Index dropped."},
+                        **{k: err[k] for k in ("401", "403", "500")},
+                    },
+                    "tags": ["admin"],
+                },
+            },
+        },
+        "definitions": {
+            "SearchHits": {
+                "required": ["categories", "formats", "hits", "total"],
+                "properties": {
+                    "hits": {
+                        "type": "array",
+                        "items": {
+                            "$ref": "#/definitions/InputMetadataEntryWithID"
+                        },
+                    },
+                    "total": {"type": "integer"},
+                    "categories": {
+                        "type": "array",
+                        "items": {"type": "string"},
+                    },
+                    "formats": {"type": "array", "items": {"type": "string"}},
+                },
+            },
+            "InputMetadataEntry": entry,
+            "InputMetadataEntryWithID": entry_with_id,
+            "DeleteResponse": {
+                "required": ["deleted_from_downloader", "deleted_from_publisher"],
+                "properties": {
+                    "deleted_from_downloader": {"type": "boolean"},
+                    "deleted_from_publisher": {"type": "boolean"},
+                },
+            },
+        },
+    }
+
+
+API_DOC = _swagger_doc()
 
 
 def _error(status: int, message: str) -> tuple[int, dict]:
