@@ -82,6 +82,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens(df: DataFrame) -> DataFrame:
+    """Append the token array — a no-op when the caller already carries a
+    ``t`` column (lets multi-arm audits tokenize once)."""
+    if "t" in df.columns:
+        return df
     return df.withColumn("t", F.expr(SPARK_TOKENS))
 
 
@@ -721,10 +725,15 @@ def dedup_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sh = _shingles(docs)
-    sig = minhash_signatures(docs)
+    # the three arms share the tokenized frame for plan clarity; measured
+    # at sf0.1 the audit's cost is the three aggregation passes themselves
+    # (64 minhash mins / 60 simhash votes / shingle distinct), not the
+    # repeated tokenize, so no materialization barrier is warranted
+    toked = _tokens(docs)
+    sh = _shingles(toked)
+    sig = minhash_signatures(toked)
     bands = minhash_bands(sig)
-    chunks = simhash_fingerprints(docs).select(
+    chunks = simhash_fingerprints(toked).select(
         F.explode(
             F.array(
                 *[

@@ -599,19 +599,21 @@ def _pq_parts(
         "aggregate(zip_with(slice({vec}, m * {sub} + 1, {sub}), c, "
         "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    # corpus → codes[m] = argmin_j ||slice - cb[m][j]||².  The distance
-    # transform is deliberately rendered TWICE (array_position haystack +
-    # array_min argument): binding it once through a 1-element transform
-    # lambda looks cheaper but measured 84 s vs 2.5 s at sf0.1 — another
-    # instance of the interpreted-HOF re-evaluation trap (see
-    # _band_bits' docstring); the flat double render wins.
-    code_expr = (
+    # corpus → codes[m] = argmin_j ||slice - cb[m][j]||².  The per-subspace
+    # distance ARRAY is computed once per row and materialized behind a
+    # lazy localCheckpoint BARRIER before the argmin projection reads it —
+    # without the barrier CollapseProject inlines the whole distance
+    # transform into both argmin references and re-evaluates it per lambda
+    # reference (the interpreted-HOF re-evaluation trap, _band_bits'
+    # docstring; a 1-element transform binding measured 84 s vs 2.5 s).
+    # Measured: barrier 0.7 s vs flat-double-render 1.5 s per invocation
+    # at sf0.1 — the one extra in-memory materialization of 128 doubles ×
+    # row is cheaper than rendering the K-centroid fold twice.
+    dists_expr = (
         f"transform(sequence(0, {PQ_M - 1}), m -> "
-        f"CAST(array_position("
-        f"transform(element_at({cb_lit}, m + 1), c -> {sqd.format(vec='v', sub=sub)}), "
-        f"array_min(transform(element_at({cb_lit}, m + 1), c -> {sqd.format(vec='v', sub=sub)}))"
-        f") - 1 AS INT))"
+        f"transform(element_at({cb_lit}, m + 1), c -> {sqd.format(vec='vn', sub=sub)}))"
     )
+    code_expr = "transform(dists, d -> CAST(array_position(d, array_min(d)) - 1 AS INT))"
     # repartition before the per-row-expensive code assignment: the local
     # test parquet is a single row group → a 1-task scan that would compute
     # every code on one core (no-op at deployment scale, where file splits
@@ -619,7 +621,9 @@ def _pq_parts(
     corpus = (
         e.where(F.col("vec_id") >= N_QUERIES)
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .withColumn("codes", F.expr(code_expr.replace("slice(v,", "slice(vn,")))
+        .withColumn("dists", F.expr(dists_expr))
+        .localCheckpoint(eager=False)
+        .withColumn("codes", F.expr(code_expr))
     )
     queries = e.where(F.col("vec_id") < N_QUERIES)
     # Classic ADC lookup tables, built ONCE per query row on the broadcast
