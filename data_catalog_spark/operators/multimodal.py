@@ -7,10 +7,11 @@ and ``window_audio`` falls back to bytes-as-samples for them).  IMAGE
 decode is REAL for PNG (stdlib ``zlib`` inflate + scanline unfiltering in
 ``decode_png``, re-encode in ``encode_png``) AND for baseline JPEG
 (``operators.jpeg``: Huffman + dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0,
-restart intervals — no third-party package needed); remaining image
-formats (GIF/TIFF/progressive JPEG/…) and VIDEO frame decode stay
-STUBBED (pillow/ffmpeg are not in this container): ``decode_image``
-raises NotImplementedError on them unless ``fake=True``, whose
+restart intervals — no third-party package needed) AND for GIF
+(``operators.gif``: full LZW + interlace + multi-frame compositing);
+remaining image formats (TIFF/progressive JPEG/…) and VIDEO frame
+decode stay STUBBED (pillow/ffmpeg are not in this container):
+``decode_image`` raises NotImplementedError on them unless ``fake=True``, whose
 deterministic byte-histogram stands in so the distributed pipeline is
 exercisable end-to-end.  Undecodable media is never SILENT: every
 feature row carries ``decode_status`` + ``decode_fmt`` and
@@ -36,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import read_table
-from . import jpeg
+from . import gif, jpeg
 from .registry import register
 
 MEDIA_SCHEMA = T.StructType(
@@ -263,17 +264,24 @@ def _image_features(content: bytes) -> tuple[list[float], str] | None:
             return _luma_hist(px, channels), "jpeg"
         except ValueError:
             return None
+    if content.startswith(gif.GIF_MAGIC):
+        try:
+            _, _, channels, px = gif.decode_gif(content)
+            return _luma_hist(px, channels), "gif"
+        except ValueError:
+            return None
     return None
 
 
 def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     """Decode an image blob to features.  Decodable PNG blobs get the REAL
-    stdlib decode (``decode_png``) and decodable baseline JPEGs the REAL
-    stdlib+numpy decode (``jpeg.decode_jpeg``) — features are the
+    stdlib decode (``decode_png``), decodable baseline JPEGs the REAL
+    stdlib+numpy decode (``jpeg.decode_jpeg``), and decodable GIFs the
+    REAL stdlib LZW decode (``gif.decode_gif``) — features are the
     normalized 4-bin luminance histogram of the actual pixels (alpha
-    excluded for GA/RGBA).  Everything else — other formats (GIF etc.,
-    which need pillow), and the variants/corruption the real decoders
-    reject (progressive JPEG, 16-bit PNG, …) — raises unless
+    excluded for GA/RGBA).  Everything else — other formats (TIFF/WebP
+    etc., which need pillow), and the variants/corruption the real
+    decoders reject (progressive JPEG, 16-bit PNG, …) — raises unless
     ``fake=True``, whose deterministic byte-histogram stands in; the fake
     path therefore NEVER raises, which the mapInPandas pipelines rely on
     (one bad blob must not fail the job)."""
@@ -286,8 +294,10 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
         decode_png(content)  # raises the specific ValueError
     if content.startswith(jpeg.JPEG_MAGIC):
         jpeg.decode_jpeg(content)  # raises the specific ValueError
+    if content.startswith(gif.GIF_MAGIC):
+        gif.decode_gif(content)  # raises the specific ValueError
     raise NotImplementedError(
-        "image decode beyond PNG/baseline-JPEG requires pillow/opencv "
+        "image decode beyond PNG/baseline-JPEG/GIF requires pillow/opencv "
         "(not installed); pass fake=True for the deterministic stand-in"
     )
 
@@ -433,8 +443,8 @@ def _byte_histogram(content: bytes, bins: int = 4) -> list[float]:
 
 def classify_decode(kind: str, content: bytes) -> str:
     """Reject-lane classification: 'real' iff the blob decodes through a
-    REAL stdlib decoder for its kind (PNG / baseline JPEG for images,
-    PCM WAV for audio; video is always 'reject' — ffmpeg-gated).  The
+    REAL stdlib decoder for its kind (PNG / baseline JPEG / GIF for
+    images, PCM WAV for audio; video is always 'reject' — ffmpeg-gated).  The
     classification is by ATTEMPTING the decode, not by sniffing magic
     bytes, so a corrupt PNG or a progressive JPEG lands in the reject
     lane too."""
@@ -568,8 +578,11 @@ def synth_mixed_media(
     with media_id % 6 == 0 become genuine 4×4 gray PNGs (encode_png over
     the text's first bytes), image rows with media_id % 12 == 3 genuine
     8×8 gray baseline JPEGs (jpeg.encode_jpeg over the text's first
-    bytes), audio rows with media_id % 6 == 1 genuine 16-bit PCM WAVs,
-    and video rows with media_id % 6 == 2 genuine RIFF/AVI containers
+    bytes), image rows with media_id % 24 == 9 genuine 4×6 interlaced
+    gray GIFs (gif.encode_gif; % 24 == 21 stays a raw reject so the
+    image reject lane never empties), audio rows with media_id % 6 == 1
+    genuine 16-bit PCM WAVs, and video rows with media_id % 6 == 2
+    genuine RIFF/AVI containers
     whose frames are exactly the byte-chunks the fallback sampler would
     produce — everything else keeps the raw utf-8 blob.  The real/reject
     split is therefore pure id arithmetic, which is what makes
@@ -595,6 +608,11 @@ def synth_mixed_media(
                 elif kind == "image" and mid % 12 == 3:
                     px = np.frombuffer((raw + b"\x00" * 64)[:64], dtype=np.uint8)
                     new_content.append(jpeg.encode_jpeg(px.reshape(8, 8, 1)))
+                elif kind == "image" and mid % 24 == 9:
+                    px = np.frombuffer((raw + b"\x00" * 24)[:24], dtype=np.uint8)
+                    new_content.append(
+                        gif.encode_gif(px.reshape(4, 6), interlace=True)
+                    )
                 elif kind == "audio" and mid % 6 == 1:
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as w:
@@ -657,9 +675,10 @@ WITH m AS (
               ELSE 'video' END AS kind,
          CASE WHEN doc_id % 6 = 0 THEN 'png'
               WHEN doc_id % 12 = 3 THEN 'jpeg'
+              WHEN doc_id % 24 = 9 THEN 'gif'
               WHEN doc_id % 6 = 1 THEN 'wav'
               ELSE 'none' END AS fmt,
-         CASE WHEN doc_id % 6 IN (0, 1) OR doc_id % 12 = 3
+         CASE WHEN doc_id % 6 IN (0, 1) OR doc_id % 12 = 3 OR doc_id % 24 = 9
               THEN 1 ELSE 0 END AS is_real
   FROM documents
 )

@@ -347,15 +347,18 @@ def test_decode_image_png_is_real():
     px[:, 2:, :] = 255
     feats = mm.decode_image(mm.encode_png(px))
     assert feats == [0.5, 0.0, 0.0, 0.5]
-    # JPEG-magic bytes that fail to decode are a CORRUPT jpeg (ValueError,
-    # like corrupt PNG); formats with no real decoder at all (GIF etc.)
-    # still raise NotImplementedError without the fake stand-in
+    # magic bytes that fail to decode are a CORRUPT blob of that format
+    # (ValueError, for all three real decoders); formats with no real
+    # decoder at all still raise NotImplementedError without the fake
+    # stand-in
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff JPEG-ish")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         mm.decode_image(b"GIF87a not-actually-decodable")
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"II*\x00 TIFF-ish, no decoder")
 
 
 def test_resize_images_real_png_path(spark):
