@@ -896,6 +896,103 @@ register("ann_lsh_topk", ann_lsh_topk, _lsh_oracle())
 register("ann_ivf_topk", ann_ivf_topk, _ivf_oracle())  # frozen quantizer
 
 
+# -- semantic dedup (SemDeDup: cluster-partitioned cosine) --------------------
+
+# Same τ as the all-pairs ground truth so pytest can measure exactly what
+# the cluster partition costs in recall.
+SEMDEDUP_TAU = EMB_DUP_THRESHOLD
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means-partition the embedding space, then compare pairs ONLY within
+    a cluster — cross-cluster pairs are never considered, which is the
+    published trade: cost drops from O(n²) to Σ|cluster|² for a bounded,
+    measured recall loss (pytest pins it against the all-pairs ground
+    truth).  The partitioner is the FROZEN coarse quantizer
+    (ann_models.IVF_CENTROIDS) so the whole pipeline is literal-driven
+    and fully oracle-checkable.
+
+    Keep-rule: a vector is REMOVED iff some LOWER-id cluster-mate has
+    rounded cosine ≥ τ (deterministic one-sided rule — no iteration
+    order, no transitive closure).  One row per removed vector with its
+    keeper (the min matching lower id) and the number of similar
+    lower-id mates.
+
+    Scale: cluster assignment is map-only over centroid literals; the
+    self-join's EQUALITY key is the cluster id, so it shuffles on
+    clusters, never crosses them.  k=16 here (test corpus); at 100 TB the
+    cluster count is the knob that bounds Σ|cluster|² — SemDeDup's paper
+    uses ~100k clusters for the same reason, and the plan shape is
+    unchanged."""
+    from .ann_models import IVF_CENTROIDS as centroids
+
+    e = _with_norm(_emb(spark, sf_dir))
+    a = _assign_clusters(e, centroids)
+    pairs = (
+        a.alias("a")
+        .join(
+            a.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("lower_id"),
+            F.round(_cos(), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    return (
+        pairs.groupBy("vec_id", "cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_similar"),
+            F.min("lower_id").alias("keeper"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_oracle() -> str:
+    """DuckDB rendering of the identical frozen-quantizer cluster-then-
+    cosine pipeline (same centroid literals and argmin as _ivf_oracle)."""
+    from .ann_models import IVF_CENTROIDS
+
+    cents = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + "]"
+            for c in IVF_CENTROIDS
+        )
+        + "]"
+    )
+    dist = _duck_sq("v", "c", _DIM)
+    return f"""
+WITH ct AS (SELECT {cents} AS cents),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+d AS (SELECT vec_id, v, nrm, list_transform(cents, c -> {dist}) AS dists
+      FROM n, ct),
+c AS (SELECT vec_id, v, nrm,
+             CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS cluster
+      FROM d),
+p AS (SELECT b.vec_id AS vec_id, b.cluster AS cluster, a.vec_id AS lower_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+            >= {SEMDEDUP_TAU})
+SELECT vec_id, cluster, CAST(count(*) AS BIGINT) AS n_similar,
+       min(lower_id) AS keeper
+FROM p GROUP BY vec_id, cluster ORDER BY vec_id
+"""
+
+
+register("dedup_semantic", dedup_semantic, _semantic_oracle())
+
+
 # -- hybrid retrieval: text + vector via reciprocal-rank fusion ---------------
 
 RRF_K = 60  # standard RRF dampening constant

@@ -224,3 +224,59 @@ def test_ivf_pq_parity_vs_frozen_model_oracles(spark, sf_dir, ddb):
 
     assert_same(similarity.ann_ivf_topk(spark, sf_dir), ddb, similarity._ivf_oracle())
     assert_same(similarity.ann_pq_topk(spark, sf_dir), ddb, similarity._pq_oracle())
+
+
+# -- SemDeDup (cluster-partitioned semantic dedup) ----------------------------
+
+
+def test_semantic_dedup_parity(spark, sf_dir, ddb):
+    assert_same(
+        similarity.dedup_semantic(spark, sf_dir), ddb, similarity._semantic_oracle()
+    )
+
+
+def test_semantic_dedup_is_within_cluster_subset_of_ground_truth(spark, sf_dir):
+    """The keep-rule applied to the ALL-PAIRS ground truth, restricted to
+    same-cluster pairs, must reproduce the operator's output exactly —
+    and the recall the partition trades away is measurable: every removed
+    vector corresponds to ≥1 ground-truth pair, and the within-cluster
+    pair fraction is the SemDeDup recall."""
+    from data_catalog_spark.operators.ann_models import IVF_CENTROIDS
+
+    e = similarity._with_norm(similarity._emb(spark, sf_dir))
+    cl = {
+        r.vec_id: r.cluster
+        for r in similarity._assign_clusters(e, IVF_CENTROIDS).select(
+            "vec_id", "cluster"
+        ).collect()
+    }
+    gt = {
+        (r.va, r.vb)
+        for r in similarity.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    within = {(a, b) for a, b in gt if cl[a] == cl[b]}
+    expected_removed = {b for _, b in within}
+    got = similarity.dedup_semantic(spark, sf_dir).collect()
+    assert {r.vec_id for r in got} == expected_removed
+    for r in got:
+        mates = [a for a, b in within if b == r.vec_id]
+        assert r.n_similar == len(mates)
+        assert r.keeper == min(mates)
+        assert cl[r.vec_id] == r.cluster
+    # the partition's recall (pair coverage) — document, don't hide;
+    # random-ish synthetic embeddings scatter near-dup pairs across
+    # clusters, so this floor is deliberately modest
+    assert len(within) / len(gt) >= 0.1
+
+
+def test_semantic_dedup_plan_is_cluster_equality_join(spark, sf_dir):
+    """The scale claim: pairing joins on the cluster id EQUALITY key —
+    never a cartesian/nested-loop product over the corpus."""
+    plan = (
+        similarity.dedup_semantic(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
