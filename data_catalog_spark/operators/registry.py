@@ -37,6 +37,7 @@ def _load_all() -> None:
         analytics,
         corpus,
         dedup,
+        dsir,
         events_analytics,
         joins,
         langmodel,
