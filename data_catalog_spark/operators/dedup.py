@@ -828,3 +828,96 @@ register("dedup_minhash", dedup_minhash, DEDUP_MINHASH_ORACLE)
 register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
 register("dedup_blocking_stats", dedup_blocking_stats, _blocking_stats_oracle())
 register("dedup_incremental", dedup_incremental, _incremental_oracle())
+
+
+# -- duplicated-span detection (exact-substring dedup, window-hash form) ------
+
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove exact substrings >= 50 tokens shared across documents,
+# found with a monolithic suffix array.  The distributed re-expression:
+# hash every SPAN_TOKENS-token sliding window, count DISTINCT documents
+# per window hash with one aggregation, and flag windows whose hash
+# occurs in >= 2 documents.  Every maximal shared substring of length
+# >= SPAN_TOKENS is covered by at least one shared window, so per-doc
+# window coverage is the same removal signal the suffix array yields —
+# with NO pairwise join anywhere: the heavy ops are two linear shuffles
+# (hash-count groupBy + postings-to-dupset join on the hash key), so a
+# boilerplate span shared by 10^6 docs costs 10^6 postings rows, never
+# 10^12 pairs.  SPAN_TOKENS=8 fits the ~100-token synthetic docs; at
+# deployment the paper's 50 is the knob, same plan.
+SPAN_TOKENS = 8
+
+_SPARK_SPAN_HASHES = (
+    f"CASE WHEN size(t) >= {SPAN_TOKENS} THEN "
+    f"transform(sequence(1, size(t) - {SPAN_TOKENS} + 1), "
+    f"i -> md5(concat_ws(' ', slice(t, i, {SPAN_TOKENS})))) "
+    f"ELSE array() END"
+)
+
+_DUCK_SPAN_HASHES = (
+    f"[md5(array_to_string(t[i : i + {SPAN_TOKENS} - 1], ' ')) "
+    f"for i in range(1, len(t) - {SPAN_TOKENS} + 2)]"
+)
+
+
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: sliding-window count, how many windows are shared
+    verbatim with ANOTHER document, and the duplicated-span fraction —
+    the per-doc removal signal of exact-substring dedup (see the
+    SPAN_TOKENS comment for the distributed design).  Only documents
+    long enough to have at least one window appear."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wins = (
+        _tokens(docs)
+        .select("doc_id", F.explode(F.expr(_SPARK_SPAN_HASHES)).alias("h"))
+        .localCheckpoint(eager=False)  # feeds the df count AND the flag join
+    )
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup_hashes.withColumn("dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)).cast("bigint")).alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+wins AS (
+  SELECT doc_id, unnest({_DUCK_SPAN_HASHES}) AS h FROM toks
+),
+duph AS (
+  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT w.doc_id, CASE WHEN d.h IS NULL THEN 0 ELSE 1 END AS dup
+  FROM wins w LEFT JOIN duph d ON w.h = d.h
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(dup) AS BIGINT) AS n_dup_windows,
+       round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_fraction
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+register("dedup_duplicate_spans", dedup_duplicate_spans, DEDUP_SPANS_ORACLE)

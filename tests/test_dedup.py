@@ -270,3 +270,66 @@ def test_blocking_stats_zero_truncation_at_test_sf(spark, sf_dir):
     for arm, r in rows.items():
         assert r.buckets > 0, arm          # the census sees real buckets
         assert r.dropped_buckets == 0 and r.dropped_pairs == 0, arm
+
+
+# -- duplicated-span detection ------------------------------------------------
+
+
+def test_duplicate_spans_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+
+    assert_same(
+        dedup.dedup_duplicate_spans(spark, sf_dir), ddb, dedup.DEDUP_SPANS_ORACLE
+    )
+
+
+def test_duplicate_spans_crafted_corpus(spark):
+    """Two docs sharing a 10-token run, one unrelated doc: the shared run
+    of length L covers L - SPAN_TOKENS + 1 windows in each doc; the
+    unrelated doc flags zero."""
+    import pyspark.sql.functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"doc one starts here {shared} and one ends"),
+        (1, f"{shared} totally different tail for doc two here"),
+        (2, "nothing in common with anything else at all whatsoever today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wins = (
+        dedup._tokens(docs)
+        .select("doc_id", F.explode(F.expr(dedup._SPARK_SPAN_HASHES)).alias("h"))
+    )
+    duph = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where("nd >= 2")
+    )
+    flagged = {
+        r.doc_id: r.n
+        for r in wins.join(duph.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # 10-token shared run → 10 - 8 + 1 = 3 shared windows per doc
+    assert flagged == {0: 3, 1: 3}
+
+
+def test_duplicate_spans_short_docs_have_no_windows(spark):
+    """Docs shorter than SPAN_TOKENS produce zero windows (the descending-
+    sequence pitfall guard) and are absent from the output."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "only four tokens here"), (1, " ".join(f"w{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    n = (
+        dedup._tokens(docs)
+        .select("doc_id", F.explode(F.expr(dedup._SPARK_SPAN_HASHES)).alias("h"))
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert {r.doc_id: r["count"] for r in n} == {1: 5}  # 12 - 8 + 1
