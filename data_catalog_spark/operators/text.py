@@ -13,7 +13,7 @@ data-quality pipeline (filter before you shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import analyzers
@@ -308,6 +308,122 @@ register("text_token_count", text_token_count, TOKEN_COUNT_ORACLE)
 register("text_quality", text_quality, _quality_oracle())
 register("text_langid", text_langid, _langid_oracle())
 register("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE)
+
+
+# -- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) ------
+
+# Full winnowing, not the 1-hash sketch above: over the sequence of
+# POSITIONAL 3-gram hashes, every window of WINNOW_W consecutive hashes
+# contributes its minimum (rightmost on ties), and the distinct winners
+# are the document's fingerprints.  Guarantee: any substring match of
+# length >= WINNOW_W + SHINGLE_N - 1 tokens shares at least one
+# fingerprint, while only ~2/(w+1) of positions are kept — the sparse
+# representation plagiarism/copy detectors index at scale.
+#
+# Cross-engine tie-break trick: pack (hash, position) into ONE BIGINT
+# key = h·2^20 + (2^20 − pos), so MIN(key) = minimal hash with the
+# RIGHTMOST position on ties (positions are 1-based and far below 2^20;
+# h < 2^32 keeps the product < 2^52).  Both engines then agree bit-for-
+# bit without struct-ordering semantics.
+WINNOW_W = 4
+_POS_BASE = 1 << 20
+
+_SPARK_POS_HASHES = (
+    f"CASE WHEN size(t) >= {SHINGLE_N} THEN "
+    f"transform(sequence(1, size(t) - {SHINGLE_N} + 1), "
+    f"i -> struct(i AS pos, "
+    f"cast(conv(substring(md5(concat_ws(' ', slice(t, i, {SHINGLE_N}))), 1, 8), "
+    f"16, 10) as bigint) AS h)) "
+    f"ELSE array() END"
+)
+
+
+def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: positional-gram count, winnowing fingerprint count,
+    the selection density, and the doc's minimal fingerprint hash (a
+    cheap clusterable key).  Docs with at least one full window (>=
+    WINNOW_W + SHINGLE_N − 1 tokens) appear.
+
+    Plan shape: explode to the positional hash stream, ONE running-frame
+    window min per doc (shuffle on doc_id, sequential within — documents
+    are bounded, so the partition never skews), then a distinct +
+    groupBy(doc_id).  Linear in the token stream; the fingerprint SET is
+    never collected."""
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(WINNOW_W - 1), 0
+    )
+    hashes = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("t", F.expr(SPARK_TOKENS))
+        .select("doc_id", F.explode(F.expr(_SPARK_POS_HASHES)).alias("ph"))
+        .select(
+            "doc_id",
+            F.col("ph.pos").alias("pos"),
+            (F.col("ph.h") * _POS_BASE + (_POS_BASE - F.col("ph.pos"))).alias(
+                "key"
+            ),
+        )
+    )
+    winners = (
+        hashes.withColumn("mk", F.min("key").over(win))
+        .where(F.col("pos") >= WINNOW_W)  # full windows only
+        .select("doc_id", "mk")
+        .distinct()
+    )
+    grams = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        winners.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min(F.expr(f"mk div {_POS_BASE}")).alias("min_fingerprint"),
+        )
+        .join(grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fingerprints",
+            F.round(
+                F.col("n_fingerprints").cast("double") / F.col("n_grams"), 6
+            ).alias("density"),
+            "min_fingerprint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+ph AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i : i + {SHINGLE_N} - 1], ' ')),
+          1, 8))::BIGINT AS h
+  FROM toks, LATERAL unnest(range(1, len(t) - {SHINGLE_N} + 2)) AS r(i)
+),
+keys AS (SELECT doc_id, pos, h * {_POS_BASE} + ({_POS_BASE} - pos) AS key
+         FROM ph),
+mins AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+             AS mk
+  FROM keys
+),
+winners AS (SELECT DISTINCT doc_id, mk FROM mins WHERE pos >= {WINNOW_W}),
+grams AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM ph
+          GROUP BY doc_id)
+SELECT w.doc_id, g.n_grams,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       round(CAST(count(*) AS DOUBLE) / g.n_grams, 6) AS density,
+       min(mk // {_POS_BASE}) AS min_fingerprint
+FROM winners w JOIN grams g ON w.doc_id = g.doc_id
+GROUP BY w.doc_id, g.n_grams ORDER BY w.doc_id
+"""
+
+
+register(
+    "docs_winnowing_fingerprints", docs_winnowing_fingerprints, WINNOW_ORACLE
+)
 
 
 # -- stemmed corpus frequencies ----------------------------------------------

@@ -258,3 +258,70 @@ def test_source_language_profile_shares_sum_to_one(spark, sf_dir):
         by_source[r.source] += r.share
     for total in by_source.values():
         assert abs(total - 1.0) < 1e-5
+
+
+# -- winnowing fingerprints ---------------------------------------------------
+
+
+def test_winnowing_parity(spark, sf_dir, ddb):
+    assert_same(
+        text.docs_winnowing_fingerprints(spark, sf_dir), ddb, text.WINNOW_ORACLE
+    )
+
+
+def _winnow_fingerprints(spark, rows):
+    """Run the winnowing selection on a crafted corpus; returns
+    {doc_id: set of fingerprint hashes}."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(text.WINNOW_W - 1), 0)
+    )
+    got = (
+        docs.withColumn("t", F.expr(text.SPARK_TOKENS))
+        .select("doc_id", F.explode(F.expr(text._SPARK_POS_HASHES)).alias("ph"))
+        .select(
+            "doc_id",
+            F.col("ph.pos").alias("pos"),
+            (
+                F.col("ph.h") * text._POS_BASE
+                + (text._POS_BASE - F.col("ph.pos"))
+            ).alias("key"),
+        )
+        .withColumn("mk", F.min("key").over(win))
+        .where(F.col("pos") >= text.WINNOW_W)
+        .select("doc_id", F.expr(f"mk div {text._POS_BASE}").alias("fp"))
+        .distinct()
+        .collect()
+    )
+    out = {}
+    for r in got:
+        out.setdefault(r.doc_id, set()).add(r.fp)
+    return out
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """The MOSS guarantee: a shared token run of length >= W + N − 1
+    (= 6 here) must yield at least one COMMON fingerprint hash between
+    the two documents, wherever the run sits in each."""
+    shared = "quick brown foxes jump over lazy"  # 6 tokens
+    rows = [
+        (0, f"prefix words here then {shared} and a suffix"),
+        (1, f"{shared} starts this one with another ending entirely"),
+        (2, "completely different content with no overlap at all present"),
+    ]
+    fps = _winnow_fingerprints(spark, rows)
+    assert fps[0] & fps[1], "shared 6-token run produced no common fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_winnowing_density_near_theory(spark, sf_dir):
+    """Winnowing keeps ~2/(w+1) of positions on random-ish text; assert
+    the corpus mean sits in a generous band around 0.4."""
+    rows = text.docs_winnowing_fingerprints(spark, sf_dir).collect()
+    mean = sum(r.density for r in rows) / len(rows)
+    assert 0.25 <= mean <= 0.55, mean
