@@ -107,6 +107,10 @@ HEADLINE = [
     "media_video_report",
     # round 6 additions
     "dedup_blocking_stats",
+    "dedup_semantic",
+    "dsir_select_topk",
+    "dedup_duplicate_spans",
+    "docs_winnowing_fingerprints",
 ]
 
 

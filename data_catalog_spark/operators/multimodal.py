@@ -5,11 +5,12 @@ batch shape, ``mapInPandas`` UDF signatures.  AUDIO decode is REAL (stdlib
 ``wave`` PCM parsing; ``decode_audio`` raises ValueError on non-WAV bytes
 and ``window_audio`` falls back to bytes-as-samples for them).  IMAGE
 decode is REAL for PNG (stdlib ``zlib`` inflate + scanline unfiltering in
-``decode_png``, re-encode in ``encode_png``) AND for baseline JPEG
-(``operators.jpeg``: Huffman + dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0,
-restart intervals — no third-party package needed) AND for GIF
-(``operators.gif``: full LZW + interlace + multi-frame compositing);
-remaining image formats (TIFF/progressive JPEG/…) and VIDEO frame
+``decode_png``, re-encode in ``encode_png``) AND for baseline +
+progressive JPEG (``operators.jpeg``: Huffman + dequant + numpy IDCT,
+4:4:4/4:2:2/4:2:0, restart intervals, SOF2 spectral-selection /
+successive-approximation scans — no third-party package needed) AND for
+GIF (``operators.gif``: full LZW + interlace + multi-frame compositing);
+remaining image formats (TIFF/WebP/…) and VIDEO frame
 decode stay STUBBED (pillow/ffmpeg are not in this container):
 ``decode_image`` raises NotImplementedError on them unless ``fake=True``, whose
 deterministic byte-histogram stands in so the distributed pipeline is
@@ -281,7 +282,7 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     normalized 4-bin luminance histogram of the actual pixels (alpha
     excluded for GA/RGBA).  Everything else — other formats (TIFF/WebP
     etc., which need pillow), and the variants/corruption the real
-    decoders reject (progressive JPEG, 16-bit PNG, …) — raises unless
+    decoders reject (arithmetic-coded JPEG, 16-bit PNG, …) — raises unless
     ``fake=True``, whose deterministic byte-histogram stands in; the fake
     path therefore NEVER raises, which the mapInPandas pipelines rely on
     (one bad blob must not fail the job)."""
@@ -607,7 +608,15 @@ def synth_mixed_media(
                     new_content.append(encode_png(px.reshape(4, 4, 1)))
                 elif kind == "image" and mid % 12 == 3:
                     px = np.frombuffer((raw + b"\x00" * 64)[:64], dtype=np.uint8)
-                    new_content.append(jpeg.encode_jpeg(px.reshape(8, 8, 1)))
+                    # half the jpeg slot is PROGRESSIVE (mid % 24 == 15):
+                    # both variants decode to fmt='jpeg', so the oracle is
+                    # untouched while the distributed lane exercises the
+                    # SOF2 multi-scan path
+                    new_content.append(
+                        jpeg.encode_jpeg(
+                            px.reshape(8, 8, 1), progressive=(mid % 24 == 15)
+                        )
+                    )
                 elif kind == "image" and mid % 24 == 9:
                     px = np.frombuffer((raw + b"\x00" * 24)[:24], dtype=np.uint8)
                     new_content.append(

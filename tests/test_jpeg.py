@@ -143,13 +143,22 @@ def test_rejects_are_valueerrors():
             decode_jpeg(bad)
 
 
-def test_progressive_marker_rejected():
-    """Swap SOF0→SOF2 in a valid blob: must reject as non-baseline, not
-    misdecode."""
+def test_relabeled_sof2_rejected_as_malformed():
+    """Swap SOF0→SOF2 in a valid BASELINE blob: the single full-band scan
+    is illegal under progressive rules (a progressive scan may not mix DC
+    and AC) — must reject, not misdecode."""
     blob = bytearray(encode_jpeg(_smooth(8, 8, 1)))
     i = blob.find(b"\xff\xc0")
     blob[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_jpeg(bytes(blob))
+
+
+def test_lossless_marker_rejected():
+    blob = bytearray(encode_jpeg(_smooth(8, 8, 1)))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC3  # lossless sequential
+    with pytest.raises(ValueError, match="progressive JPEG"):
         decode_jpeg(bytes(blob))
 
 
@@ -176,3 +185,67 @@ def test_classify_decode_jpeg_real():
     assert classify_decode("image", good) == "real"
     assert classify_decode("image", good[:-15]) == "reject"  # corrupt
     assert classify_decode("audio", good) == "reject"  # wrong kind
+
+
+# -- progressive (SOF2) -------------------------------------------------------
+
+
+def test_progressive_matches_baseline_pixels_444():
+    """Progressive encode carries the SAME quantized coefficients as
+    baseline, so the decode must be pixel-IDENTICAL — on noisy content
+    that drives ZRL, EOB runs and every refinement branch."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(24, 40, 1), dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg(img, quality=95))[3]
+    p = decode_jpeg(encode_jpeg(img, quality=95, progressive=True))[3]
+    assert np.array_equal(b, p)
+
+
+def test_progressive_matches_baseline_pixels_420_color():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))[3]
+    p = decode_jpeg(
+        encode_jpeg(img, quality=85, subsample=True, progressive=True)
+    )[3]
+    assert np.array_equal(b, p)
+
+
+def test_progressive_smooth_round_trip_quality():
+    img = _smooth(17, 23, 3)
+    w, h, ch, px = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+    assert (w, h, ch) == (23, 17, 3)
+    assert np.mean((px.astype(float) - img.astype(float)) ** 2) < 10
+
+
+def test_progressive_flat_image_long_eob_runs():
+    """A flat 64×64 image leaves every AC band empty: the AC scans are
+    pure cross-block EOB runs (64 blocks → multi-bit run lengths)."""
+    img = np.full((64, 64, 1), 128, dtype=np.uint8)
+    _, _, _, px = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+    assert np.array_equal(px[:, :, 0], img[:, :, 0])
+
+
+def test_progressive_blob_is_sof2_multi_scan():
+    blob = encode_jpeg(_smooth(16, 16, 3), progressive=True)
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+    # DC first + DC refine + 2 bands x 3 comps + 3 refine = 11 SOS scans
+    assert blob.count(b"\xff\xda") == 11
+
+
+def test_progressive_truncated_scan_raises():
+    blob = encode_jpeg(_smooth(16, 16, 1), progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2] + b"\xff\xd9")
+
+
+def test_progressive_in_multimodal_lane():
+    """_image_features must earn fmt='jpeg' for a progressive blob by
+    actually decoding it."""
+    from data_catalog_spark.operators import multimodal as mm
+
+    img = _smooth(8, 8, 1)
+    feats, fmt = mm._image_features(encode_jpeg(img, progressive=True))
+    assert fmt == "jpeg"
+    _, _, _, px = decode_jpeg(encode_jpeg(img, progressive=True))
+    assert feats == mm._luma_hist(px, 1)
