@@ -24,7 +24,7 @@ No reference counterpart (north-star extension; SURVEY §2.6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
@@ -142,3 +142,76 @@ FROM scored ORDER BY doc_id
 
 
 register("bigram_lm_perplexity", bigram_lm_perplexity, BIGRAM_LM_ORACLE)
+
+
+# -- CCNet-style perplexity bucketing ----------------------------------------
+
+
+def ppl_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, "CCNet:
+    Extracting high-quality monolingual datasets from web crawl data"):
+    rank every document by LM perplexity and cut the corpus into
+    terciles — 'head' (lowest ppl = most fluent) is what the paper keeps
+    for LM training, 'tail' is the noise bucket.  Report per bucket:
+    document count, bigram volume, and the rounded perplexity range.
+
+    The LM is the corpus add-one bigram model above (oracle-shared); the
+    tercile cut is ``ntile(3)`` over (ppl, doc_id) — the doc_id tiebreak
+    makes the boundary deterministic on both engines.  Scale: ntile is
+    one global sort of the per-DOC score table (tiny next to the token
+    stream); everything upstream is the perplexity pipeline's linear
+    shape."""
+    scored = bigram_lm_perplexity(spark, sf_dir)
+    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+    bucketed = scored.withColumn("tercile", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.expr(
+            "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+            "ELSE 'tail' END"
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PPL_BUCKET_ORACLE = f"""
+WITH {DUCK_BIGRAMS_BODY},
+bigram_counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+context_counts AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks)
+),
+model AS (
+  SELECT w1, w2,
+         CAST(ln((c12 + 1) / (c1 + v)) AS DECIMAL(20,12)) AS logp
+  FROM bigram_counts JOIN context_counts USING (w1) CROSS JOIN vocab
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(exp(-(CAST(sum(logp) AS DOUBLE) / count(*))), 4) AS ppl
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY doc_id
+),
+bucketed AS (
+  SELECT *, CASE ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM scored
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+       min(ppl) AS min_ppl, max(ppl) AS max_ppl
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+register("ppl_bucket_profile", ppl_bucket_profile, PPL_BUCKET_ORACLE)

@@ -41,3 +41,29 @@ def test_perplexity_positive_and_smoothed(spark, sf_dir):
     for r in rows:
         assert r.ppl > 1.0  # add-one smoothing ⇒ p < 1 for every bigram
         assert r.avg_logp < 0.0
+
+
+# -- CCNet perplexity buckets -------------------------------------------------
+
+
+def test_ppl_bucket_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+
+    assert_same(
+        lm.ppl_bucket_profile(spark, sf_dir),
+        ddb,
+        lm.PPL_BUCKET_ORACLE,
+    )
+
+
+def test_ppl_buckets_partition_the_corpus_in_order(spark, sf_dir):
+    """Terciles cover every scored doc once, sizes differ by at most one,
+    and the ppl ranges are disjoint and ascending head < middle < tail."""
+    rows = {r.bucket: r for r in lm.ppl_bucket_profile(spark, sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    sizes = [rows[b].n_docs for b in ("head", "middle", "tail")]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows["head"].max_ppl <= rows["middle"].min_ppl
+    assert rows["middle"].max_ppl <= rows["tail"].min_ppl
+    scored = lm.bigram_lm_perplexity(spark, sf_dir).count()
+    assert sum(sizes) == scored
