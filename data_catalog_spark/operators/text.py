@@ -648,3 +648,61 @@ ORDER BY d.doc_id
 
 
 register("docs_repetition_stats", docs_repetition_stats, REPETITION_ORACLE)
+
+
+# -- tokenizer efficiency (fertility / compression) ---------------------------
+
+
+def tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang): subword fertility (subword tokens per word —
+    the standard tokenizer-quality metric; Ács 2019, Rust et al. 2021
+    "How Good is Your Tokenizer?") and chars-per-subword (the
+    compression rate that converts a byte budget into a token budget).
+    A training-data build reads this table to price each source/language
+    slice in TOKENS before mixing (see ``source_token_budget_mix``) —
+    fertility differences of 2-3× across languages are why byte-balanced
+    mixes are token-imbalanced.
+
+    Map-only per-document metrics, one hash aggregation over (source,
+    lang) — scan-speed at 100 TB; subword counts reuse the shared
+    ``BPE_PATTERN`` so both engines segment identically."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("nc"),
+        F.expr(f"size({SPARK_TOKENS})").cast("long").alias("nw"),
+        F.expr(f'size(regexp_extract_all(text, "{BPE_PATTERN}", 0))')
+        .cast("long")
+        .alias("ns"),
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("n_words"),
+            F.sum("ns").alias("n_subwords"),
+            F.round(F.sum("ns") / F.sum("nw"), 6).alias("fertility"),
+            F.round(F.sum("nc") / F.sum("ns"), 6).alias("chars_per_subword"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+TOKENIZER_EFFICIENCY_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len({DUCK_TOKENS}) AS BIGINT) AS nw,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS ns
+  FROM documents
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(ns) AS BIGINT) AS n_subwords,
+       round(CAST(sum(ns) AS DOUBLE) / sum(nw), 6) AS fertility,
+       round(CAST(sum(nc) AS DOUBLE) / sum(ns), 6) AS chars_per_subword
+FROM d GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+register("tokenizer_efficiency", tokenizer_efficiency, TOKENIZER_EFFICIENCY_ORACLE)

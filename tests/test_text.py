@@ -325,3 +325,26 @@ def test_winnowing_density_near_theory(spark, sf_dir):
     rows = text.docs_winnowing_fingerprints(spark, sf_dir).collect()
     mean = sum(r.density for r in rows) / len(rows)
     assert 0.25 <= mean <= 0.55, mean
+
+
+# -- tokenizer efficiency -----------------------------------------------------
+
+
+def test_tokenizer_efficiency_parity(spark, sf_dir, ddb):
+    assert_same(
+        text.tokenizer_efficiency(spark, sf_dir),
+        ddb,
+        text.TOKENIZER_EFFICIENCY_ORACLE,
+    )
+
+
+def test_tokenizer_efficiency_sane(spark, sf_dir):
+    """Fertility ≥ 1 (a word is at least one subword under BPE_PATTERN's
+    space-prefixed-run segmentation) and chars_per_subword is positive
+    and below the longest plausible run."""
+    rows = text.tokenizer_efficiency(spark, sf_dir).collect()
+    assert rows, "no (source, lang) groups"
+    for r in rows:
+        assert r.n_docs > 0 and r.n_words > 0 and r.n_subwords > 0
+        assert r.fertility >= 1.0
+        assert 0 < r.chars_per_subword < 40
