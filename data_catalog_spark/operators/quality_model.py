@@ -1,0 +1,137 @@
+"""Model-based quality classification — the FineWeb-Edu / DCLM-style
+"train a small classifier, score every document, keep the confident"
+stage (Penedo et al. 2024; Li et al. 2024, DCLM), reduced to the part
+that matters for the ENGINE: scoring 100 TB with a frozen model.
+
+The model is a logistic regression over deterministic per-document
+features (stopword density, log-length, type-token ratio, alphabetic
+ratio) with FROZEN literal weights — the same design as the frozen
+k-means coarse quantizer in ann_models.py: training happens offline
+(out of scope; any sklearn fit produces these four floats), while the
+engine-side contract is that scoring is a MAP-ONLY column expression
+that runs at scan speed on every executor, no model server, no UDF.
+
+Parity notes: the logit is a fixed-order linear combination of doubles
+(bit-identical across engines); the probability applies ``exp`` and is
+rounded to 4dp like the bigram-LM perplexity (libm last-ulp tolerance);
+the keep label derives from the SIGN of the 6dp-rounded logit, so the
+class boundary is exact on both engines.
+
+No reference counterpart (north-star extension; SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import register
+from .text import DUCK_TOKENS, SPARK_TOKENS
+
+# Frozen model: logit = B0 + W_STOP·stop_ratio + W_LOGN·ln(1+n_tokens)
+#                      + W_TTR·type_token_ratio + W_ALPHA·alpha_ratio.
+# Weights chosen (offline) so the synthetic corpus splits into two
+# populated classes; at deployment these four floats are the artifact a
+# classifier training job publishes.
+B0 = -9.3
+W_STOP = 10.0
+W_LOGN = 1.5
+W_TTR = 2.5
+W_ALPHA = 1.0
+
+# Stopword feature list (subset shared verbatim by both renderings).
+_QSTOPS = ["the", "a", "of", "to", "in", "and"]
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: the four model features, the frozen-model logit
+    (6dp), calibrated probability (4dp), and the keep label
+    (logit ≥ 0).  One scan, zero shuffles before the final sort — the
+    shape that scores a crawl at scan speed."""
+    stops = ", ".join(f"'{w}'" for w in _QSTOPS)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("t", F.expr(SPARK_TOKENS))
+        .withColumn("n_tokens", F.expr("size(t)").cast("long"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "stop_ratio",
+            F.expr(f"size(filter(t, x -> array_contains(array({stops}), x)))")
+            / F.col("n_tokens"),
+        )
+        .withColumn(
+            "ttr", F.expr("size(array_distinct(t))") / F.col("n_tokens")
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.length("text"),
+        )
+        .withColumn(
+            "logit",
+            F.round(
+                F.lit(B0)
+                + F.lit(W_STOP) * F.col("stop_ratio")
+                + F.lit(W_LOGN) * F.log(F.lit(1.0) + F.col("n_tokens"))
+                + F.lit(W_TTR) * F.col("ttr")
+                + F.lit(W_ALPHA) * F.col("alpha_ratio"),
+                6,
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("ttr", 6).alias("ttr"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        "logit",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 4).alias(
+            "prob"
+        ),
+        (F.col("logit") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _logit_ctes() -> str:
+    """The shared DuckDB WITH-body computing (doc_id, features, logit) —
+    reused verbatim by every oracle that consumes the frozen model, so the
+    logit is rendered identically everywhere."""
+    stops = ", ".join(f"'{w}'" for w in _QSTOPS)
+    return f"""
+d AS (
+  SELECT doc_id, text, {DUCK_TOKENS} AS t FROM documents
+), f AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         len(list_filter(t, x -> list_contains([{stops}], x))) * 1.0 / len(t)
+             AS stop_ratio,
+         len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+             AS alpha_ratio
+  FROM d WHERE len(t) > 0
+), s AS (
+  SELECT doc_id, n_tokens, stop_ratio, ttr, alpha_ratio,
+         round({B0} + {W_STOP} * stop_ratio + {W_LOGN} * ln(1.0 + n_tokens)
+               + {W_TTR} * ttr + {W_ALPHA} * alpha_ratio, 6) AS logit
+  FROM f
+)"""
+
+
+def _quality_model_oracle() -> str:
+    return f"""
+WITH {_logit_ctes()}
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(ttr, 6) AS ttr,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       logit,
+       round(1.0 / (1.0 + exp(-logit)), 4) AS prob,
+       logit >= 0 AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+register(
+    "quality_classifier_score", quality_classifier_score, _quality_model_oracle()
+)

@@ -45,6 +45,7 @@ def _load_all() -> None:
         multimodal,
         pandas_ops,
         profiling,
+        quality_model,
         redaction,
         sampling,
         scd2,
