@@ -111,6 +111,9 @@ HEADLINE = [
     "dsir_select_topk",
     "dedup_duplicate_spans",
     "docs_winnowing_fingerprints",
+    "quality_classifier_score",
+    "embedding_int8_quant",
+    "dedup_keep_best",
 ]
 
 

@@ -178,17 +178,25 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE
+# The recursive transitive-closure CTE chain, shared by every oracle that
+# consumes resolved dup clusters (quality_model._keep_best_oracle composes
+# it with the frozen-model logit CTEs).
+DUP_CLUSTERS_CTES = f"""
 jacc AS (SELECT da, db FROM ({JACCARD_PAIRS_BODY}) j),
 edges AS (SELECT da AS a, db AS b FROM jacc UNION SELECT db, da FROM jacc),
 reach AS (
   SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) n
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
-FROM reach GROUP BY a ORDER BY doc_id
+),
+clusters AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+)"""
+
+DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {DUP_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
 """
 
 

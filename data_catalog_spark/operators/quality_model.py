@@ -135,3 +135,65 @@ FROM s ORDER BY doc_id
 register(
     "quality_classifier_score", quality_classifier_score, _quality_model_oracle()
 )
+
+
+# -- dedup keep-best: quality-argmax cluster representative -------------------
+#
+# The "apply" stage real pipelines run after near-dup clustering: instead of
+# the arbitrary keep-min-doc_id, keep the HIGHEST-QUALITY member of each
+# cluster (RefinedWeb/FineWeb keep-best-of-cluster).  Composes the resolved
+# dup clusters with the frozen classifier — cluster frame is tiny relative
+# to the corpus (only docs in near-dup pairs), so the join broadcasts under
+# AQE; one window shuffle on cluster_id does rank + member count together.
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: the member with the max frozen-model logit
+    (ties → lowest doc_id), the member count, and how many docs the
+    cluster's resolution drops."""
+    from pyspark.sql import Window
+
+    from .corpus import dup_clusters
+
+    clusters = dup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    scores = quality_classifier_score(spark, sf_dir).select("doc_id", "logit")
+    j = clusters.join(scores, "doc_id")
+    by_cluster = Window.partitionBy("cluster_id")
+    rank_w = by_cluster.orderBy(F.col("logit").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(rank_w))
+        .withColumn("n_members", F.count(F.lit(1)).over(by_cluster))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_members",
+            F.col("logit").alias("kept_logit"),
+            (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from .corpus import DUP_CLUSTERS_CTES
+
+    return f"""
+WITH RECURSIVE {DUP_CLUSTERS_CTES},
+{_logit_ctes().lstrip()},
+m AS (
+  SELECT c.cluster_id, c.doc_id, s.logit
+  FROM clusters c JOIN s USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       logit AS kept_logit,
+       CAST(count(*) OVER (PARTITION BY cluster_id) - 1 AS BIGINT) AS n_dropped
+FROM m
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY logit DESC, doc_id) = 1
+ORDER BY cluster_id
+"""
+
+
+register("dedup_keep_best", dedup_keep_best, _keep_best_oracle())

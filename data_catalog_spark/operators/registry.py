@@ -46,6 +46,7 @@ def _load_all() -> None:
         pandas_ops,
         profiling,
         quality_model,
+        quantization,
         redaction,
         sampling,
         scd2,

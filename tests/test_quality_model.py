@@ -32,6 +32,37 @@ def test_both_classes_populated_and_consistent(spark, sf_dir):
         assert 0.0 <= r.alpha_ratio <= 1.0
 
 
+def test_keep_best_parity(spark, sf_dir, ddb):
+    assert_same(
+        qm.dedup_keep_best(spark, sf_dir), ddb, qm._keep_best_oracle()
+    )
+
+
+def test_keep_best_is_cluster_argmax(spark, sf_dir):
+    """The kept doc is a member of its cluster with the max logit
+    (lowest doc_id on ties), and n_members matches the resolved clusters."""
+    from collections import defaultdict
+
+    from data_catalog_spark.operators.corpus import dup_clusters
+
+    members = defaultdict(list)
+    for r in dup_clusters(spark, sf_dir).collect():
+        members[r.cluster_id].append(r.doc_id)
+    logits = {
+        r.doc_id: r.logit
+        for r in qm.quality_classifier_score(spark, sf_dir).collect()
+    }
+    kept = qm.dedup_keep_best(spark, sf_dir).collect()
+    assert set(r.cluster_id for r in kept) == set(members)
+    for r in kept:
+        docs = members[r.cluster_id]
+        assert r.kept_doc_id in docs
+        assert r.n_members == len(docs) and r.n_dropped == len(docs) - 1
+        assert r.n_members >= 2  # clusters come from pairs
+        best = min(docs, key=lambda d: (-logits[d], d))
+        assert r.kept_doc_id == best and r.kept_logit == logits[best]
+
+
 def test_scoring_is_map_only(spark, sf_dir):
     """The 100 TB contract: no Python eval and no hash-shuffle before the
     final sort — scoring runs at scan speed on every executor."""
