@@ -114,6 +114,7 @@ HEADLINE = [
     "quality_classifier_score",
     "embedding_int8_quant",
     "dedup_keep_best",
+    "hard_negative_mining",
 ]
 
 

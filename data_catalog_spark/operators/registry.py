@@ -42,6 +42,7 @@ def _load_all() -> None:
         events_analytics,
         joins,
         langmodel,
+        mining,
         multimodal,
         pandas_ops,
         profiling,
