@@ -115,6 +115,7 @@ HEADLINE = [
     "embedding_int8_quant",
     "dedup_keep_best",
     "hard_negative_mining",
+    "ann_int8_topk",
 ]
 
 

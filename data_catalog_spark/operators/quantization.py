@@ -138,3 +138,100 @@ FROM s GROUP BY label ORDER BY label
 
 
 register("embedding_int8_quant", embedding_int8_quant, _int8_oracle())
+
+
+# -- ANN over the int8-quantized corpus ---------------------------------------
+#
+# The serving-side proof that int8 is usable, not just measured: queries
+# stay full-precision, the corpus side is the DEQUANTIZED codes
+# (asymmetric distance computation, the standard scalar-quantizer serving
+# mode).  Same scale shape as ann_bruteforce_topk — broadcast query batch,
+# one corpus pass — except the corpus vectors are what the 4×-smaller
+# int8 table reconstructs to, so ranking differences vs the exact path
+# are exactly the quantization error (pinned ≥0.8 recall@10 by pytest).
+
+_RECON = "transform(embedding, x -> round(CAST(x AS DOUBLE) / scale) * scale)"
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _DOT, TOP_K, N_QUERIES
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        .withColumn("nrm", F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")"))
+    )
+    c = (
+        e.where(F.col("vec_id") >= N_QUERIES)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("scale", F.expr(_ABSMAX) / F.lit(127.0))
+        .where(F.col("scale") > 0)
+        .localCheckpoint(eager=False)  # barrier (see embedding_int8_quant)
+        .select("vec_id", F.expr(_RECON).alias("v"))
+        .withColumn("nrm", F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")"))
+        .where(F.col("nrm") > 0)
+    )
+    scored = (
+        F.broadcast(q)
+        .alias("a")
+        .crossJoin(c.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            F.round(
+                F.expr(_DOT.format(a="a.v", b="b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def _int8_ann_oracle() -> str:
+    from .similarity import TOP_K, N_QUERIES
+
+    x = "CAST(embedding[i] AS DOUBLE)"
+    recon = f"[round({x} / scale) * scale for i in range(1, {_DIM} + 1)]"
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), qn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q
+), cs AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0
+             AS scale
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), cr AS (
+  SELECT vec_id, {recon} AS v FROM cs WHERE scale > 0
+), cn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM cr
+), s AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+  FROM qn a, cn b WHERE b.nrm > 0
+), r AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM s
+)
+SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
+register("ann_int8_topk", ann_int8_topk, _int8_ann_oracle())
