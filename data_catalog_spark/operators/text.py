@@ -706,3 +706,103 @@ FROM d GROUP BY source, lang ORDER BY source, lang
 
 
 register("tokenizer_efficiency", tokenizer_efficiency, TOKENIZER_EFFICIENCY_ORACLE)
+
+
+# -- Zipf-law fit (corpus-health diagnostic) ----------------------------------
+#
+# Natural-language corpora follow freq ∝ rank^s with s ≈ −1 (Zipf 1935);
+# a corpus whose fitted slope drifts far from −1 is degenerate (template
+# spam flattens it, dedup failures steepen it), so pipelines track the
+# fitted exponent as a composition diagnostic.  The fit is an ordinary
+# least squares of ln(freq) on ln(rank) over the bounded top-R terms:
+# term counting is the canonical one-shuffle word count; the top-R cut is
+# TakeOrdered (never a global sort), and the single-partition rank window
+# touches only the R retained rows.  Per-term ln values are truncated to
+# DECIMAL before the regression sums (langmodel.py's portable-ln rule) so
+# the five sufficient statistics are order-independent and cross-engine.
+
+ZIPF_TOP_R = 1000
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: term count in the fit, OLS slope/intercept of
+    ln(freq) ~ ln(rank), and R² — over the top-R corpus terms."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.expr(SPARK_TOKENS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(ZIPF_TOP_R)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w"))),
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(20,12)").alias("x"),
+        F.log(F.col("cnt").cast("double")).cast("decimal(20,12)").alias("y"),
+    ).select(
+        F.col("x").cast("double").alias("xd"),
+        F.col("y").cast("double").alias("yd"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xd").cast("decimal(20,10)")).cast("double").alias("sx"),
+        F.sum(F.col("yd").cast("decimal(20,10)")).cast("double").alias("sy"),
+        F.sum((F.col("xd") * F.col("yd")).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("xd") * F.col("xd")).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("yd") * F.col("yd")).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+ZIPF_ORACLE = f"""
+WITH counts AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({DUCK_TOKENS}) AS w FROM documents)
+  GROUP BY w ORDER BY cnt DESC, w LIMIT {ZIPF_TOP_R}
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM counts
+), pts AS (
+  SELECT CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE) AS xd,
+         CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE) AS yd
+  FROM ranked
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(xd AS DECIMAL(20,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yd AS DECIMAL(20,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xd * yd AS DECIMAL(20,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xd * xd AS DECIMAL(20,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yd * yd AS DECIMAL(20,10))) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums
+"""
+
+
+register("corpus_zipf_fit", corpus_zipf_fit, ZIPF_ORACLE)

@@ -180,3 +180,24 @@ def test_source_token_budget_semantics(spark, sf_dir):
     assert len(rows) < read_table(spark, sf_dir, "documents").count()
     again = cp.source_token_budget_mix(spark, sf_dir).collect()
     assert rows == again
+
+
+# -- Zipf-law fit --------------------------------------------------------------
+
+
+def test_zipf_fit_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import text as tx
+    from conftest import assert_same
+
+    assert_same(tx.corpus_zipf_fit(spark, sf_dir), ddb, tx.ZIPF_ORACLE)
+
+
+def test_zipf_fit_sanity(spark, sf_dir):
+    """Slope is negative (frequency decays with rank), the fit uses at
+    most TOP_R points, and R^2 is a valid squared correlation."""
+    from data_catalog_spark.operators import text as tx
+
+    row = tx.corpus_zipf_fit(spark, sf_dir).collect()[0]
+    assert 0 < row.n_terms <= tx.ZIPF_TOP_R
+    assert row.slope < 0
+    assert 0.0 <= row.r2 <= 1.0
