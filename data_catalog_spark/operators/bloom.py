@@ -15,11 +15,15 @@ Spark-first construction, fully distributed:
   ``groupBy(word) . agg(bit_or(mask))`` — the bit array is built by a
   map-side-combinable aggregation (each executor ORs its partition's
   bits; the shuffle moves ≤ M/32 rows), never on the driver.
-- probe: explode corpus grams → the same K positions → broadcast-join
-  the ≤ M/32-row bloom table on the word index → a gram is a member iff
-  ALL K probed bits are set (count of passing probe rows == K; duplicate
-  positions self-consistently count twice on both sides).  The corpus
-  gram stream never shuffles — only per-doc counters do.
+- probe: DISTINCT (doc, gram) pairs → the same K positions →
+  broadcast-join the ≤ M/32-row bloom table on the word index → a gram
+  is a member iff ALL K probed bits are set (count of passing probe rows
+  == K; duplicate positions self-consistently count twice on both
+  sides).  The pre-probe distinct is load-bearing: probing per gram
+  OCCURRENCE would make a twice-repeated member gram count 2K ≠ K rows
+  (a false negative) and let a thrice-repeated non-member with one set
+  bit count K (a false positive).  It also bounds probe volume by the
+  doc's UNIQUE gram count.
 - the report joins the EXACT matcher's result back on (per doc) so the
   row also states the realized false-positive count: at 100 TB the same
   query is the monitor that says when M needs to grow.
@@ -98,7 +102,9 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).groupBy("word").agg(F.expr("bit_or(mask)").alias("bf"))
 
-    corp_grams = _grams(corpus)
+    # distinct BEFORE probing — see module docstring (correctness of the
+    # all-K-bits count under repeated grams, and probe-volume bound)
+    corp_grams = _grams(corpus).distinct()
     probes = _word_mask(
         corp_grams.select(
             "doc_id",
@@ -152,7 +158,7 @@ WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
 g AS (SELECT doc_id, array_to_string(t[u.i + 1 : u.i + {NGRAM}], ' ') AS gram
       FROM tok, unnest(generate_series(0, len(t) - {NGRAM})) AS u(i)),
 bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
-cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
 bpos AS (
   {bpos}),
 bloom AS (SELECT p // {BLOOM_WORD_BITS} AS word,

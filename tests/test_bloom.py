@@ -71,3 +71,32 @@ def test_bloom_plan_shape(spark, sf_dir):
     plan = bloom.docs_decontaminate_bloom(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_repeated_gram_is_not_a_false_negative(spark, tmp_path):
+    """Regression: a benchmark gram occurring MORE THAN ONCE in a corpus
+    doc must still be a bloom member (probing per occurrence made a
+    twice-repeated gram count 2K probe rows != K and vanish)."""
+    import pandas as pd
+
+    gram = "a b c d e f g h"  # exactly NGRAM tokens -> one benchmark gram
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            # doc 0 (doc_id % 50 == 0) is the benchmark; doc 1 repeats
+            # the benchmark gram twice
+            "text": [gram, gram + " " + gram],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [len(gram), 2 * len(gram) + 1],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    rows = {
+        r.doc_id: r
+        for r in bloom.docs_decontaminate_bloom(spark, str(tmp_path)).collect()
+    }
+    assert 1 in rows, "contaminated doc bloom-missed"
+    assert rows[1].n_exact_hits >= 1
+    assert rows[1].n_bloom_hits >= rows[1].n_exact_hits
+    assert rows[1].n_false_pos >= 0
