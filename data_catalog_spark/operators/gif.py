@@ -211,7 +211,18 @@ def _read_color_table(content: bytes, pos: int, n: int) -> tuple[np.ndarray, int
 def decode_gif_frames(content: bytes, max_frames: int | None = None):
     """Decode a GIF to ``(width, height, frames)`` with ``frames`` a list
     of (h, w, 3) uint8 RGB arrays, each the full logical screen after
-    compositing that frame (transparency + disposal honored)."""
+    compositing that frame (transparency + disposal honored).  Raises
+    ValueError on malformed/truncated streams — never struct.error or
+    IndexError (same normalization as jpeg.decode_jpeg, so the
+    multimodal reject lane's ``except ValueError`` catches every bad
+    blob)."""
+    try:
+        return _decode_gif_frames(content, max_frames)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed GIF stream: {e}") from e
+
+
+def _decode_gif_frames(content: bytes, max_frames: int | None = None):
     if not content.startswith(GIF_MAGIC) or len(content) < 13:
         raise ValueError("not a GIF blob")
     version = content[4:6]

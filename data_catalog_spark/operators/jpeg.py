@@ -192,8 +192,20 @@ def decode_jpeg(content: bytes):
     Progressive images accumulate coefficients across every SOS scan
     (spectral selection + successive approximation, DC/AC first and
     refinement passes, EOB runs) and reconstruct once at EOI.  Raises
-    ValueError for non-JPEG bytes and the remaining unsupported modes
-    (arithmetic coding, lossless, hierarchical, 12-bit)."""
+    ValueError for non-JPEG bytes, truncated/malformed streams, and the
+    remaining unsupported modes (arithmetic coding, lossless,
+    hierarchical, 12-bit) — NEVER struct.error/IndexError, so callers'
+    reject lanes (multimodal `except ValueError`) catch every bad blob."""
+    try:
+        return _decode_jpeg(content)
+    except (struct.error, IndexError) as e:
+        # truncated segment headers surface as short-buffer unpacks or
+        # out-of-range byte indexing deep in the parser; normalize them
+        # to the documented contract
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(content: bytes):
     if not content.startswith(JPEG_MAGIC):
         raise ValueError("not a JPEG blob")
     qt: dict[int, np.ndarray] = {}  # id → 64 ints, SCAN order

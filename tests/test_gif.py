@@ -279,3 +279,17 @@ def test_decode_image_gif_and_reject():
         mm.decode_image(encode_gif(g)[:20])
     assert mm.classify_decode("image", encode_gif(g)) == "real"
     assert mm.classify_decode("image", encode_gif(g)[:20]) == "reject"
+
+
+def test_malformed_gif_raises_valueerror_never_struct_error():
+    import pytest
+
+    from data_catalog_spark.operators.gif import decode_gif
+
+    bad = [
+        b"GIF89a" + b"\x00" * 7 + b"\x2c" + b"\x00" * 3,  # truncated image desc
+        b"GIF89a\x02\x00\x02\x00\x80\x00\x00",  # GCT declared, missing bytes
+    ]
+    for blob in bad:
+        with pytest.raises(ValueError):
+            decode_gif(blob)

@@ -249,3 +249,21 @@ def test_progressive_in_multimodal_lane():
     assert fmt == "jpeg"
     _, _, _, px = decode_jpeg(encode_jpeg(img, progressive=True))
     assert feats == mm._luma_hist(px, 1)
+
+
+def test_malformed_jpeg_raises_valueerror_never_struct_error():
+    """Truncated segment headers must surface as ValueError (the reject
+    lane's contract), not struct.error/IndexError escaping mapInPandas."""
+    import pytest
+
+    from data_catalog_spark.operators.jpeg import decode_jpeg
+
+    bad = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x01" + b"\x00" * 16,  # short SOF body
+        b"\xff\xd8\xff\xc0\x00\x02" + b"\x00" * 16,  # empty SOF body
+        b"\xff\xd8\xff\xdd\x00\x03\x00" + b"\x00" * 8,  # short DRI body
+        b"\xff\xd8\xff\xda\x00\x02" + b"\x00" * 8,  # empty SOS body
+    ]
+    for blob in bad:
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
