@@ -321,12 +321,15 @@ register("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE)
 # representation plagiarism/copy detectors index at scale.
 #
 # Cross-engine tie-break trick: pack (hash, position) into ONE BIGINT
-# key = h·2^20 + (2^20 − pos), so MIN(key) = minimal hash with the
-# RIGHTMOST position on ties (positions are 1-based and far below 2^20;
-# h < 2^32 keeps the product < 2^52).  Both engines then agree bit-for-
-# bit without struct-ordering semantics.
+# key = h·2^31 + (2^31 − pos), so MIN(key) = minimal hash with the
+# RIGHTMOST position on ties.  Bounds: h < 2^32 (an 8-hex-char md5
+# slice) and 1 ≤ pos < 2^31 give key ≤ (2^32−1)·2^31 + 2^31 − 1 =
+# 2^63 − 1 — exactly the signed-BIGINT ceiling, with the position field
+# valid up to a 2-billion-token document (a narrower 2^20 field would
+# silently corrupt tie-breaks past ~1M grams).  Both engines then agree
+# bit-for-bit without struct-ordering semantics.
 WINNOW_W = 4
-_POS_BASE = 1 << 20
+_POS_BASE = 1 << 31
 
 _SPARK_POS_HASHES = (
     f"CASE WHEN size(t) >= {SHINGLE_N} THEN "

@@ -246,6 +246,10 @@ class IndexLockError(RuntimeError):
     pass
 
 
+class IndexCorruptError(RuntimeError):
+    pass
+
+
 class SegmentedTextIndex:
     """Incremental postings index with Lucene-style segment + tombstone
     maintenance.  All postings/id-sidecar reads are plain distributed
@@ -278,6 +282,24 @@ class SegmentedTextIndex:
             with open(self._manifest_file()) as f:
                 return json.load(f)["segments"]
         except OSError:
+            # Missing manifest is only a VALID empty index when no segment
+            # data exists.  seg-* dirs without a manifest mean a layout
+            # from an older release (numbered seg-000 + _ids.json) or a
+            # torn state — treating that as empty would silently miss
+            # every indexed doc and let the next mutation's orphan sweep
+            # DELETE the old segments.  Surface it; rebuild()/resync() is
+            # the explicit migration path.
+            import os
+
+            stray = [
+                d for d in os.listdir(self.path) if d.startswith("seg-")
+            ]
+            if stray:
+                raise IndexCorruptError(
+                    f"index at {self.path} has segment dirs {sorted(stray)[:3]}"
+                    f"… but no MANIFEST.json — pre-manifest layout or torn "
+                    f"state; run rebuild()/resync() to migrate"
+                )
             return []
 
     def _write_manifest(self, segments: list[dict]) -> None:
@@ -293,15 +315,53 @@ class SegmentedTextIndex:
 
     def _mutation_lock(self, timeout: float = 30.0):
         """Serialize index mutations: O_EXCL lock file + rename-aside
-        stale-break — the catalog commit-lock protocol (catalog.py:566),
-        scoped to this index dir.  Readers never take it (they see the
-        manifest snapshot of the last atomic replace)."""
+        stale-break — the FULL catalog commit-lock protocol
+        (catalog.py:566), scoped to this index dir.  Readers never take
+        it (they see the manifest snapshot of the last atomic replace).
+
+        Index mutations run DISTRIBUTED WRITES (segment postings, id/
+        tombstone sidecars, compaction merges) inside the critical
+        section, which can easily outlive LOCK_STALE_AFTER — so, exactly
+        like the catalog, the yielded handle exposes ``heartbeat()``
+        (re-touch the lock mtime after each long write, so a LIVE holder
+        never goes stale mid-section) and ``assert_held()`` (called
+        immediately before every manifest swap: if a waiter broke our
+        lock, abort instead of clobbering the successor's manifest and
+        letting the orphan sweep delete its committed segments)."""
         import contextlib
         import os
         import time
         import uuid
 
         lock = os.path.join(self.path, ".INDEX_LOCK")
+
+        class _Handle:
+            def __init__(self, token: str):
+                self.token = token
+
+            def _owned(self) -> bool:
+                try:
+                    with open(lock) as f:
+                        return f.read() == self.token
+                except OSError:
+                    return False
+
+            def heartbeat(self) -> None:
+                # advisory mtime refresh; only while we still own the
+                # file (touching a successor's lock extends THEIR hold)
+                if self._owned():
+                    try:
+                        os.utime(lock)
+                    except OSError:
+                        pass
+
+            def assert_held(self) -> None:
+                if not self._owned():
+                    raise IndexLockError(
+                        "index mutation lock was broken mid-section "
+                        "(holder presumed dead) — aborting before the "
+                        "manifest swap to avoid racing the successor"
+                    )
 
         @contextlib.contextmanager
         def _lock():
@@ -333,21 +393,32 @@ class SegmentedTextIndex:
                         )
                     time.sleep(0.05)
             try:
-                yield
+                yield _Handle(token)
             finally:
-                # release via rename-aside: never unlinks a successor's
-                # lock if ours was broken mid-section
-                aside = f"{lock}.release-{uuid.uuid4().hex}"
+                # Never touch a lock we don't own: check ownership FIRST
+                # (if ours was broken and a successor holds the path,
+                # leave it alone).  Claim by atomic rename, re-check, and
+                # restore a raced successor's lock via no-clobber link()
+                # — the same release path as catalog._commit_lock.
                 try:
-                    os.rename(lock, aside)
-                    with open(aside) as f:
+                    with open(lock) as f:
                         mine = f.read() == token
-                    if mine:
-                        os.unlink(aside)
-                    else:
-                        os.rename(aside, lock)
                 except OSError:
-                    pass
+                    mine = False
+                if mine:
+                    released = f"{lock}.release-{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, released)  # atomic claim
+                        with open(released) as f:
+                            still_mine = f.read() == token
+                        if not still_mine:
+                            try:
+                                os.link(released, lock)  # no-clobber restore
+                            except OSError:
+                                pass  # a third waiter already holds it
+                        os.unlink(released)
+                    except OSError:
+                        pass  # already broken/removed by a successor
 
         return _lock()
 
@@ -461,8 +532,10 @@ class SegmentedTextIndex:
     def rebuild(self, ds: DataFrame) -> None:
         """Full (re)build as the single base segment.  No id list is ever
         collected — the sidecar is written by Spark."""
-        with self._mutation_lock():
-            rec = self._build_segment(ds)
+        with self._mutation_lock() as lk:
+            rec = self._build_segment(ds)  # distributed write — may be long
+            lk.heartbeat()
+            lk.assert_held()
             self._write_manifest([rec])
             self._sweep_orphans({rec["name"]})
 
@@ -472,17 +545,23 @@ class SegmentedTextIndex:
         segments are tombstoned.  Both effects commit in ONE manifest
         swap, so no reader can observe the delete without the add."""
         ids = [r.id for r in ds_slice.select("id").distinct().collect()]
-        with self._mutation_lock():
+        with self._mutation_lock() as lk:
             updated = self._tombstoned(self._manifest(), ids)
+            lk.heartbeat()  # tombstone membership ran a Spark job
             updated.append(self._build_segment(ds_slice))
+            lk.heartbeat()
+            lk.assert_held()
             self._write_manifest(updated)
 
     def delete(self, ids: list[str]) -> None:
         """Tombstone every existing posting of ``ids`` (metadata + at most
         one immutable tombstone snapshot per affected segment — no
         postings file is rewritten)."""
-        with self._mutation_lock():
-            self._write_manifest(self._tombstoned(self._manifest(), ids))
+        with self._mutation_lock() as lk:
+            updated = self._tombstoned(self._manifest(), ids)
+            lk.heartbeat()
+            lk.assert_held()
+            self._write_manifest(updated)
 
     # -- reads ----------------------------------------------------------------
 
@@ -524,18 +603,21 @@ class SegmentedTextIndex:
         import os
         import uuid
 
-        with self._mutation_lock():
+        with self._mutation_lock() as lk:
             live = self.postings()
             name = f"seg-{uuid.uuid4().hex[:12]}"
             live.write.mode("overwrite").partitionBy("field").parquet(
                 os.path.join(self._seg_dir(name), "postings")
             )
+            lk.heartbeat()  # the merge write is the longest section here
             merged = self.spark.read.schema(
                 "gram STRING, id STRING, field STRING"
             ).parquet(os.path.join(self._seg_dir(name), "postings"))
             merged.select("id").distinct().write.mode("overwrite").parquet(
                 os.path.join(self._seg_dir(name), "ids")
             )
+            lk.heartbeat()
+            lk.assert_held()
             self._write_manifest([{"name": name, "ts_inline": [], "ts_dir": None}])
             self._sweep_orphans({name})
             return len(self._segments())

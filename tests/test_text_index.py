@@ -573,3 +573,52 @@ def test_crash_before_manifest_swap_leaves_index_readable(spark, tmp_path, monke
 
     leftover = [d for d in os.listdir(tmp_path / "crash") if d.startswith("seg-")]
     assert len(leftover) == 1
+
+
+def test_lock_heartbeat_and_assert_held(spark, tmp_path):
+    """A live holder can refresh the lock mtime mid-section; a holder
+    whose lock was broken (token replaced) aborts before the manifest
+    swap instead of clobbering the successor."""
+    import os
+    import time
+
+    import pytest
+
+    from data_catalog_spark.text_index import IndexLockError, SegmentedTextIndex
+
+    idx = SegmentedTextIndex(spark, str(tmp_path / "ix"))
+    lock = os.path.join(idx.path, ".INDEX_LOCK")
+    with idx._mutation_lock() as lk:
+        lk.assert_held()  # fresh lock is ours
+        old = os.path.getmtime(lock)
+        time.sleep(0.05)
+        lk.heartbeat()
+        assert os.path.getmtime(lock) >= old
+        # simulate a waiter breaking the stale lock and reacquiring
+        with open(lock, "w") as f:
+            f.write("someone-else")
+        with pytest.raises(IndexLockError):
+            lk.assert_held()
+        lk.heartbeat()  # must NOT touch the successor's lock
+        with open(lock) as f:
+            assert f.read() == "someone-else"
+    # release must leave the successor's lock in place
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+
+def test_pre_manifest_layout_raises_not_empty(spark, tmp_path):
+    """seg-* dirs without MANIFEST.json (older on-disk layout or torn
+    state) must surface, not read as an empty index whose next mutation
+    sweeps the old segments away."""
+    import os
+
+    import pytest
+
+    from data_catalog_spark.text_index import IndexCorruptError, SegmentedTextIndex
+
+    path = str(tmp_path / "oldix")
+    os.makedirs(os.path.join(path, "seg-000"))
+    idx = SegmentedTextIndex(spark, path)
+    with pytest.raises(IndexCorruptError):
+        idx.postings()
