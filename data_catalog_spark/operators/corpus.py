@@ -32,6 +32,8 @@ from .text import (
     SPARK_TOKENS,
     _BPE_SQL,
     _STOPWORDS,
+    duck_stop_count,
+    spark_stop_count,
 )
 
 MIN_SUBWORD_TOKENS = 10
@@ -42,7 +44,6 @@ def corpus_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents that survive every gate, with the stats that justified
     keeping them.  Single tokenize, single scan, one window for the
     exact-dup keeper."""
-    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
     others = [
         ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) for lang in ("de", "es", "fr")
@@ -64,9 +65,7 @@ def corpus_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "stop_ratio",
             F.round(
-                F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
-                / F.col("n_tokens"),
-                6,
+                F.expr(spark_stop_count(_STOPWORDS)) / F.col("n_tokens"), 6
             ),
         )
         .withColumn("s_en", F.expr(f"size(array_intersect(t, array({en})))"))
@@ -95,7 +94,6 @@ def corpus_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_filter_oracle() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
     others = ", ".join(
         f"len(list_intersect(t, [{', '.join(repr(w) for w in LANG_MARKERS[lang])}]))"
@@ -111,7 +109,7 @@ WITH d AS (
              AS n_subword_tokens,
          round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6)
              AS alpha_ratio,
-         round(len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t), 6)
+         round({duck_stop_count(_STOPWORDS)} / len(t), 6)
              AS stop_ratio,
          len(list_intersect(t, [{en}])) AS s_en,
          greatest({others}) AS s_other,

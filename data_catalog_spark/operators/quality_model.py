@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from ..io import read_table
 from .registry import register
-from .text import DUCK_TOKENS, SPARK_TOKENS
+from .text import (
+    DUCK_ALPHA_RATIO,
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_stop_count,
+    spark_stop_count,
+)
 
 # Frozen model: logit = B0 + W_STOP·stop_ratio + W_LOGN·ln(1+n_tokens)
 #                      + W_TTR·type_token_ratio + W_ALPHA·alpha_ratio.
@@ -49,7 +55,6 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (6dp), calibrated probability (4dp), and the keep label
     (logit ≥ 0).  One scan, zero shuffles before the final sort — the
     shape that scores a crawl at scan speed."""
-    stops = ", ".join(f"'{w}'" for w in _QSTOPS)
     d = (
         read_table(spark, sf_dir, "documents")
         .withColumn("t", F.expr(SPARK_TOKENS))
@@ -57,8 +62,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tokens") > 0)
         .withColumn(
             "stop_ratio",
-            F.expr(f"size(filter(t, x -> array_contains(array({stops}), x)))")
-            / F.col("n_tokens"),
+            F.expr(spark_stop_count(_QSTOPS)) / F.col("n_tokens"),
         )
         .withColumn(
             "ttr", F.expr("size(array_distinct(t))") / F.col("n_tokens")
@@ -98,17 +102,14 @@ def _logit_ctes() -> str:
     """The shared DuckDB WITH-body computing (doc_id, features, logit) —
     reused verbatim by every oracle that consumes the frozen model, so the
     logit is rendered identically everywhere."""
-    stops = ", ".join(f"'{w}'" for w in _QSTOPS)
     return f"""
 d AS (
   SELECT doc_id, text, {DUCK_TOKENS} AS t FROM documents
 ), f AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-         len(list_filter(t, x -> list_contains([{stops}], x))) * 1.0 / len(t)
-             AS stop_ratio,
+         {duck_stop_count(_QSTOPS)} * 1.0 / len(t) AS stop_ratio,
          len(list_distinct(t)) * 1.0 / len(t) AS ttr,
-         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
-             AS alpha_ratio
+         {DUCK_ALPHA_RATIO} AS alpha_ratio
   FROM d WHERE len(t) > 0
 ), s AS (
   SELECT doc_id, n_tokens, stop_ratio, ttr, alpha_ratio,

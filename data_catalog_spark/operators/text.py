@@ -83,22 +83,46 @@ FROM documents ORDER BY doc_id
 # -- quality scoring ---------------------------------------------------------
 
 
+# Shared per-document feature renderers (one per engine), parameterized
+# by the stopword list — text_quality, corpus_training_filter, and the
+# frozen quality classifier (quality_model.py) all consume the SAME
+# feature definitions; keep the rendering here so the four copies can't
+# drift (each caller still fixes its own word list — the classifier's
+# frozen weights pin a 6-word subset).
+
+
+def spark_stop_count(words) -> str:
+    """Count of tokens (in array column ``t``) found in ``words``."""
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter(t, x -> array_contains(array({lits}), x)))"
+
+
+def duck_stop_count(words) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> list_contains([{lits}], x)))"
+
+
+# alphabetic-character share of the raw text, both renderings
+SPARK_ALPHA_LEN = ("text", "[^a-zA-Z]", "")  # F.regexp_replace args
+DUCK_ALPHA_RATIO = (
+    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)"
+)
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / alpha-ratio / stopword-ratio quality features + a binary
     keep/drop verdict — the standard pre-training corpus filter shape."""
-    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     return (
         _docs(spark, sf_dir)
         .withColumn("t", F.expr(SPARK_TOKENS))
-        .withColumn("alpha_len", F.length(F.regexp_replace("text", "[^a-zA-Z]", "")))
+        .withColumn("alpha_len", F.length(F.regexp_replace(*SPARK_ALPHA_LEN)))
         .select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars"),
             F.expr("size(t)").cast("long").alias("n_tokens"),
             F.round(F.col("alpha_len") / F.length("text"), 6).alias("alpha_ratio"),
             F.round(
-                F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
-                / F.expr("size(t)"),
+                F.expr(spark_stop_count(_STOPWORDS)) / F.expr("size(t)"),
                 6,
             ).alias("stop_ratio"),
             F.round(
@@ -117,7 +141,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_oracle() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    stops = duck_stop_count(_STOPWORDS)
     return f"""
 WITH d AS (SELECT doc_id, text, {DUCK_TOKENS} AS t FROM documents)
 SELECT doc_id,
@@ -125,13 +149,12 @@ SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
        round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6)
            AS alpha_ratio,
-       round(len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t), 6)
-           AS stop_ratio,
+       round({stops} / len(t), 6) AS stop_ratio,
        round(list_sum(list_transform(t, x -> length(x))) / len(t), 6)
            AS avg_token_len,
        len(t) >= 5
          AND round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6) >= 0.6
-         AND round(len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t), 6) <= 0.5
+         AND round({stops} / len(t), 6) <= 0.5
            AS keep
 FROM d ORDER BY doc_id
 """
