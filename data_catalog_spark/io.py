@@ -218,6 +218,39 @@ def write_csv_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def read_xml_table(
+    spark: SparkSession, path: str, schema, row_tag: str = "row"
+) -> tuple[DataFrame, DataFrame]:
+    """XML connector (Spark 4 native ``xml`` source — no external jar)
+    with declared schema + rejects capture, the same contract as the
+    JSONL/CSV connectors: rows under ``row_tag`` parse PERMISSIVE, rows
+    whose content doesn't fit the declared schema come back in the
+    rejects frame.  Scale: the XML source splits by rowTag boundaries
+    across executors; the declared schema avoids the inference pre-pass."""
+    from pyspark.sql import types as T2
+
+    full = T2.StructType(
+        list(schema.fields) + [T2.StructField("_corrupt_record", T2.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .format("xml")
+        .load(path)
+    ).cache()
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = raw.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, rejects
+
+
+def write_xml_table(
+    df: DataFrame, path: str, mode: str = "overwrite", row_tag: str = "row"
+) -> None:
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)
+
+
 def write_orc_table(
     df: DataFrame, path: str, mode: str = "overwrite", partition_cols: list[str] | None = None
 ) -> None:

@@ -211,3 +211,54 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"k", "name", "score"}
     got = {r.k: r.score for r in merged.collect()}
     assert got[3] == 0.5 and got[1] is None and got[2] is None
+
+
+# -- XML (Spark 4 native source) ----------------------------------------------
+
+
+def test_xml_ingest_schema_and_rejects(spark, tmp_path):
+    """Declared schema, PERMISSIVE parse: schema-valid rows split from
+    rejects — the JSONL/CSV connector contract on the XML source."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.xml"
+    p.write_text(
+        "<rows>"
+        "<row><id>1</id><name>alpha</name><size>10</size></row>"
+        "<row><id>not-a-number</id><name>bad</name><size>1</size></row>"
+        "<row><id>2</id><name>beta</name><size>20</size></row>"
+        "</rows>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("size", T.LongType()),
+        ]
+    )
+    good, rejects = dio.read_xml_table(spark, str(p), schema)
+    rows = {r.id: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].name == "alpha" and rows[2].size == 20
+    assert rejects.count() == 1
+
+
+def test_xml_roundtrip_preserves_values(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema)
+    out = tmp_path / "out-xml"
+    dio.write_xml_table(df, str(out))
+    back, rejects = dio.read_xml_table(spark, str(out), schema)
+    assert sorted((r.id, r.name) for r in back.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    assert rejects.count() == 0
