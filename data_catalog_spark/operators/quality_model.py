@@ -50,14 +50,13 @@ W_ALPHA = 1.0
 _QSTOPS = ["the", "a", "of", "to", "in", "and"]
 
 
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per document: the four model features, the frozen-model logit
-    (6dp), calibrated probability (4dp), and the keep label
-    (logit ≥ 0).  One scan, zero shuffles before the final sort — the
-    shape that scores a crawl at scan speed."""
+def score_documents(docs: DataFrame) -> DataFrame:
+    """Apply the frozen model to a raw documents frame — STATELESS column
+    expressions only, so the identical function scores a batch scan and a
+    readStream micro-batch (streaming/quality.py) with bit-identical
+    results."""
     d = (
-        read_table(spark, sf_dir, "documents")
-        .withColumn("t", F.expr(SPARK_TOKENS))
+        docs.withColumn("t", F.expr(SPARK_TOKENS))
         .withColumn("n_tokens", F.expr("size(t)").cast("long"))
         .where(F.col("n_tokens") > 0)
         .withColumn(
@@ -95,7 +94,17 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
         (F.col("logit") >= 0).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: the four model features, the frozen-model logit
+    (6dp), calibrated probability (4dp), and the keep label
+    (logit ≥ 0).  One scan, zero shuffles before the final sort — the
+    shape that scores a crawl at scan speed."""
+    return score_documents(read_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 def _logit_ctes() -> str:

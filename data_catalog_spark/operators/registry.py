@@ -65,6 +65,7 @@ def _load_all() -> None:
         windows,
     )
     from ..streaming import cms as streaming_cms  # noqa: F401
+    from ..streaming import quality as streaming_quality  # noqa: F401
     from ..streaming import dedup as streaming_dedup  # noqa: F401
     from ..streaming import joins as streaming_joins  # noqa: F401
     from ..streaming import sessions as streaming_sessions  # noqa: F401

@@ -74,3 +74,25 @@ def test_scoring_is_map_only(spark, sf_dir):
     )
     assert "EvalPython" not in plan
     assert "hashpartitioning" not in plan  # only the orderBy's range exchange
+
+
+def test_stream_quality_profile_equals_batch(spark, sf_dir, ddb):
+    """Streaming twin: scoring is stateless, so the availableNow stream
+    profile matches the batch oracle bit-for-bit."""
+    from data_catalog_spark.streaming.quality import (
+        STREAM_QUALITY_ORACLE,
+        stream_quality_profile,
+    )
+
+    assert_same(
+        stream_quality_profile(spark, sf_dir), ddb, STREAM_QUALITY_ORACLE
+    )
+
+
+def test_stream_quality_profile_is_two_classes(spark, sf_dir):
+    from data_catalog_spark.streaming.quality import stream_quality_profile
+
+    rows = stream_quality_profile(spark, sf_dir).collect()
+    assert [r.keep for r in rows] == [False, True]
+    for r in rows:
+        assert r.n_docs > 0 and 0.0 <= r.mean_prob <= 1.0
