@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
@@ -696,3 +696,62 @@ ORDER BY win_start
 
 
 register("events_hopping_window", events_hopping_window, HOPPING_ORACLE)
+
+
+# -- next-event-prediction training sequences ---------------------------------
+#
+# The behavioral-data counterpart of token-window chunking (traindata.py):
+# turn each user's ordered event stream into fixed-length (context → label)
+# examples for a next-event/sequence model.  Built FLAT with lead() over
+# one (user, time) window — no collect_list of a whole user history, so a
+# power user's million-event stream never materializes as a single array;
+# at 100 TB this is one shuffle on user_id and map-side window evaluation.
+# Ordering ties broken by event_id so both engines slice identically.
+
+SEQ_LEN = 4  # context length; the (SEQ_LEN+1)-th event is the label
+
+
+def event_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, anchor event_id, context array of SEQ_LEN event types,
+    label): every position with a full window contributes one example."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = [
+        F.lead("event_type", k).over(w).alias(f"e{k}")
+        for k in range(1, SEQ_LEN + 1)
+    ]
+    base = _ev(spark, sf_dir).select(
+        "user_id", "event_id", F.col("event_type").alias("e0"), *steps
+    )
+    return (
+        base.where(F.col(f"e{SEQ_LEN}").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("anchor_id"),
+            F.array(*[F.col(f"e{k}") for k in range(SEQ_LEN)]).alias("context"),
+            F.col(f"e{SEQ_LEN}").alias("label"),
+        )
+        .orderBy("user_id", "anchor_id")
+    )
+
+
+_SEQ_LEADS = ",\n         ".join(
+    f"lead(event_type, {k}) OVER w AS e{k}" for k in range(1, SEQ_LEN + 1)
+)
+
+EVENT_SEQUENCES_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_id, event_type AS e0,
+         {_SEQ_LEADS}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS anchor_id,
+       [{", ".join(f"e{k}" for k in range(SEQ_LEN))}] AS context,
+       e{SEQ_LEN} AS label
+FROM s WHERE e{SEQ_LEN} IS NOT NULL
+ORDER BY user_id, anchor_id
+"""
+
+register(
+    "event_training_sequences", event_training_sequences, EVENT_SEQUENCES_ORACLE
+)

@@ -203,3 +203,48 @@ def test_hopping_windows_cover_each_event_four_times(spark, sf_dir):
         .count()
     )
     assert total == 4 * n_purch
+
+
+# -- next-event training sequences ---------------------------------------------
+
+
+def test_event_sequences_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import events_analytics as ea
+    from conftest import assert_same
+
+    assert_same(
+        ea.event_training_sequences(spark, sf_dir),
+        ddb,
+        ea.EVENT_SEQUENCES_ORACLE,
+    )
+
+
+def test_event_sequences_tile_the_stream(spark, sf_dir):
+    """Per user: examples == max(0, n_events - SEQ_LEN); each context is
+    a contiguous slice of the user's time-ordered stream with the label
+    as its successor."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import events_analytics as ea
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        streams.setdefault(r.user_id, []).append((r.event_id, r.event_type))
+    got = {}
+    for r in ea.event_training_sequences(spark, sf_dir).collect():
+        got.setdefault(r.user_id, []).append(r)
+    L = ea.SEQ_LEN
+    for uid, stream in streams.items():
+        rows = got.get(uid, [])
+        assert len(rows) == max(0, len(stream) - L)
+        by_anchor = {e[0]: i for i, e in enumerate(stream)}
+        for r in rows:
+            i = by_anchor[r.anchor_id]
+            assert r.context == [e[1] for e in stream[i : i + L]]
+            assert r.label == stream[i + L][1]
