@@ -130,6 +130,24 @@ def hits_sql(cq: CompiledQuery, relation: str = "datasets") -> str:
     )
 
 
+def hits_after_sql(
+    cq: CompiledQuery, after_score: float, after_id: str, relation: str = "datasets"
+) -> str:
+    """Cursor (search_after) page: rows strictly after the (score, id)
+    cursor in ranking order — the deep-paging twin of hits_sql
+    (search.hits_after)."""
+    cols = ", ".join(COLUMN_ORDER)
+    return (
+        f"SELECT * FROM (SELECT {cols}, {score_sql(cq)} AS score "
+        f"FROM {relation} WHERE {query_where_sql(cq)}) q "
+        f"WHERE ({post_where_sql(cq)}) "
+        f"AND (score < {after_score!r} "
+        f"OR (score = {after_score!r} AND id > '{after_id}')) "
+        f"ORDER BY score DESC, id "
+        f"LIMIT {cq.size}"
+    )
+
+
 def facet_sql(cq: CompiledQuery, fld: str, size: int, relation: str = "datasets") -> str:
     """Terms facet over the query-filtered (pre-post-filter) set — the R2
     plan shape (query_translation.py:82-96): facet counts show what is

@@ -135,6 +135,33 @@ def hits(df: DataFrame, cq: CompiledQuery) -> DataFrame:
     return ranked.limit(cq.size)
 
 
+def hits_after(
+    df: DataFrame, cq: CompiledQuery, after_score: float, after_id: str
+) -> DataFrame:
+    """Cursor-paged hits (ES ``search_after``): the page strictly AFTER
+    the (score, id) cursor in ranking order.  ``from``/``size`` deep
+    paging is O(from) per page — the engine ranks and discards every
+    earlier row again on every page, so page 200k of a 100 TB result set
+    re-pays the whole prefix.  The cursor page is O(page): the cursor
+    predicate joins the scan filter, and the plan stays
+    TakeOrderedAndProject(size) over the already-pruned set.  The cursor
+    is (score, id) — exactly the ranking's sort key, so consecutive
+    cursor pages tile the from/size ranking with no gaps or repeats
+    (pinned by test_search_after_tiles_offset_pages)."""
+    return (
+        query_filtered(df, cq)
+        .withColumn("score", score_column(cq))
+        .where(post_predicate(cq))
+        .where(
+            (F.col("score") < after_score)
+            | ((F.col("score") == after_score) & (F.col("id") > after_id))
+        )
+        .select(*COLUMN_ORDER, "score")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(cq.size)
+    )
+
+
 def facet(df: DataFrame, cq: CompiledQuery, fld: str, size: int) -> DataFrame:
     """Terms facet over the pre-post-filter set; deterministic top-k."""
     return (

@@ -221,3 +221,72 @@ def test_secure_view_orgless_caller_gets_public_only(spark, sf_dir):
     rows = secured.collect()
     assert rows
     assert all(r.isPublic for r in rows)
+
+
+# -- search_after (cursor deep paging) ------------------------------------------
+
+
+def test_search_after_tiles_offset_pages(spark, sf_dir):
+    """Cursor pages derived from each page's last (score, id) reproduce
+    from/size paging exactly — no gaps, no repeats (the ES search_after
+    contract), while costing O(page) instead of O(from)."""
+    from data_catalog_spark.entries import ORGS
+
+    ds = datasets_df(spark, sf_dir)
+    page_size = 10
+
+    def page_offset(frm):
+        cq = compile_query(
+            {"query": "widget", "size": page_size, "from": frm},
+            ORGS,
+            M.PRIVATE_AND_PUBLIC,
+            False,
+        )
+        return search.hits(ds, cq).collect()
+
+    cq_cursor = compile_query(
+        {"query": "widget", "size": page_size},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    )
+    p1 = page_offset(0)
+    assert p1
+    cursor = (p1[-1].score, p1[-1].id)
+    for frm in (page_size, 2 * page_size):
+        via_cursor = search.hits_after(ds, cq_cursor, *cursor).collect()
+        via_offset = page_offset(frm)
+        assert [(r.id, r.score) for r in via_cursor] == [
+            (r.id, r.score) for r in via_offset
+        ]
+        if not via_cursor:
+            break
+        cursor = (via_cursor[-1].score, via_cursor[-1].id)
+
+
+def test_search_after_matches_oracle(spark, sf_dir, ddb):
+    from data_catalog_spark.entries import SEARCH_AFTER_CURSOR, CATALOG_CASES
+
+    cq = compile_query(*CATALOG_CASES["cat_text_search"])
+    assert_same(
+        search.hits_after(datasets_df(spark, sf_dir), cq, *SEARCH_AFTER_CURSOR),
+        ddb,
+        f"{ORACLE_DATASETS_CTE} {sqlgen.hits_after_sql(cq, *SEARCH_AFTER_CURSOR)}",
+    )
+
+
+def test_search_after_plan_is_topk_not_global_sort(spark, sf_dir):
+    """The cursor page must stay TakeOrderedAndProject(size) — never a
+    global sort + offset (the O(from) shape cursor paging exists to
+    avoid)."""
+    from data_catalog_spark.entries import SEARCH_AFTER_CURSOR, CATALOG_CASES
+
+    cq = compile_query(*CATALOG_CASES["cat_text_search"])
+    plan = (
+        search.hits_after(datasets_df(spark, sf_dir), cq, *SEARCH_AFTER_CURSOR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
