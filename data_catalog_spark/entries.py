@@ -77,6 +77,17 @@ CATALOG_CASES: dict[str, tuple] = {
         M.PRIVATE_AND_PUBLIC,
         False,
     ),
+    # scale-extension cursor paging: every 'widget' match scores exactly
+    # 4.0 (title 3 + uri 1; dataSample never matches), so the ranking is
+    # one score tier ordered by id — the cursor's id bound exercises the
+    # lexicographic tie-break arm mid-ranking at every SF.  A cursor that
+    # matches no row exactly is still a valid resume point (ES semantics).
+    "cat_search_after": (
+        {"query": "widget", "size": 25, "searchAfter": [4.0, "299"]},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    ),
     "cat_m1_full": (
         {"query": "widget", "filters": [{"format": ["json"]}], "size": 3, "from": 2},
         ORGS,
@@ -117,23 +128,6 @@ def _hits_query(case: tuple) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         cq = compile_query(*case)
         return search.hits(datasets_df(spark, sf_dir), cq)
-
-    return run
-
-
-# Fixed (score, id) cursor for the registered search_after page: every
-# 'widget' match scores exactly 4.0 (title hit 3 + uri hit 1; the
-# dataSample never matches), so the ranking is one score tier ordered by
-# id — the cursor's id bound exercises the lexicographic tie-break arm
-# mid-ranking at every SF.  A cursor that matches no row exactly is
-# still a valid resume point (ES semantics).
-SEARCH_AFTER_CURSOR = (4.0, "299")
-
-
-def _search_after_query(case: tuple) -> Callable[[SparkSession, str], DataFrame]:
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        cq = compile_query(*case)
-        return search.hits_after(datasets_df(spark, sf_dir), cq, *SEARCH_AFTER_CURSOR)
 
     return run
 
@@ -405,7 +399,6 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_partitioned_only_public"] = _partitioned_only_public
     out["cat_text_search_indexed"] = _indexed_text_search
     out["cat_stemmed_title_indexed"] = _indexed_stemmed_title
-    out["cat_search_after"] = _search_after_query(CATALOG_CASES["cat_text_search"])
     return out
 
 
@@ -439,10 +432,6 @@ def catalog_oracles() -> dict[str, str]:
     # identical oracle to cat_stemmed_title: the title_stem posting family
     # changes WHERE stemming is paid (write-time), never the result
     out["cat_stemmed_title_indexed"] = _stemmed_match_oracle()
-    out["cat_search_after"] = (
-        f"{ORACLE_DATASETS_CTE} "
-        f"{sqlgen.hits_after_sql(cq_text, *SEARCH_AFTER_CURSOR)}"
-    )
     return out
 
 

@@ -105,6 +105,10 @@ class CompiledQuery:
     from_: int = DEFAULT_FROM
     size: int = DEFAULT_SIZE
     explicit_pagination: bool = False
+    # scale extension (no reference counterpart): (score, id) cursor for
+    # O(page) deep paging — ES search_after semantics.  Mutually
+    # exclusive with an explicit 'from'.
+    search_after: tuple | None = None
 
 
 def _parse(data_catalog_query) -> dict:
@@ -232,6 +236,24 @@ def compile_query(
     if not isinstance(size, int) or isinstance(size, bool) or size < 0:
         raise InvalidQueryError("'size' must be a non-negative integer.")
 
+    search_after = query_dict.get("searchAfter")
+    if search_after is not None:
+        if (
+            not isinstance(search_after, (list, tuple))
+            or len(search_after) != 2
+            or isinstance(search_after[0], bool)
+            or not isinstance(search_after[0], (int, float))
+            or not isinstance(search_after[1], str)
+        ):
+            raise InvalidQueryError(
+                "'searchAfter' must be a [score, id] pair (number, string)."
+            )
+        if "from" in query_dict:
+            raise InvalidQueryError(
+                "'searchAfter' and 'from' are mutually exclusive."
+            )
+        search_after = (float(search_after[0]), search_after[1])
+
     return CompiledQuery(
         text=text,
         query_filters=tuple(query_filters),
@@ -239,4 +261,5 @@ def compile_query(
         from_=from_,
         size=size,
         explicit_pagination=("from" in query_dict or "size" in query_dict),
+        search_after=search_after,
     )

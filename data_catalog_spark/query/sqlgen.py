@@ -119,7 +119,11 @@ def post_where_sql(cq: CompiledQuery) -> str:
 
 
 def hits_sql(cq: CompiledQuery, relation: str = "datasets") -> str:
-    """The hits page: ranked, post-filtered, paginated (search.py:121-135)."""
+    """The hits page: ranked, post-filtered, paginated (search.py:121-135).
+    A compiled ``searchAfter`` cursor renders the cursor predicate instead
+    of OFFSET — mirroring search.hits' routing."""
+    if cq.search_after is not None:
+        return hits_after_sql(cq, *cq.search_after, relation=relation)
     cols = ", ".join(COLUMN_ORDER)
     return (
         f"SELECT * FROM (SELECT {cols}, {score_sql(cq)} AS score "

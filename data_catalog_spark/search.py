@@ -122,7 +122,11 @@ def query_filtered(df: DataFrame, cq: CompiledQuery) -> DataFrame:
 
 def hits(df: DataFrame, cq: CompiledQuery) -> DataFrame:
     """Ranked, post-filtered, paginated hits page — compiles to
-    TakeOrderedAndProject (top-k, no global sort)."""
+    TakeOrderedAndProject (top-k, no global sort).  A compiled
+    ``searchAfter`` cursor routes to the O(page) cursor plan instead of
+    offset paging."""
+    if cq.search_after is not None:
+        return hits_after(df, cq, *cq.search_after)
     ranked = (
         query_filtered(df, cq)
         .withColumn("score", score_column(cq))

@@ -265,25 +265,46 @@ def test_search_after_tiles_offset_pages(spark, sf_dir):
 
 
 def test_search_after_matches_oracle(spark, sf_dir, ddb):
-    from data_catalog_spark.entries import SEARCH_AFTER_CURSOR, CATALOG_CASES
+    """Compiled end-to-end from the JSON 'searchAfter' field: both the
+    Spark plan and the oracle SQL route through the cursor renderers."""
+    from data_catalog_spark.entries import CATALOG_CASES
 
-    cq = compile_query(*CATALOG_CASES["cat_text_search"])
+    cq = compile_query(*CATALOG_CASES["cat_search_after"])
+    assert cq.search_after == (4.0, "299")
     assert_same(
-        search.hits_after(datasets_df(spark, sf_dir), cq, *SEARCH_AFTER_CURSOR),
+        search.hits(datasets_df(spark, sf_dir), cq),
         ddb,
-        f"{ORACLE_DATASETS_CTE} {sqlgen.hits_after_sql(cq, *SEARCH_AFTER_CURSOR)}",
+        f"{ORACLE_DATASETS_CTE} {sqlgen.hits_sql(cq)}",
     )
+
+
+def test_search_after_compiler_validation():
+    from data_catalog_spark.errors import InvalidQueryError
+
+    base = (["org01"], M.PRIVATE_AND_PUBLIC, False)
+    for bad in (
+        {"searchAfter": "nope"},
+        {"searchAfter": [1.0]},
+        {"searchAfter": [1.0, 2.0]},
+        {"searchAfter": ["1.0", "x"]},
+        {"searchAfter": [True, "x"]},
+        {"searchAfter": [1.0, "x"], "from": 3},
+    ):
+        with pytest.raises(InvalidQueryError):
+            compile_query(bad, *base)
+    cq = compile_query({"searchAfter": [2, "abc"]}, *base)
+    assert cq.search_after == (2.0, "abc")
 
 
 def test_search_after_plan_is_topk_not_global_sort(spark, sf_dir):
     """The cursor page must stay TakeOrderedAndProject(size) — never a
     global sort + offset (the O(from) shape cursor paging exists to
     avoid)."""
-    from data_catalog_spark.entries import SEARCH_AFTER_CURSOR, CATALOG_CASES
+    from data_catalog_spark.entries import CATALOG_CASES
 
-    cq = compile_query(*CATALOG_CASES["cat_text_search"])
+    cq = compile_query(*CATALOG_CASES["cat_search_after"])
     plan = (
-        search.hits_after(datasets_df(spark, sf_dir), cq, *SEARCH_AFTER_CURSOR)
+        search.hits(datasets_df(spark, sf_dir), cq)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
