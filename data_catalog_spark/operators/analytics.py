@@ -414,3 +414,95 @@ ORDER BY dow_num
 
 
 register("orders_dow_seasonality", orders_dow_seasonality, DOW_SEASONALITY_ORACLE)
+
+
+# -- grouped linear trend (regr_slope family) ----------------------------------
+#
+# Per event type: OLS slope/intercept of the DAILY MEAN value over the day
+# index — the monitoring question "is this metric drifting, and how fast
+# per day?".  Two hash aggregations (day rollup, then the five regression
+# sufficient statistics per group), no window, no collect; both layers'
+# sums go through DECIMAL so the statistics are partition-order-independent
+# and cross-engine exact.  x = epoch-day index (integer, exact); y = the
+# day's mean (deterministic: decimal sum / count).
+
+
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, slope_per_day, intercept, r2): the per-type
+    drift line fitted over daily means."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .withColumn("x", F.col("day").cast("double"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,10)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.where(varx != 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(cov / varx, 6).alias("slope_per_day"),
+            F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+            F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DAILY_TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type, CAST(day AS DOUBLE) AS x, y FROM daily
+), sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums WHERE (n * sxx - sx * sx) != 0
+ORDER BY event_type
+"""
+
+register("events_daily_trend", events_daily_trend, DAILY_TREND_ORACLE)

@@ -248,3 +248,49 @@ def test_event_sequences_tile_the_stream(spark, sf_dir):
             i = by_anchor[r.anchor_id]
             assert r.context == [e[1] for e in stream[i : i + L]]
             assert r.label == stream[i + L][1]
+
+
+def test_events_daily_trend_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import analytics as an
+    from conftest import assert_same
+
+    assert_same(
+        an.events_daily_trend(spark, sf_dir), ddb, an.DAILY_TREND_ORACLE
+    )
+
+
+def test_events_daily_trend_matches_numpy(spark, sf_dir):
+    """The decimal-summed sufficient statistics give the same line as a
+    straight numpy polyfit over the same daily means (to fit tolerance)."""
+    import numpy as np
+
+    from data_catalog_spark.operators import analytics as an
+
+    rows = an.events_daily_trend(spark, sf_dir).collect()
+    assert rows
+    from pyspark.sql import functions as F
+    from data_catalog_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.y))
+    for r in rows:
+        pts = sorted(series[r.event_type])
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r.slope_per_day - slope) < 1e-4
+        assert abs(r.intercept - intercept) < max(1e-3, abs(intercept) * 1e-3)
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n_days == len(pts)
