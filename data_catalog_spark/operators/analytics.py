@@ -506,3 +506,106 @@ ORDER BY event_type
 """
 
 register("events_daily_trend", events_daily_trend, DAILY_TREND_ORACLE)
+
+
+# -- single changepoint (binary segmentation via prefix sums) -------------------
+#
+# Per event type: the day that best splits the daily-mean series into two
+# level regimes — argmax over t of the absolute before/after mean gap
+# (the first step of binary-segmentation changepoint detection; CUSUM's
+# recursive fold re-expressed as prefix sums so it stays one window +
+# one aggregation, no driver loop and no recursion).  The cumulative sums
+# run in DECIMAL (exact), so every candidate split's means — and hence
+# the argmax — are bit-identical across engines and partitionings; ties
+# break on the earliest day.
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, split_day, mean_before, mean_after, gap):
+    the best two-regime split of the daily-mean series."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cand = (
+        daily.withColumn(
+            "s_t",
+            F.sum(F.col("y").cast("decimal(28,10)")).over(w_ord),
+        )
+        .withColumn("t", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("s_n", F.sum(F.col("y").cast("decimal(28,10)")).over(w_all))
+        .where(F.col("t") < F.col("n"))
+        .withColumn("mean_before", F.col("s_t").cast("double") / F.col("t"))
+        .withColumn(
+            "mean_after",
+            (F.col("s_n") - F.col("s_t")).cast("double") / (F.col("n") - F.col("t")),
+        )
+        .withColumn("gap", F.abs(F.col("mean_after") - F.col("mean_before")))
+    )
+    # argmax by (gap, earliest day): max of struct(gap, -t, payload)
+    best = cand.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("gap"),
+                (-F.col("t")).alias("neg_t"),
+                F.col("day"),
+                F.col("n"),
+                F.col("mean_before"),
+                F.col("mean_after"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").alias("n_days"),
+        F.date_format("b.day", "yyyy-MM-dd").alias("split_day"),
+        F.round("b.mean_before", 6).alias("mean_before"),
+        F.round("b.mean_after", 6).alias("mean_after"),
+        F.round("b.gap", 6).alias("gap"),
+    ).orderBy("event_type")
+
+
+CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, day,
+         sum(CAST(y AS DECIMAL(28,10)))
+             OVER (PARTITION BY event_type ORDER BY day) AS s_t,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(CAST(y AS DECIMAL(28,10))) OVER (PARTITION BY event_type) AS s_n
+  FROM daily
+), g AS (
+  SELECT event_type, day, t, n,
+         CAST(s_t AS DOUBLE) / t AS mean_before,
+         CAST(s_n - s_t AS DOUBLE) / (n - t) AS mean_after
+  FROM c WHERE t < n
+), r AS (
+  SELECT event_type, day, n, mean_before, mean_after,
+         abs(mean_after - mean_before) AS gap,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(mean_after - mean_before) DESC, t)
+             AS rk
+  FROM g
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       strftime(day, '%Y-%m-%d') AS split_day,
+       round(mean_before, 6) AS mean_before,
+       round(mean_after, 6) AS mean_after,
+       round(gap, 6) AS gap
+FROM r WHERE rk = 1 ORDER BY event_type
+"""
+
+register("events_changepoint", events_changepoint, CHANGEPOINT_ORACLE)

@@ -294,3 +294,43 @@ def test_events_daily_trend_matches_numpy(spark, sf_dir):
         assert abs(r.intercept - intercept) < max(1e-3, abs(intercept) * 1e-3)
         assert 0.0 <= r.r2 <= 1.0
         assert r.n_days == len(pts)
+
+
+def test_events_changepoint_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import analytics as an
+    from conftest import assert_same
+
+    assert_same(
+        an.events_changepoint(spark, sf_dir), ddb, an.CHANGEPOINT_ORACLE
+    )
+
+
+def test_events_changepoint_is_the_argmax_split(spark, sf_dir):
+    """Brute-force every split of the collected daily series: the
+    operator's split maximizes the |before-mean − after-mean| gap."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import analytics as an
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.y))
+    got = {r.event_type: r for r in an.events_changepoint(spark, sf_dir).collect()}
+    for etype, pts in series.items():
+        pts.sort()
+        ys = [p[1] for p in pts]
+        n = len(ys)
+        best_gap = max(
+            abs(sum(ys[t:]) / (n - t) - sum(ys[:t]) / t) for t in range(1, n)
+        )
+        r = got[etype]
+        assert r.n_days == n
+        assert abs(r.gap - best_gap) < 1e-4
+        assert abs(abs(r.mean_after - r.mean_before) - r.gap) < 2e-6
