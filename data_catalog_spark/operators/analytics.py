@@ -427,11 +427,11 @@ register("orders_dow_seasonality", orders_dow_seasonality, DOW_SEASONALITY_ORACL
 # day's mean (deterministic: decimal sum / count).
 
 
-def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, n_days, slope_per_day, intercept, r2): the per-type
-    drift line fitted over daily means."""
-    ev = read_table(spark, sf_dir, "events")
-    daily = (
+def _daily_means(ev: DataFrame) -> DataFrame:
+    """(event_type, day, x, y): per-type daily mean value on the exact
+    epoch-day index — the shared base of the trend fit and the residual
+    anomaly scan."""
+    return (
         ev.groupBy(
             "event_type",
             (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
@@ -446,7 +446,10 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("x", F.col("day").cast("double"))
     )
-    sums = daily.groupBy("event_type").agg(
+
+
+def _trend_sums(daily: DataFrame) -> DataFrame:
+    return daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("sx"),
         F.sum(F.col("y").cast("decimal(28,10)")).cast("double").alias("sy"),
@@ -460,6 +463,10 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("syy"),
     )
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, slope_per_day, intercept, r2): the per-type
+    drift line fitted over daily means."""
+    sums = _trend_sums(_daily_means(read_table(spark, sf_dir, "events")))
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -609,3 +616,100 @@ FROM r WHERE rk = 1 ORDER BY event_type
 """
 
 register("events_changepoint", events_changepoint, CHANGEPOINT_ORACLE)
+
+
+# -- trend-residual anomaly days ------------------------------------------------
+#
+# Composition of the trend fit: a day is anomalous when its mean value
+# sits more than 3 residual-sigmas off the type's own fitted drift line —
+# level shifts and spikes that a static threshold misses when the metric
+# trends.  2 sigma is the common alerting threshold (3 sigma on the
+# synthetic corpus's thin-tailed noise flags nothing at any SF).  Three hash aggregations total (daily rollup, fit sums, residual
+# variance), then a broadcast of the |types|-row fit frame back onto the
+# daily frame; everything decimal-exact, so the flag itself is
+# cross-engine deterministic.
+
+ANOMALY_SIGMAS = 2.0
+
+
+def events_trend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous (event_type, day) rows: observed daily mean, fitted
+    value, residual, and the type's residual sigma."""
+    daily = _daily_means(read_table(spark, sf_dir, "events"))
+    sums = _trend_sums(daily)
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = sums.where(varx != 0).select(
+        "event_type",
+        (cov / varx).alias("slope"),
+        ((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n")).alias("b0"),
+    )
+    resid = (
+        daily.join(F.broadcast(fit), "event_type")
+        .withColumn("yhat", F.col("b0") + F.col("slope") * F.col("x"))
+        .withColumn("resid", F.col("y") - F.col("yhat"))
+    )
+    sigma = resid.groupBy("event_type").agg(
+        F.sqrt(
+            F.sum((F.col("resid") * F.col("resid")).cast("decimal(28,10)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("sigma")
+    )
+    return (
+        resid.join(F.broadcast(sigma), "event_type")
+        .where(F.abs(F.col("resid")) > F.lit(ANOMALY_SIGMAS) * F.col("sigma"))
+        .select(
+            "event_type",
+            F.col("day").alias("epoch_day"),
+            F.round("y", 6).alias("daily_mean"),
+            F.round("yhat", 6).alias("fitted"),
+            F.round("resid", 6).alias("residual"),
+            F.round("sigma", 6).alias("sigma"),
+        )
+        .orderBy("event_type", "epoch_day")
+    )
+
+
+TREND_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type, CAST(day AS DOUBLE) AS x, day, y FROM daily
+), sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+  FROM pts GROUP BY event_type
+), fit AS (
+  SELECT event_type,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS b0
+  FROM sums WHERE (n * sxx - sx * sx) != 0
+), resid AS (
+  SELECT p.event_type, p.day, p.y,
+         f.b0 + f.slope * p.x AS yhat,
+         p.y - (f.b0 + f.slope * p.x) AS resid
+  FROM pts p JOIN fit f USING (event_type)
+), sigma AS (
+  SELECT event_type,
+         sqrt(CAST(sum(CAST(resid * resid AS DECIMAL(28,10))) AS DOUBLE)
+              / count(*)) AS sigma
+  FROM resid GROUP BY event_type
+)
+SELECT r.event_type, r.day AS epoch_day,
+       round(r.y, 6) AS daily_mean,
+       round(r.yhat, 6) AS fitted,
+       round(r.resid, 6) AS residual,
+       round(s.sigma, 6) AS sigma
+FROM resid r JOIN sigma s USING (event_type)
+WHERE abs(r.resid) > {ANOMALY_SIGMAS!r} * s.sigma
+ORDER BY r.event_type, epoch_day
+"""
+
+register("events_trend_anomalies", events_trend_anomalies, TREND_ANOMALY_ORACLE)

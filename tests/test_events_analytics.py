@@ -334,3 +334,25 @@ def test_events_changepoint_is_the_argmax_split(spark, sf_dir):
         assert r.n_days == n
         assert abs(r.gap - best_gap) < 1e-4
         assert abs(abs(r.mean_after - r.mean_before) - r.gap) < 2e-6
+
+
+def test_events_trend_anomalies_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import analytics as an
+    from conftest import assert_same
+
+    assert_same(
+        an.events_trend_anomalies(spark, sf_dir), ddb, an.TREND_ANOMALY_ORACLE
+    )
+
+
+def test_events_trend_anomalies_semantics(spark, sf_dir):
+    """Every flagged day really exceeds the threshold; residual is the
+    observed-minus-fitted gap; non-trivial result at this SF."""
+    from data_catalog_spark.operators import analytics as an
+
+    rows = an.events_trend_anomalies(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.residual) > an.ANOMALY_SIGMAS * r.sigma - 1e-6
+        assert abs((r.daily_mean - r.fitted) - r.residual) < 2e-6
+        assert r.sigma > 0
