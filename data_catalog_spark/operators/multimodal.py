@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import read_table
-from . import gif, jpeg
+from . import bmp, gif, jpeg
 from .registry import register
 
 MEDIA_SCHEMA = T.StructType(
@@ -271,6 +271,12 @@ def _image_features(content: bytes) -> tuple[list[float], str] | None:
             return _luma_hist(px, channels), "gif"
         except ValueError:
             return None
+    if content.startswith(bmp.BMP_MAGIC):
+        try:
+            _, _, channels, px = bmp.decode_bmp(content)
+            return _luma_hist(px, channels), "bmp"
+        except ValueError:
+            return None
     return None
 
 
@@ -278,7 +284,8 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
     """Decode an image blob to features.  Decodable PNG blobs get the REAL
     stdlib decode (``decode_png``), decodable baseline JPEGs the REAL
     stdlib+numpy decode (``jpeg.decode_jpeg``), and decodable GIFs the
-    REAL stdlib LZW decode (``gif.decode_gif``) — features are the
+    REAL stdlib LZW decode (``gif.decode_gif``), and decodable 24bpp
+    BMPs the REAL stdlib+numpy decode (``bmp.decode_bmp``) — features are the
     normalized 4-bin luminance histogram of the actual pixels (alpha
     excluded for GA/RGBA).  Everything else — other formats (TIFF/WebP
     etc., which need pillow), and the variants/corruption the real
@@ -444,7 +451,7 @@ def _byte_histogram(content: bytes, bins: int = 4) -> list[float]:
 
 def classify_decode(kind: str, content: bytes) -> str:
     """Reject-lane classification: 'real' iff the blob decodes through a
-    REAL stdlib decoder for its kind (PNG / baseline JPEG / GIF for
+    REAL stdlib decoder for its kind (PNG / JPEG / GIF / 24bpp BMP for
     images, PCM WAV for audio; video is always 'reject' — ffmpeg-gated).  The
     classification is by ATTEMPTING the decode, not by sniffing magic
     bytes, so a corrupt PNG or a progressive JPEG lands in the reject
@@ -580,8 +587,10 @@ def synth_mixed_media(
     the text's first bytes), image rows with media_id % 12 == 3 genuine
     8×8 gray baseline JPEGs (jpeg.encode_jpeg over the text's first
     bytes), image rows with media_id % 24 == 9 genuine 4×6 interlaced
-    gray GIFs (gif.encode_gif; % 24 == 21 stays a raw reject so the
-    image reject lane never empties), audio rows with media_id % 6 == 1
+    gray GIFs (gif.encode_gif), image rows with media_id % 48 == 21
+    genuine 1×5 RGB 24bpp BMPs (bmp.encode_bmp; % 48 == 45 stays a raw
+    reject so the image reject lane never empties), audio rows with
+    media_id % 6 == 1
     genuine 16-bit PCM WAVs, and video rows with media_id % 6 == 2
     genuine RIFF/AVI containers
     whose frames are exactly the byte-chunks the fallback sampler would
@@ -622,6 +631,9 @@ def synth_mixed_media(
                     new_content.append(
                         gif.encode_gif(px.reshape(4, 6), interlace=True)
                     )
+                elif kind == "image" and mid % 48 == 21:
+                    px = np.frombuffer((raw + b"\x00" * 15)[:15], dtype=np.uint8)
+                    new_content.append(bmp.encode_bmp(px.reshape(1, 5, 3)))
                 elif kind == "audio" and mid % 6 == 1:
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as w:
@@ -685,9 +697,11 @@ WITH m AS (
          CASE WHEN doc_id % 6 = 0 THEN 'png'
               WHEN doc_id % 12 = 3 THEN 'jpeg'
               WHEN doc_id % 24 = 9 THEN 'gif'
+              WHEN doc_id % 48 = 21 THEN 'bmp'
               WHEN doc_id % 6 = 1 THEN 'wav'
               ELSE 'none' END AS fmt,
          CASE WHEN doc_id % 6 IN (0, 1) OR doc_id % 12 = 3 OR doc_id % 24 = 9
+                   OR doc_id % 48 = 21
               THEN 1 ELSE 0 END AS is_real
   FROM documents
 )
