@@ -470,8 +470,11 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # vary == 0 (constant daily means) would make r2 a 0/0 — which Spark's
+    # non-ANSI division NULLs while DuckDB IEEE-NaNs, so the degenerate
+    # group is dropped on BOTH engines instead
     return (
-        sums.where(varx != 0)
+        sums.where((varx != 0) & (vary != 0))
         .select(
             "event_type",
             F.col("n").alias("n_days"),
@@ -508,7 +511,8 @@ SELECT event_type, n AS n_days,
            AS intercept,
        round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-FROM sums WHERE (n * sxx - sx * sx) != 0
+FROM sums
+WHERE (n * sxx - sx * sx) != 0 AND (n * syy - sy * sy) != 0
 ORDER BY event_type
 """
 

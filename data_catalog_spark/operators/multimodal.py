@@ -304,8 +304,10 @@ def decode_image(content: bytes, *, fake: bool = False) -> list[float]:
         jpeg.decode_jpeg(content)  # raises the specific ValueError
     if content.startswith(gif.GIF_MAGIC):
         gif.decode_gif(content)  # raises the specific ValueError
+    if content.startswith(bmp.BMP_MAGIC):
+        bmp.decode_bmp(content)  # raises the specific ValueError
     raise NotImplementedError(
-        "image decode beyond PNG/baseline-JPEG/GIF requires pillow/opencv "
+        "image decode beyond PNG/JPEG/GIF/24bpp-BMP requires pillow/opencv "
         "(not installed); pass fake=True for the deterministic stand-in"
     )
 

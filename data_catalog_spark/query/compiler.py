@@ -238,15 +238,18 @@ def compile_query(
 
     search_after = query_dict.get("searchAfter")
     if search_after is not None:
+        import math
+
         if (
             not isinstance(search_after, (list, tuple))
             or len(search_after) != 2
             or isinstance(search_after[0], bool)
             or not isinstance(search_after[0], (int, float))
+            or not math.isfinite(search_after[0])
             or not isinstance(search_after[1], str)
         ):
             raise InvalidQueryError(
-                "'searchAfter' must be a [score, id] pair (number, string)."
+                "'searchAfter' must be a [score, id] pair (finite number, string)."
             )
         if "from" in query_dict:
             raise InvalidQueryError(

@@ -145,8 +145,8 @@ def hits_after_sql(
         f"SELECT * FROM (SELECT {cols}, {score_sql(cq)} AS score "
         f"FROM {relation} WHERE {query_where_sql(cq)}) q "
         f"WHERE ({post_where_sql(cq)}) "
-        f"AND (score < {after_score!r} "
-        f"OR (score = {after_score!r} AND id > '{after_id}')) "
+        f"AND (score < {float(after_score)!r} "
+        f"OR (score = {float(after_score)!r} AND id > {_lit(after_id)})) "
         f"ORDER BY score DESC, id "
         f"LIMIT {cq.size}"
     )

@@ -258,11 +258,31 @@ class SegmentedTextIndex:
     bounded by TS_INLINE_MAX per segment."""
 
     def __init__(self, spark: SparkSession, path: str):
+        import json
         import os
 
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # Seed a fresh directory with an EMPTY manifest (atomically, losers
+        # of the O_EXCL race skip) so the manifest exists BEFORE the first
+        # segment dir ever does.  This keeps two properties: a reader
+        # racing the first rebuild sees a valid empty index (not the
+        # stray-segments guard), and a crash mid-first-build leaves the
+        # index readable-empty with the orphaned segment swept by the next
+        # mutation.  Directories that already hold seg-* dirs but no
+        # manifest are NOT seeded — that is the pre-manifest legacy layout
+        # the _manifest() guard must surface.
+        manifest = self._manifest_file()
+        if not os.path.exists(manifest) and not any(
+            d.startswith("seg-") for d in os.listdir(path)
+        ):
+            try:
+                fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, json.dumps({"segments": []}).encode())
+                os.close(fd)
+            except FileExistsError:
+                pass
 
     # -- manifest + lock ----------------------------------------------------
 
@@ -321,15 +341,22 @@ class SegmentedTextIndex:
 
         Index mutations run DISTRIBUTED WRITES (segment postings, id/
         tombstone sidecars, compaction merges) inside the critical
-        section, which can easily outlive LOCK_STALE_AFTER — so, exactly
-        like the catalog, the yielded handle exposes ``heartbeat()``
-        (re-touch the lock mtime after each long write, so a LIVE holder
-        never goes stale mid-section) and ``assert_held()`` (called
-        immediately before every manifest swap: if a waiter broke our
-        lock, abort instead of clobbering the successor's manifest and
-        letting the orphan sweep delete its committed segments)."""
+        section, which can easily outlive LOCK_STALE_AFTER — so the
+        yielded handle exposes the catalog's ``heartbeat()`` /
+        ``assert_held()`` pair, AND (beyond the catalog, whose critical
+        sections are sub-second renames) a daemon TICKER thread
+        re-touches the lock mtime every LOCK_STALE_AFTER/4 seconds for
+        the whole section — a live holder can be mid-way through ONE
+        60-second-plus Spark write with no point to call heartbeat()
+        from, and without the ticker a waiter would stale-break it
+        mid-job.  ``assert_held()`` before every manifest swap stays as
+        the belt-and-braces: if the lock DID change hands (ticker
+        starved, clock skew), abort instead of clobbering the
+        successor's manifest and letting the orphan sweep delete its
+        committed segments."""
         import contextlib
         import os
+        import threading
         import time
         import uuid
 
@@ -392,9 +419,22 @@ class SegmentedTextIndex:
                             f"within {timeout}s"
                         )
                     time.sleep(0.05)
+            handle = _Handle(token)
+            stop = threading.Event()
+
+            def _tick():
+                while not stop.wait(LOCK_STALE_AFTER / 4):
+                    handle.heartbeat()
+
+            ticker = threading.Thread(
+                target=_tick, name="index-lock-heartbeat", daemon=True
+            )
+            ticker.start()
             try:
-                yield _Handle(token)
+                yield handle
             finally:
+                stop.set()
+                ticker.join(timeout=5)
                 # Never touch a lock we don't own: check ownership FIRST
                 # (if ours was broken and a successor holds the path,
                 # leave it alone).  Claim by atomic rename, re-check, and

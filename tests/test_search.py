@@ -289,6 +289,8 @@ def test_search_after_compiler_validation():
         {"searchAfter": ["1.0", "x"]},
         {"searchAfter": [True, "x"]},
         {"searchAfter": [1.0, "x"], "from": 3},
+        {"searchAfter": [float("nan"), "x"]},
+        {"searchAfter": [float("inf"), "x"]},
     ):
         with pytest.raises(InvalidQueryError):
             compile_query(bad, *base)
@@ -311,3 +313,27 @@ def test_search_after_plan_is_topk_not_global_sort(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan
+
+
+def test_search_after_cursor_id_is_sql_escaped():
+    """A quote in the cursor id must render as valid escaped SQL, not
+    break (or inject into) the oracle renderer."""
+    from data_catalog_spark.entries import ORGS
+
+    cq = compile_query(
+        {"query": "widget", "size": 5, "searchAfter": [4.0, "o'brien"]},
+        ORGS,
+        M.PRIVATE_AND_PUBLIC,
+        False,
+    )
+    sql = sqlgen.hits_sql(cq)
+    assert "id > 'o''brien'" in sql
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW datasets AS SELECT * FROM (VALUES "
+                "('a', 't', 'c', 'd', 'csv', 1::BIGINT, 1::BIGINT, 'u', 'tu', "
+                "'hdfs', TRUE, 'org01', '2014-01-01T00:00:00')) "
+                "t(id, title, category, dataSample, format, recordCount, size, "
+                "sourceUri, targetUri, storeType, isPublic, orgUUID, creationTime)")
+    con.execute(sql)  # parses and runs — no injection break

@@ -622,3 +622,34 @@ def test_pre_manifest_layout_raises_not_empty(spark, tmp_path):
     idx = SegmentedTextIndex(spark, path)
     with pytest.raises(IndexCorruptError):
         idx.postings()
+
+
+def test_reader_racing_first_build_sees_empty_not_corrupt(spark, tmp_path):
+    """Construction seeds an empty manifest, so stray seg dirs from an
+    in-progress (or crashed) FIRST build read as an empty index — the
+    corrupt guard is reserved for true pre-manifest legacy layouts."""
+    import os
+
+    from data_catalog_spark.text_index import SegmentedTextIndex
+
+    idx = SegmentedTextIndex(spark, str(tmp_path / "ix"))
+    os.makedirs(os.path.join(idx.path, "seg-inprogress"))
+    assert idx.postings().count() == 0  # readable empty, no raise
+
+
+def test_lock_ticker_keeps_live_holder_fresh(spark, tmp_path, monkeypatch):
+    """A holder mid-way through one long job (no heartbeat() call sites)
+    must never go stale: the daemon ticker refreshes the lock mtime."""
+    import os
+    import time
+
+    from data_catalog_spark import text_index as ti
+
+    monkeypatch.setattr(ti, "LOCK_STALE_AFTER", 0.4)
+    idx = ti.SegmentedTextIndex(spark, str(tmp_path / "ix"))
+    lock = os.path.join(idx.path, ".INDEX_LOCK")
+    with idx._mutation_lock() as lk:
+        time.sleep(1.2)  # 3x the stale threshold, no explicit heartbeat
+        assert time.time() - os.path.getmtime(lock) < 0.4
+        lk.assert_held()  # still ours
+    assert not os.path.exists(lock)
