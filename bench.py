@@ -116,6 +116,10 @@ HEADLINE = [
     "dedup_keep_best",
     "hard_negative_mining",
     "ann_int8_topk",
+    "corpus_zipf_fit",
+    "event_training_sequences",
+    "events_changepoint",
+    "cat_search_after",
 ]
 
 

@@ -73,3 +73,14 @@ class IndexedCatalog:
         return indexed_hits_df(
             self.catalog.spark, self.catalog.df(), self.index.postings(), cq
         )
+
+    def hits_at(self, cq: CompiledQuery, version: int) -> DataFrame:
+        """Point-in-time search: the same compiled query evaluated over
+        the table AS OF snapshot ``version`` (time travel ∘ query
+        compilation — 'what did this search return before yesterday's
+        bulk load?').  Runs the scan path: the inverted index tracks only
+        the CURRENT generation, and audit/repro queries trade the probe
+        acceleration for exactness against the historical snapshot."""
+        from . import search
+
+        return search.hits(self.catalog.df(version=version), cq)

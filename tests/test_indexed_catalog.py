@@ -222,3 +222,29 @@ def test_injected_crash_between_commit_and_index(spark, tmp_path, monkeypatch):
             tuple(r) for r in search.hits(cat.df(), cq).collect()
         ]
     assert _ids(ic.hits(_q("capacitor"))) == {"a"}
+
+
+def test_point_in_time_search(spark, tmp_path):
+    """hits_at replays a search against a historical snapshot: results
+    reflect the table AS OF that version while current hits move on."""
+    cat = DatasetsCatalog(spark, str(tmp_path / "tbl"))
+    ic = IndexedCatalog(cat, str(tmp_path / "idx"))
+    ic.resync()
+
+    ic.upsert("a", ENTRY)  # v: widget titled 'a'
+    v1 = max(cat.versions())
+    ic.partial_update("a", {"title": "renamed sprocket metrics"})
+    ic.upsert("b", {**ENTRY, "title": "widget two"})
+    v2 = max(cat.versions())
+    assert v2 > v1
+
+    # current search: 'a' matches only via sourceUri; 'b' via title+uri
+    assert _ids(ic.hits(_q("widget"))) == {"a", "b"}
+    assert _ids(ic.hits(_q("sprocket"))) == {"a"}
+    # as of v1: only 'a', under its ORIGINAL title; sprocket unknown
+    at1 = ic.hits_at(_q("widget"), v1).collect()
+    assert {r.id for r in at1} == {"a"}
+    assert at1[0].title == "shiny widget metrics"
+    assert _ids(ic.hits_at(_q("sprocket"), v1)) == set()
+    # as of v2 == current
+    assert _ids(ic.hits_at(_q("widget"), v2)) == {"a", "b"}
