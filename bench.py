@@ -120,6 +120,7 @@ HEADLINE = [
     "event_training_sequences",
     "events_changepoint",
     "cat_search_after",
+    "rag_passage_topk",
 ]
 
 

@@ -496,3 +496,94 @@ ORDER BY da, db
 
 
 register("docs_tfidf_cosine_pairs", docs_tfidf_cosine_pairs, _cosine_pairs_oracle())
+
+
+# -- RAG passage retrieval (chunk ∘ BM25) --------------------------------------
+#
+# The retrieval-augmented-generation indexing shape: documents are split
+# into overlapping fixed-token-window PASSAGES (what actually goes in a
+# context window), and ranked retrieval runs over passages, not whole
+# docs.  Pure composition: the chunker is the traindata token-window
+# shape, the ranker is bm25_scores reused VERBATIM over the passage frame
+# (passage surrogate key = doc_id·PASSAGE_KEY_BASE + chunk_idx, split
+# back on output).  One extra explode vs doc-level BM25; everything else
+# identical, which is the point — passages are just a smaller document.
+
+PASSAGE_W = 32  # window tokens
+PASSAGE_S = 24  # stride (8-token overlap)
+PASSAGE_KEY_BASE = 100_000  # chunks per doc bound for the surrogate key
+
+
+def _passages(docs: DataFrame) -> DataFrame:
+    """(doc_id = surrogate pid, text = chunk text): overlapping token
+    windows; the final short tail window is kept (BM25's length
+    normalization handles it)."""
+    chunks = (
+        f"transform(sequence(1, size(t), {PASSAGE_S}), "
+        f"s -> struct(CAST((s - 1) DIV {PASSAGE_S} AS BIGINT) AS idx, "
+        f"array_join(slice(t, s, {PASSAGE_W}), ' ') AS chunk))"
+    )
+    return (
+        docs.withColumn("t", F.expr(SPARK_TOKENS))
+        .where(F.expr("size(t)") > 0)
+        .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            (F.col("doc_id") * PASSAGE_KEY_BASE + F.col("c.idx")).alias("doc_id"),
+            F.col("c.chunk").alias("text"),
+        )
+    )
+
+
+def rag_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PASSAGES for QUERY_TERMS by BM25 over the chunked corpus:
+    (doc_id, chunk_idx, score), ties broken by passage key."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = bm25_scores(spark, _passages(docs))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(TOP_K)
+        .select(
+            (F.col("doc_id") / PASSAGE_KEY_BASE).cast("bigint").alias("doc_id"),
+            (F.col("doc_id") % PASSAGE_KEY_BASE).cast("int").alias("chunk_idx"),
+            "score",
+        )
+    )
+
+
+def _rag_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    w = _bm25_weight_sql("n_docs", "total_tokens")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {DUCK_TOKENS} AS t FROM documents
+), p AS (
+  SELECT doc_id * {PASSAGE_KEY_BASE} + (s - 1) // {PASSAGE_S} AS doc_id,
+         array_to_string(t[s : s + {PASSAGE_W} - 1], ' ') AS text
+  FROM base, LATERAL unnest(range(1, len(t) + 1, {PASSAGE_S})) AS r(s)
+  WHERE len(t) > 0
+), postings AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM p
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, term
+), q(term) AS (VALUES {terms}),
+matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term),
+dl AS (SELECT doc_id, len({DUCK_TOKENS}) AS dl FROM p),
+n AS (SELECT count(*) AS n_docs, (SELECT SUM(dl) FROM dl) AS total_tokens
+      FROM p),
+top AS (
+  SELECT doc_id, round(SUM({w}), 6) AS score
+  FROM matched JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT {TOP_K}
+)
+SELECT CAST(doc_id // {PASSAGE_KEY_BASE} AS BIGINT) AS doc_id,
+       CAST(doc_id % {PASSAGE_KEY_BASE} AS INTEGER) AS chunk_idx,
+       score
+FROM top
+"""
+
+
+register("rag_passage_topk", rag_passage_topk, _rag_oracle())

@@ -141,3 +141,42 @@ def test_cosine_pairs_agree_with_jaccard_dups(spark, sf_dir):
     cos = {(r.da, r.db) for r in ti.docs_tfidf_cosine_pairs(spark, sf_dir).collect()}
     assert jac and cos
     assert len(jac & cos) / len(jac) >= 0.9
+
+
+# -- RAG passage retrieval ------------------------------------------------------
+
+
+def test_rag_passage_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import tfidf as tf
+    from conftest import assert_same
+
+    assert_same(tf.rag_passage_topk(spark, sf_dir), ddb, tf._rag_oracle())
+
+
+def test_rag_passages_tile_documents(spark, sf_dir):
+    """Chunker invariants: every passage is a contiguous token window of
+    its source doc at stride S; retrieved chunk indices are in range."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import tfidf as tf
+    from data_catalog_spark.operators.text import SPARK_TOKENS
+
+    toks = {
+        r.doc_id: r.t
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("t"))
+        .collect()
+    }
+    rows = tf.rag_passage_topk(spark, sf_dir).collect()
+    assert rows
+    # scores descend, and each (doc, chunk) points at a real window
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        t = toks[r.doc_id]
+        start = r.chunk_idx * tf.PASSAGE_S
+        assert 0 <= start < len(t)
+        window = t[start : start + tf.PASSAGE_W]
+        # the retrieved passage must contain at least one query term
+        assert set(window) & set(tf.QUERY_TERMS)
