@@ -511,21 +511,33 @@ register("docs_tfidf_cosine_pairs", docs_tfidf_cosine_pairs, _cosine_pairs_oracl
 
 PASSAGE_W = 32  # window tokens
 PASSAGE_S = 24  # stride (8-token overlap)
-PASSAGE_KEY_BASE = 100_000  # chunks per doc bound for the surrogate key
+# Surrogate-key radix: pid = doc_id · BASE + chunk_idx.  At 1e9 the key
+# overflows signed BIGINT only past ~9.2e9 documents, and the chunk field
+# only past a 24-BILLION-token single document — both beyond any real
+# corpus, unlike the 100k radix this started with (whose chunk field a
+# ~10 MB document could genuinely overflow into the next doc's key
+# space).  Decode uses integer DIV/%, exact at any magnitude.
+PASSAGE_KEY_BASE = 1_000_000_000
 
 
 def _passages(docs: DataFrame) -> DataFrame:
     """(doc_id = surrogate pid, text = chunk text): overlapping token
     windows; the final short tail window is kept (BM25's length
-    normalization handles it)."""
+    normalization handles it).  Deliberately NOT shared with
+    traindata.docs_chunk_tokens (CHUNK=16/STRIDE=12, start-token output):
+    that chunker's formulation is pinned by its own committed oracle —
+    cross-reference instead of a helper whose change would ripple into
+    both.  The empty-doc filter is a cheap rlike on the RAW text
+    (equivalent to size(tokens) > 0 for the [^a-z0-9]+ tokenizer) so the
+    tokenizer is not evaluated a second time inside a Filter."""
     chunks = (
         f"transform(sequence(1, size(t), {PASSAGE_S}), "
         f"s -> struct(CAST((s - 1) DIV {PASSAGE_S} AS BIGINT) AS idx, "
         f"array_join(slice(t, s, {PASSAGE_W}), ' ') AS chunk))"
     )
     return (
-        docs.withColumn("t", F.expr(SPARK_TOKENS))
-        .where(F.expr("size(t)") > 0)
+        docs.where(F.col("text").rlike("(?i)[a-z0-9]"))
+        .withColumn("t", F.expr(SPARK_TOKENS))
         .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
         .select(
             (F.col("doc_id") * PASSAGE_KEY_BASE + F.col("c.idx")).alias("doc_id"),
@@ -536,14 +548,20 @@ def _passages(docs: DataFrame) -> DataFrame:
 
 def rag_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k PASSAGES for QUERY_TERMS by BM25 over the chunked corpus:
-    (doc_id, chunk_idx, score), ties broken by passage key."""
+    (doc_id, chunk_idx, score), ties broken by passage key.  The passage
+    frame is materialized behind a lazy localCheckpoint — bm25_scores
+    reads it four ways (count, length sum, postings, dl join), and
+    without the barrier each pass re-runs the tokenize+window explode
+    (dsir.py's multi-consumer rule)."""
     docs = read_table(spark, sf_dir, "documents")
-    scored = bm25_scores(spark, _passages(docs))
+    scored = bm25_scores(spark, _passages(docs).localCheckpoint(eager=False))
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(TOP_K)
         .select(
-            (F.col("doc_id") / PASSAGE_KEY_BASE).cast("bigint").alias("doc_id"),
+            F.expr(f"CAST(doc_id DIV {PASSAGE_KEY_BASE} AS BIGINT)").alias(
+                "doc_id"
+            ),
             (F.col("doc_id") % PASSAGE_KEY_BASE).cast("int").alias("chunk_idx"),
             "score",
         )
