@@ -35,34 +35,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return search.hits(datasets_df(spark, "/root/testdata/sf0.001"), cq)
 
 
-def _never_sampled_first(names: list[str]) -> list[str]:
-    """Order query names so entries the driver has NEVER hash-checked (no
-    row in any committed CORRECTNESS_r*.json) come first — if the driver's
-    per-round sample is prefix-biased, coverage of the registry's long tail
-    improves round over round.  Within each group the original registration
-    order is kept (stable)."""
+def _never_sampled_first(
+    names: list[str], with_oracle: set[str] | None = None
+) -> list[str]:
+    """Order query names so entries the driver has never hash-GREENED come
+    first — if the driver's per-round sample is prefix-biased, coverage of
+    the registry's long tail improves round over round.  Three groups:
+
+    1. oracle-checkable entries with no hash_match=true row in any committed
+       CORRECTNESS_r*.json (includes past error rows, so a fixed query gets
+       re-checked);
+    2. already-green entries, rotated deterministically by round number
+       (count of committed CORRECTNESS files) so old greens get re-verified
+       over time instead of never again;
+    3. no-oracle (rows-only) entries LAST — a sample slot spent on them can
+       only ever report `no_oracle` (r6 spent 2 of 50 slots this way).
+    """
     import glob
     import json
 
-    seen: set[str] = set()
+    green: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
+    rounds = 0
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
                 data = json.load(f)
-            if isinstance(data, dict):
-                seen.update(data.keys())
         except (OSError, ValueError):
             continue
-    fresh = [n for n in names if n not in seen]
-    return fresh + [n for n in names if n in seen]
+        if not isinstance(data, dict):
+            continue
+        rounds += 1
+        for n, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(n)
+    if with_oracle is None:
+        with_oracle = set(names)
+    fresh = [n for n in names if n not in green and n in with_oracle]
+    seen = [n for n in names if n in green]
+    rows_only = [n for n in names if n not in green and n not in with_oracle]
+    if seen:
+        k = (rounds * 29) % len(seen)  # deterministic per-round rotation
+        seen = seen[k:] + seen[:k]
+    return fresh + seen + rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from data_catalog_spark.entries import all_queries
+    from data_catalog_spark.entries import all_oracles, all_queries
 
     qs = all_queries()
-    return {n: qs[n] for n in _never_sampled_first(list(qs))}
+    order = _never_sampled_first(list(qs), set(all_oracles()))
+    return {n: qs[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:

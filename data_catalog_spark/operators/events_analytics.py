@@ -707,13 +707,18 @@ register("events_hopping_window", events_hopping_window, HOPPING_ORACLE)
 # power user's million-event stream never materializes as a single array;
 # at 100 TB this is one shuffle on user_id and map-side window evaluation.
 # Ordering ties broken by event_id so both engines slice identically.
+# The context is emitted as a single space-joined STRING (not array<string>):
+# the driver's canonicalizer hashes rows with pandas, which cannot factorize
+# list cells, so every registered query's output schema must be scalar-only
+# (guarded by tests/test_registry_schemas.py).
 
 SEQ_LEN = 4  # context length; the (SEQ_LEN+1)-th event is the label
 
 
 def event_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, anchor event_id, context array of SEQ_LEN event types,
-    label): every position with a full window contributes one example."""
+    """(user_id, anchor event_id, space-joined context of SEQ_LEN event
+    types, label): every position with a full window contributes one
+    example."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = [
         F.lead("event_type", k).over(w).alias(f"e{k}")
@@ -727,7 +732,9 @@ def event_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_id").alias("anchor_id"),
-            F.array(*[F.col(f"e{k}") for k in range(SEQ_LEN)]).alias("context"),
+            F.concat_ws(
+                " ", *[F.col(f"e{k}") for k in range(SEQ_LEN)]
+            ).alias("context"),
             F.col(f"e{SEQ_LEN}").alias("label"),
         )
         .orderBy("user_id", "anchor_id")
@@ -746,7 +753,7 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, event_id AS anchor_id,
-       [{", ".join(f"e{k}" for k in range(SEQ_LEN))}] AS context,
+       concat_ws(' ', {", ".join(f"e{k}" for k in range(SEQ_LEN))}) AS context,
        e{SEQ_LEN} AS label
 FROM s WHERE e{SEQ_LEN} IS NOT NULL
 ORDER BY user_id, anchor_id

@@ -1,0 +1,172 @@
+"""In-engine k-means training (Lloyd's algorithm) as a registered,
+oracle-checked operator.
+
+The IVF / PQ / SemDeDup quantizers consume FROZEN centroid literals
+(operators/ann_models.py, generated offline by scripts/train_ann_models.py).
+``kmeans_train`` promotes the training itself to a first-class engine
+operator: every Lloyd iteration is one distributed Spark aggregation;
+the driver holds only the k×dim model state between iterations (the same
+control-only loop shape as corpus._connected_components).  The DuckDB
+oracle REPLAYS the identical iterations, so the gate checks the trained
+model, not just the code path.
+
+Cross-engine determinism (the part that makes a trained model
+hash-checkable at all):
+
+- **Fixed-point sums, not decimal casts of raw doubles.**  Each summed
+  value is first quantized to integer microunits — ``round(x * 1e6)`` is
+  half-away-from-zero in BOTH engines — and summed as DECIMAL(38,0)
+  (exact, order-independent, no overflow at any realistic scale; a
+  bigint would overflow near 1e19 at 100 TB).  Casting a raw double to
+  DECIMAL(28,18) instead would hit the scale-18 rounding *tie* for any
+  value with exactly 19 fractional bits (~1.5% of random floats), where
+  Spark's HALF_UP and another engine's HALF_EVEN can disagree.
+- **One double division at the end**: centroid = (sum / n) / 1e6 in IEEE
+  double on both sides, so every iteration's centroids are bitwise equal,
+  distances (same zip-with fold order; see the list-comprehension parity
+  note in the module docstring of similarity.py) are bitwise equal, and
+  argmin assignments are identical.
+- Ties in argmin resolve to the LOWEST cluster index on both engines
+  (array_position / list_position return the first match).
+
+Scale design (100 TB): each iteration = one map-side-combined groupBy on
+(cluster, pos) producing k·dim rows — the shuffle is model-sized, not
+data-sized; assignment is a map-only pass against broadcast centroid
+literals.  Reference parity: the reference has no in-engine training; this
+is part of the LLM-pipeline surface (IVF coarse-quantizer training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .similarity import _assign_clusters, _emb, _with_centroid_dists
+
+K_TRAIN = 8
+TRAIN_ITERS = 4
+_DIM = 64
+_Q = 1_000_000.0  # microunit fixed-point quantum
+
+
+def _micro_sum(col: str) -> F.Column:
+    """Exact, order-independent sum of round(col · 1e6) microunits."""
+    return F.sum(
+        F.round(F.col(col) * F.lit(_Q)).cast("decimal(38,0)")
+    )
+
+
+def _lloyd_centroids(spark: SparkSession, e: DataFrame) -> list[list[float]]:
+    init = [
+        [float(x) for x in r.v]
+        for r in e.orderBy("vec_id").limit(K_TRAIN).collect()
+    ]
+    cents = init
+    for _ in range(TRAIN_ITERS):
+        rows = (
+            _assign_clusters(e, cents)
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(_micro_sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {(r.cluster, r.pos): float(r.s) / float(r.n) / _Q for r in rows}
+        cents = [
+            [new.get((c, p), cents[c][p]) for p in range(_DIM)]
+            for c in range(K_TRAIN)
+        ]
+    return cents
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train k=8 / 4-iteration Lloyd's over the embeddings table and emit
+    the model: one row per (cluster, pos) with the centroid component plus
+    the cluster's final point count and inertia (sum of squared distance
+    of members to their centroid, in the same microunit fixed point)."""
+    e = _emb(spark, sf_dir)
+    cents = _lloyd_centroids(spark, e)
+    stats = (
+        _with_centroid_dists(e, cents)
+        .select(
+            F.expr(
+                "CAST(array_position(dists, array_min(dists)) - 1 AS INT)"
+            ).alias("cluster"),
+            F.array_min("dists").alias("dist"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            (_micro_sum("dist").cast("double") / F.lit(_Q)).alias("inertia"),
+        )
+    )
+    cent_rows = [
+        (c, p, cents[c][p]) for c in range(K_TRAIN) for p in range(_DIM)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster int, pos int, centroid double"
+    )
+    return (
+        cent_df.join(F.broadcast(stats), "cluster")
+        .select("cluster", "pos", "centroid", "n_points", "inertia")
+        .orderBy("cluster", "pos")
+    )
+
+
+def _kmeans_oracle() -> str:
+    dist = "list_sum([(v[k] - c[k]) * (v[k] - c[k]) for k in range(1, 65)])"
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),",
+        f"c0 AS (SELECT list(v ORDER BY vec_id) AS cents FROM"
+        f" (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {K_TRAIN})),",
+    ]
+    for i in range(1, TRAIN_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, [{dist} for c in cents] AS dists
+  FROM e CROSS JOIN c{i - 1}),
+s{i} AS (
+  SELECT CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster,
+         unnest(v) AS val, unnest(range(0, {_DIM})) AS pos
+  FROM a{i}),
+m{i} AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(round(val * {_Q}) AS DECIMAL(38,0))) AS DOUBLE)
+           / COUNT(*) / {_Q} AS val
+  FROM s{i} GROUP BY cluster, pos),
+cv{i} AS (SELECT cluster, list(val ORDER BY pos) AS cv
+          FROM m{i} GROUP BY cluster),
+c{i} AS (
+  SELECT list(COALESCE(cv, prev) ORDER BY cl) AS cents FROM (
+    SELECT r.cl AS cl,
+           (SELECT cv FROM cv{i} WHERE cv{i}.cluster = r.cl) AS cv,
+           c{i - 1}.cents[r.cl + 1] AS prev
+    FROM range(0, {K_TRAIN}) r(cl) CROSS JOIN c{i - 1})),"""
+        )
+    n = TRAIN_ITERS
+    parts.append(
+        f"""af AS (
+  SELECT [{dist} for c in cents] AS dists
+  FROM e CROSS JOIN c{n}),
+stats AS (
+  SELECT CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(round(list_min(dists) * {_Q}) AS DECIMAL(38,0)))
+              AS DOUBLE) / {_Q} AS inertia
+  FROM af GROUP BY 1),
+flat AS (
+  SELECT r.cl AS cluster, p.pos AS pos,
+         c{n}.cents[r.cl + 1][p.pos + 1] AS centroid
+  FROM range(0, {K_TRAIN}) r(cl)
+  CROSS JOIN range(0, {_DIM}) p(pos) CROSS JOIN c{n})
+SELECT f.cluster, f.pos, f.centroid, s.n_points, s.inertia
+FROM flat f JOIN stats s USING (cluster)
+ORDER BY cluster, pos"""
+    )
+    return "\n".join(parts)
+
+
+KMEANS_ORACLE = _kmeans_oracle()
+
+register("kmeans_train", kmeans_train, KMEANS_ORACLE)

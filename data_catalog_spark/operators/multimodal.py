@@ -456,8 +456,8 @@ def classify_decode(kind: str, content: bytes) -> str:
     REAL stdlib decoder for its kind (PNG / JPEG / GIF / 24bpp BMP for
     images, PCM WAV for audio; video is always 'reject' — ffmpeg-gated).  The
     classification is by ATTEMPTING the decode, not by sniffing magic
-    bytes, so a corrupt PNG or a progressive JPEG lands in the reject
-    lane too."""
+    bytes, so a corrupt PNG or a still-unsupported JPEG variant
+    (arithmetic-coded or 12-bit) lands in the reject lane too."""
     if kind == "image":
         return "real" if _image_features(content) is not None else "reject"
     if kind == "audio":

@@ -41,6 +41,7 @@ def _load_all() -> None:
         dsir,
         events_analytics,
         joins,
+        kmeans,
         langmodel,
         mining,
         multimodal,

@@ -527,16 +527,20 @@ def _passages(docs: DataFrame) -> DataFrame:
     traindata.docs_chunk_tokens (CHUNK=16/STRIDE=12, start-token output):
     that chunker's formulation is pinned by its own committed oracle —
     cross-reference instead of a helper whose change would ripple into
-    both.  The empty-doc filter is a cheap rlike on the RAW text
-    (equivalent to size(tokens) > 0 for the [^a-z0-9]+ tokenizer) so the
-    tokenizer is not evaluated a second time inside a Filter."""
+    both.  The empty-doc filter is a cheap rlike on lower(text) —
+    EXACTLY "size(tokens) > 0" for the [^a-z0-9]+ tokenizer, since a
+    token exists iff lower(text) contains an ASCII alnum — so the regex
+    split is not evaluated a second time inside a Filter.  Matching on
+    lower() (not `(?i)` on raw text) matters on non-ASCII corpora:
+    Java's (?i) folds ASCII only, while lower() maps e.g. the Kelvin
+    sign U+212A to 'k', which DOES tokenize."""
     chunks = (
         f"transform(sequence(1, size(t), {PASSAGE_S}), "
         f"s -> struct(CAST((s - 1) DIV {PASSAGE_S} AS BIGINT) AS idx, "
         f"array_join(slice(t, s, {PASSAGE_W}), ' ') AS chunk))"
     )
     return (
-        docs.where(F.col("text").rlike("(?i)[a-z0-9]"))
+        docs.where(F.lower(F.col("text")).rlike("[a-z0-9]"))
         .withColumn("t", F.expr(SPARK_TOKENS))
         .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
         .select(

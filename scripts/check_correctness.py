@@ -29,13 +29,22 @@ TABLES = [
 ]
 
 
+class NonScalarCell(ValueError):
+    """A list/dict cell reached the comparator.  The driver's canonicalizer
+    hashes rows with pandas, which cannot factorize list cells (r6 red row:
+    event_training_sequences) — so the local gate REJECTS them instead of
+    tupling them, keeping it strictly as strict as the driver."""
+
+
 def norm_cell(v):
     if isinstance(v, float):
         return round(v, 6)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple, set, dict)):
+        raise NonScalarCell(
+            f"non-scalar cell {type(v).__name__} — driver cannot hash this"
+        )
     return v
 
 
@@ -64,6 +73,11 @@ def main():
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only is not None:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            print(f"ERROR: --only names not in the registry: {unknown}")
+            sys.exit(2)
     failures, no_oracle = [], []
     for name, fn in sorted(qs.items()):
         if only is not None and name not in only:
@@ -94,10 +108,16 @@ def main():
             problems.append(f"columns {cols} vs {ocols}")
         if len(rows) != len(orows):
             problems.append(f"rowcount {len(rows)} vs {len(orows)}")
-        elif norm_rows(rows, cols) != norm_rows(orows, ocols):
-            got, want = norm_rows(rows, cols), norm_rows(orows, ocols)
-            diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
-            problems.append(f"values differ, first diffs: {diff}")
+        else:
+            try:
+                mismatch = norm_rows(rows, cols) != norm_rows(orows, ocols)
+            except NonScalarCell as ex:
+                problems.append(f"non-scalar output: {ex}")
+                mismatch = False
+            if mismatch:
+                got, want = norm_rows(rows, cols), norm_rows(orows, ocols)
+                diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+                problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)}")

@@ -246,7 +246,7 @@ def test_event_sequences_tile_the_stream(spark, sf_dir):
         by_anchor = {e[0]: i for i, e in enumerate(stream)}
         for r in rows:
             i = by_anchor[r.anchor_id]
-            assert r.context == [e[1] for e in stream[i : i + L]]
+            assert r.context == " ".join(e[1] for e in stream[i : i + L])
             assert r.label == stream[i + L][1]
 
 

@@ -1,0 +1,81 @@
+"""In-engine k-means training (operators/kmeans.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    from data_catalog_spark.operators import kmeans as km
+
+    return km.kmeans_train(spark, sf_dir).collect()
+
+
+def test_kmeans_oracle_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import kmeans as km
+
+    assert_same(km.kmeans_train(spark, sf_dir), ddb, km.KMEANS_ORACLE)
+
+
+def test_kmeans_model_shape_and_partition(trained):
+    from data_catalog_spark.operators import kmeans as km
+
+    clusters = {r.cluster for r in trained}
+    assert clusters <= set(range(km.K_TRAIN))
+    # every emitted cluster carries a full dim-length centroid
+    by_cluster = {}
+    for r in trained:
+        by_cluster.setdefault(r.cluster, set()).add(r.pos)
+    for c, poss in by_cluster.items():
+        assert poss == set(range(km._DIM))
+    # the clusters partition the corpus
+    n_total = {r.cluster: r.n_points for r in trained}
+    assert sum(n_total.values()) > 0
+
+
+def test_kmeans_inertia_nonincreasing_with_iterations(spark, sf_dir, monkeypatch):
+    """Lloyd's guarantees inertia(k iters) >= inertia(k+1 iters) up to the
+    microunit quantization — train with 1 and with 4 iterations and
+    compare total inertia."""
+    from data_catalog_spark.operators import kmeans as km
+
+    def total_inertia(iters: int) -> float:
+        monkeypatch.setattr(km, "TRAIN_ITERS", iters)
+        rows = km.kmeans_train(spark, sf_dir).collect()
+        return sum({r.cluster: r.inertia for r in rows}.values())
+
+    i1, i4 = total_inertia(1), total_inertia(4)
+    assert i4 <= i1 + 1e-6
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark, sf_dir, trained):
+    """Spot-check: recompute a few assignments in pure python from the
+    emitted centroids and verify each point's cluster minimizes squared
+    distance."""
+    from data_catalog_spark.operators import kmeans as km
+    from data_catalog_spark.operators.similarity import _assign_clusters, _emb
+
+    cents: dict[int, list[float]] = {}
+    for r in trained:
+        cents.setdefault(r.cluster, [0.0] * km._DIM)[r.pos] = r.centroid
+    pts = _emb(spark, sf_dir).orderBy("vec_id").limit(20).collect()
+    full = [cents[c] for c in sorted(cents)]
+    assigned = {
+        r.vec_id: r.cluster
+        for r in _assign_clusters(
+            _emb(spark, sf_dir).orderBy("vec_id").limit(20), full
+        ).collect()
+    }
+    for p in pts:
+        d = [
+            sum((x - y) * (x - y) for x, y in zip(p.v, cent))
+            for cent in full
+        ]
+        best = d.index(min(d))
+        assert math.isclose(
+            d[assigned[p.vec_id]], d[best], rel_tol=1e-12, abs_tol=1e-12
+        )

@@ -1,0 +1,29 @@
+"""Registry-wide output-schema guard.
+
+The driver's correctness harness canonicalizes result rows with pandas,
+which cannot hash list/dict cells — round 6's only red row was
+``event_training_sequences`` emitting an ``array<string>`` column
+(TypeError: unhashable type: 'list' inside pandas factorization).  This
+test constructs EVERY registered query's plan and asserts its output
+schema is scalar-only, so a driver-uncheckable schema can never be
+registered again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def test_every_registered_query_output_is_scalar_only(spark, sf_dir):
+    import __spark_entry__ as e
+
+    bad: list[str] = []
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, (
+        "driver-unhashable (non-scalar) output columns found:\n  "
+        + "\n  ".join(bad)
+    )
