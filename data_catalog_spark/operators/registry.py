@@ -36,6 +36,7 @@ def _load_all() -> None:
         agg_extras,
         analytics,
         bloom,
+        bpe,
         corpus,
         dedup,
         dsir,

@@ -1,0 +1,102 @@
+"""BPE merge training (operators/bpe.py)."""
+
+from __future__ import annotations
+
+
+def test_bpe_oracle_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import bpe
+
+    assert_same(bpe.bpe_train_merges(spark, sf_dir), ddb, bpe.BPE_ORACLE)
+
+
+def test_bpe_merge_table_shape(spark, sf_dir):
+    from data_catalog_spark.operators import bpe
+
+    rows = bpe.bpe_train_merges(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == bpe.N_MERGES  # sf0.001 corpus has plenty of pairs
+    # merges are distinct pairs; merged symbol is the concatenation
+    pairs = [(r.first, r.second) for r in rows]
+    assert len(set(pairs)) == len(pairs)
+    for r in rows:
+        assert r.merged == r.first + r.second
+        assert r.cnt > 0
+    # counts are non-increasing only within equal-state rounds is NOT
+    # guaranteed by BPE (a merge can create a more frequent pair), but the
+    # first merge must be the globally most frequent pair — spot-check it
+    # is at least as frequent as the second.
+    if len(rows) >= 2:
+        assert rows[0].cnt >= rows[1].cnt or (
+            rows[1].first + rows[1].second
+        ).find(rows[0].merged) >= 0
+
+
+def test_framed_replace_reproduces_greedy_bpe_tiling(spark):
+    """The '__'-framed replace must tile greedily left-to-right without
+    overlap: 'a a a' -> 'aa a', 'a b a b' -> 'ab ab'."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("__a__a__a__",), ("__a__b__a__b__",), ("__a__",)], ["w"]
+    )
+    got = {
+        r.w: (r.m_aa, r.m_ab)
+        for r in df.select(
+            "w",
+            F.expr("replace(w, '_a__a_', '_aa_')").alias("m_aa"),
+            F.expr("replace(w, '_a__b_', '_ab_')").alias("m_ab"),
+        ).collect()
+    }
+    assert got["__a__a__a__"][0] == "__aa__a__"
+    assert got["__a__b__a__b__"][1] == "__ab__ab__"
+    assert got["__a__"] == ("__a__", "__a__")
+
+
+def test_bpe_merges_apply_like_reference_bpe(spark, sf_dir):
+    """Replay the learned merge list over a few vocab words in pure python
+    (the textbook merge procedure) and verify the engine's framed-string
+    states would produce the same final segmentation."""
+    from pyspark.sql import functions as F
+    from data_catalog_spark.operators import bpe
+
+    merges = [
+        (r.first, r.second)
+        for r in bpe.bpe_train_merges(spark, sf_dir).collect()
+    ]
+    words = [
+        r.word
+        for r in bpe._vocab(spark, sf_dir).orderBy(
+            F.col("cnt").desc(), "word"
+        ).limit(10).collect()
+    ]
+
+    def apply_merges(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    # engine-side: apply the same framed replaces
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    df = df.select(
+        "word",
+        F.concat(
+            F.lit("__"), F.expr("regexp_replace(word, '(.)', '$1__')")
+        ).alias("w"),
+    )
+    for a, b in merges:
+        df = df.withColumn("w", F.expr(f"replace(w, '_{a}__{b}_', '_{a}{b}_')"))
+    got = {
+        r.word: [s for s in r.w.split("_") if s] for r in df.collect()
+    }
+    for w in words:
+        assert got[w] == apply_merges(w), w
