@@ -1,0 +1,249 @@
+"""Perceptual image hashing (pHash) + Hamming-banded image near-dup.
+
+Composes the multimodal lane with the dedup lane — the standard image-dedup
+shape for crawled corpora (pHash → pigeonhole band blocking → verified
+Hamming distance), cf. the SimHash text pipeline in dedup.py.
+
+The hash is a 63-bit DCT sign pattern, computed entirely in INTEGER
+arithmetic so both engines reproduce it bit-for-bit:
+
+1. 32×32 grayscale grid.  Real PNG/JPEG/GIF/BMP blobs decode through the
+   stdlib codecs (multimodal/jpeg/gif/bmp) → integer luma → nearest-
+   neighbor 32×32; undecodable blobs (the synthetic corpus: raw ASCII
+   text bytes) take the deterministic bytes-view — first 1024 bytes,
+   zero-padded (same fake-decode contract as media_resize_stats).
+2. Fixed-point 2-D DCT: M = Q·P·Qᵀ with Q the 8×32 integer matrix
+   round(cos(π(2x+1)u/64)·2¹⁰) — only the 8 low-frequency rows are ever
+   needed, so the transform is 8×32 · 32×32 · 32×8 (cf. the float DCT in
+   jpeg.py; integer scaling makes it replayable in SQL).  |M| ≤ 2.8e14,
+   comfortably int64.
+3. Drop the DC term, take the median (32nd smallest of 63) of the
+   remaining coefficients, bit k = 1 iff coeff_k > median (row-major) —
+   a 63-bit non-negative bigint.
+
+Near-dup pairs: Hamming ≤ 6 via 7 bands × 9 bits (pigeonhole: two hashes
+within Hamming 6 MUST agree on ≥1 of 7 bands), candidates from a
+band-equality self-join, verified with bit_count(xor).  Never all-pairs:
+candidate volume is bounded by band-bucket occupancy exactly like
+dedup.simhash's blocking.
+
+Scale (100 TB): hashing is a map-only Arrow-batched pass (numpy einsum per
+batch); the join shuffles 7 small (band, 9-bit value) keys per image; the
+registered query's oracle replays the full integer pipeline in DuckDB over
+the ASCII bytes-view (the corpus synthesizer emits ASCII-only text — both
+engines see identical bytes).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import register
+from .multimodal import synth_media
+
+GRID = 32
+LOWFREQ = 8
+DCT_SCALE = 1 << 10
+HAM_K = 6
+N_BANDS = HAM_K + 1  # pigeonhole
+BAND_BITS = 9  # 7 × 9 = 63 bits
+
+# 8×32 fixed-point DCT-II rows (low frequencies only); module-level so the
+# numpy arm and the SQL literal are generated from the SAME list.
+DCT_Q: list[list[int]] = [
+    [
+        round(math.cos(math.pi * (2 * x + 1) * u / (2 * GRID)) * DCT_SCALE)
+        for x in range(GRID)
+    ]
+    for u in range(LOWFREQ)
+]
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_fmt", T.StringType()),
+    ]
+)
+
+
+def _gray_grid(content: bytes) -> tuple[np.ndarray, str]:
+    """(32×32 int64 grayscale grid, fmt): real decode when a stdlib codec
+    accepts the blob, bytes-view otherwise."""
+    from . import bmp, gif, jpeg
+    from .multimodal import decode_png
+
+    pixels = None
+    fmt = "bytes"
+    for name, dec in (
+        ("png", decode_png),
+        ("jpeg", jpeg.decode_jpeg),
+        ("gif", gif.decode_gif),
+        ("bmp", bmp.decode_bmp),
+    ):
+        try:
+            out = dec(content)
+            pixels = out[3] if isinstance(out, tuple) else out
+            fmt = name
+            break
+        except Exception:
+            continue
+    if pixels is not None:
+        px = np.asarray(pixels, dtype=np.int64)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[2] >= 3:
+            # integer luma (77R + 150G + 29B) >> 8 — deterministic ints
+            px = (
+                77 * px[:, :, 0] + 150 * px[:, :, 1] + 29 * px[:, :, 2]
+            ) >> 8
+        else:
+            px = px[:, :, 0]
+        h, w = px.shape
+        rows = (np.arange(GRID) * h) // GRID
+        cols = (np.arange(GRID) * w) // GRID
+        return px[np.ix_(rows, cols)], fmt
+    buf = np.frombuffer(
+        (bytes(content) + b"\x00" * (GRID * GRID))[: GRID * GRID],
+        dtype=np.uint8,
+    )
+    return buf.astype(np.int64).reshape(GRID, GRID), fmt
+
+
+def _phash64(grid: np.ndarray) -> int:
+    q = np.asarray(DCT_Q, dtype=np.int64)
+    m = q @ grid @ q.T  # 8×8 low-frequency block, exact int64
+    vals = m.reshape(-1)[1:]  # drop DC, row-major
+    med = np.sort(vals)[(len(vals) - 1) // 2]  # 32nd smallest of 63
+    bits = vals > med
+    return int(sum(1 << k for k, b in enumerate(bits) if b))
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """(media_id, phash, decode_fmt) for every image row — Arrow-batched
+    map-only pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, fmts = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                grid, fmt = _gray_grid(bytes(blob))
+                ids.append(mid)
+                hashes.append(_phash64(grid))
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": hashes, "decode_fmt": fmts}
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, schema=_PHASH_SCHEMA
+    )
+
+
+def near_dup_pairs(hashed: DataFrame) -> DataFrame:
+    """Hamming≤HAM_K pairs via band-equality blocking + verification."""
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), i -> "
+                f"struct(i AS band, "
+                f"shiftright(phash, i * {BAND_BITS}) & {2**BAND_BITS - 1} AS bv))"
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+            F.expr("CAST(bit_count(a.phash ^ b.phash) AS INT)").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= HAM_K)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: pHash near-dup pairs over the synthetic media
+    table (all-bytes-view corpus, so the integer pipeline is replayable
+    end-to-end in DuckDB; the real-decode arm is pinned by round-trip
+    pytest against the same hash function)."""
+    return near_dup_pairs(phash_images(synth_media(spark, sf_dir)))
+
+
+def _q_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in DCT_Q
+    )
+    return f"[{rows}]"
+
+
+def _phash_oracle() -> str:
+    g = GRID
+    return f"""
+WITH q(m) AS (SELECT {_q_sql()}),
+img AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT media_id,
+         [CAST(ascii(substr(text, k, 1)) AS BIGINT)
+          for k in range(1, {g * g + 1})] AS p
+  FROM img),
+tmat AS (
+  SELECT media_id,
+         [[list_sum([m[u][x] * p[(x - 1) * {g} + y] for x in range(1, {g + 1})])
+           for y in range(1, {g + 1})] for u in range(1, {LOWFREQ + 1})] AS t
+  FROM px CROSS JOIN q),
+mmat AS (
+  SELECT media_id,
+         [[list_sum([t[u][y] * m[v][y] for y in range(1, {g + 1})])
+           for v in range(1, {LOWFREQ + 1})] for u in range(1, {LOWFREQ + 1})] AS mm
+  FROM tmat CROSS JOIN q),
+vals AS (
+  SELECT media_id,
+         [mm[1 + (k - 1) // {LOWFREQ}][1 + (k - 1) % {LOWFREQ}]
+          for k in range(2, {LOWFREQ * LOWFREQ + 1})] AS v
+  FROM mmat),
+h AS (
+  SELECT media_id,
+         CAST(list_sum(
+           [CASE WHEN v[j] > list_sort(v)[{(LOWFREQ * LOWFREQ - 1 + 1) // 2}]
+                 THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END
+            for j in range(1, {LOWFREQ * LOWFREQ})]) AS BIGINT) AS phash
+  FROM vals),
+bands AS (
+  SELECT media_id, phash, i AS band,
+         (phash >> (i * {BAND_BITS})) & {2**BAND_BITS - 1} AS bv
+  FROM h CROSS JOIN range(0, {N_BANDS}) r(i)),
+cand AS (
+  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+SELECT a_id, b_id, hamming FROM cand
+WHERE hamming <= {HAM_K}
+ORDER BY a_id, b_id
+"""
+
+
+PHASH_ORACLE = _phash_oracle()
+
+register("media_phash_dedup", media_phash_dedup, PHASH_ORACLE)

@@ -47,6 +47,7 @@ def _load_all() -> None:
         mining,
         multimodal,
         pandas_ops,
+        phash,
         profiling,
         quality_model,
         quantization,

@@ -1,0 +1,95 @@
+"""Perceptual hash + image near-dup (operators/phash.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_phash_oracle_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import phash
+
+    assert_same(phash.media_phash_dedup(spark, sf_dir), ddb, phash.PHASH_ORACLE)
+
+
+def test_phash_real_png_roundtrip_matches_pixel_hash():
+    """The real-decode arm must hash the DECODED PIXELS: encoding a known
+    grayscale image as PNG and hashing the blob equals hashing the pixel
+    grid directly."""
+    from data_catalog_spark.operators import phash
+    from data_catalog_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(40, 56, 1), dtype=np.uint8)
+    blob = encode_png(px)
+    grid_blob, fmt = phash._gray_grid(blob)
+    assert fmt == "png"
+    # direct path: same luma + nearest-neighbor resize on the raw pixels
+    p = px[:, :, 0].astype(np.int64)
+    rows = (np.arange(phash.GRID) * 40) // phash.GRID
+    cols = (np.arange(phash.GRID) * 56) // phash.GRID
+    direct = p[np.ix_(rows, cols)]
+    assert (grid_blob == direct).all()
+    assert phash._phash64(grid_blob) == phash._phash64(direct)
+
+
+def test_phash_is_robust_to_small_perturbation_and_separates_noise():
+    """pHash contract: a lightly perturbed image stays within the Hamming
+    band; an unrelated image does not."""
+    from data_catalog_spark.operators import phash
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(phash.GRID, phash.GRID)).astype(np.int64)
+    tweaked = base.copy()
+    tweaked[5, 5] += 3  # sub-quantum luminance change
+    other = rng.integers(0, 256, size=(phash.GRID, phash.GRID)).astype(np.int64)
+
+    def ham(a, b):
+        return bin(phash._phash64(a) ^ phash._phash64(b)).count("1")
+
+    assert ham(base, tweaked) <= phash.HAM_K
+    assert ham(base, other) > phash.HAM_K
+
+
+def test_banding_is_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness: every Hamming<=K pair found by brute force
+    is found by the banded join (7 bands x 9 bits cover Hamming<=6
+    exactly)."""
+    from data_catalog_spark.operators import phash
+    from data_catalog_spark.operators.multimodal import synth_media
+
+    hashed = phash.phash_images(synth_media(spark, sf_dir)).collect()
+    hs = {r.media_id: r.phash for r in hashed}
+    ids = sorted(hs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hs[a] ^ hs[b]).count("1") <= phash.HAM_K
+    }
+    banded = {
+        (r.a_id, r.b_id)
+        for r in phash.media_phash_dedup(spark, sf_dir).collect()
+    }
+    assert banded == brute
+
+
+def test_phash_hash_is_63_bits_nonnegative(spark, sf_dir):
+    from data_catalog_spark.operators import phash
+    from data_catalog_spark.operators.multimodal import synth_media
+
+    for r in phash.phash_images(synth_media(spark, sf_dir)).collect():
+        assert 0 <= r.phash < (1 << 63)
+
+
+def test_gray_grid_bytes_view_pads_and_truncates():
+    from data_catalog_spark.operators import phash
+
+    short, fmt = phash._gray_grid(b"ab")
+    assert fmt == "bytes"
+    assert short.shape == (32, 32)
+    assert short[0, 0] == ord("a") and short[0, 1] == ord("b")
+    assert short[31, 31] == 0
+    long_grid, _ = phash._gray_grid(bytes(range(256)) * 8)  # 2048 bytes
+    assert long_grid[0, 31] == 31
