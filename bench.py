@@ -121,6 +121,11 @@ HEADLINE = [
     "events_changepoint",
     "cat_search_after",
     "rag_passage_topk",
+    # round 7 additions
+    "kmeans_train",
+    "bpe_train_merges",
+    "media_phash_dedup",
+    "stream_ingest_indexed_search",
 ]
 
 

@@ -95,6 +95,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws = ws.withColumn(
             "w", F.expr(f"replace(w, '_{a}__{b}_', '_{a}{b}_')")
         )
+        # note: re-barriering the replace chain every K rounds was
+        # measured SLOWER (5.0-5.5 s vs 4.8 s at sf0.1) — the checkpoint
+        # jobs cost more than the saved lineage re-analysis at N=20
     return spark.createDataFrame(
         merges, "rank int, first string, second string, merged string, cnt bigint"
     )

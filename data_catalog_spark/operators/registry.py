@@ -70,6 +70,7 @@ def _load_all() -> None:
     from ..streaming import cms as streaming_cms  # noqa: F401
     from ..streaming import quality as streaming_quality  # noqa: F401
     from ..streaming import dedup as streaming_dedup  # noqa: F401
+    from ..streaming import ingest as streaming_ingest  # noqa: F401
     from ..streaming import joins as streaming_joins  # noqa: F401
     from ..streaming import sessions as streaming_sessions  # noqa: F401
     from ..streaming import sink as streaming_sink  # noqa: F401

@@ -1,0 +1,171 @@
+"""Streaming ingest → searchable index, end-to-end (the ES write path).
+
+The IndexedCatalog keeps the versioned catalog table and the postings
+index in lockstep (indexed_catalog.py); this module registers the full
+write-path pipeline as a benchmarked, oracle-checked query so its cost is
+tracked round-over-round like the read path:
+
+1. seed a fresh catalog with a deterministic slice of the derived
+   ``datasets`` corpus and build the index (``resync``),
+2. replay one micro-batch of NEW entries from a JSONL drop directory
+   through ``foreachBatch`` → ``IndexedCatalog.bulk_upsert`` (table merge
+   + incremental index segment, read-your-writes),
+3. run an indexed search for a marker token only the streamed entries
+   contain and return the hits page.
+
+The DuckDB oracle reuses the sqlgen machinery: the expected table is the
+same seed CTE UNION ALL the planted rows as literals, compiled through
+``sqlgen.hits_sql`` — one semantic definition for batch search, indexed
+search, and the streamed end-state (reference parity:
+elastic_search.py's index-on-write contract).
+
+Scale: the seed is a FIXED 512 entries at every SF — this query measures
+the per-micro-batch write cost (validation, merge commit, index segment
+append, postings probe), which at deployment is independent of corpus
+size by design (merge plans are batch-bounded, catalog.py:_merge_rows;
+index appends are segment-local, text_index.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import DatasetsCatalog
+from ..datasets_source import DATASETS_FROM_PART_SQL, datasets_df
+from ..indexed_catalog import IndexedCatalog
+from ..operators.registry import register
+from ..query import DataSetFiltering, compile_query
+from ..query import sqlgen
+from ..schema import COLUMN_ORDER
+
+SEED_N = 512
+BATCH_N = 64
+MARKER = "galvanometer"  # absent from the TPC-H p_name vocabulary
+
+_STREAM_SCHEMA = (
+    "id string, title string, category string, dataSample string, "
+    "format string, recordCount bigint, size bigint, sourceUri string, "
+    "targetUri string, isPublic boolean, "
+    "orgUUID string, creationTime string"
+)
+
+
+def _planted_rows() -> list[dict]:
+    rows = []
+    for i in range(BATCH_N):
+        rows.append(
+            {
+                "id": f"stream-{i:02d}",
+                "title": f"{MARKER} drift report {i:02d}",
+                "category": "instruments",
+                "dataSample": "id,reading,unit",
+                "format": "csv" if i % 2 == 0 else "json",
+                "recordCount": 100 + i,
+                "size": 2048 + i,
+                "sourceUri": f"http://www.catalog.com/{MARKER}/{i:02d}",
+                "targetUri": (
+                    f"hdfs://namenode:8200/warehouse/instruments/"
+                    f"stream-{i:02d}/000000_1"
+                ),
+                "isPublic": i % 2 == 0,
+                "orgUUID": f"org0{i % 3 + 1}",
+                "creationTime": f"2015-03-{i % 28 + 1:02d}T{i % 24:02d}:00:00",
+            }
+        )
+    return rows
+
+
+def _entry_of(row: dict) -> dict:
+    """Catalog entry body: the FILTERABLE fields only — id is the key and
+    storeType is NOT an entry-body field (the reference's Cerberus schema
+    rejects unknown keys; transform_entry defaults storeType to NULL), so
+    every catalog-resident row carries storeType NULL regardless of what
+    the derived fixture shows."""
+    return {
+        k: v
+        for k, v in row.items()
+        if k not in ("id", "storeType") and v is not None
+    }
+
+
+def _search_cq():
+    return compile_query(
+        {"query": MARKER, "size": 100}, [], DataSetFiltering.ONLY_PUBLIC, False
+    )
+
+
+def stream_ingest_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = tempfile.mkdtemp(prefix="ingest-tbl-")
+    idx = tempfile.mkdtemp(prefix="ingest-idx-")
+    src = tempfile.mkdtemp(prefix="ingest-src-")
+    ckpt = tempfile.mkdtemp(prefix="ingest-ckpt-")
+
+    cat = DatasetsCatalog(spark, tbl)
+    ic = IndexedCatalog(cat, idx)
+    seed = [
+        (r["id"], _entry_of(r))
+        for r in (
+            d.asDict()
+            for d in datasets_df(spark, sf_dir)
+            .where(f"CAST(id AS BIGINT) <= {SEED_N}")
+            .collect()
+        )
+    ]
+    cat.bulk_upsert(seed)
+    ic.resync()
+
+    with open(os.path.join(src, "batch-0.jsonl"), "w") as f:
+        for row in _planted_rows():
+            f.write(json.dumps(row) + "\n")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = [
+            (r["id"], _entry_of(r))
+            for r in (d.asDict() for d in batch_df.collect())
+        ]
+        if pairs:
+            ic.bulk_upsert(pairs)
+
+    q = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .json(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ic.hits(_search_cq())
+
+
+def _ingest_oracle() -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    values = ",\n    ".join(
+        "(" + ", ".join(lit(r.get(c)) for c in COLUMN_ORDER) + ")"
+        for r in _planted_rows()
+    )
+    cols = ", ".join(COLUMN_ORDER)
+    seed = f"{DATASETS_FROM_PART_SQL} WHERE p_partkey <= {SEED_N}"
+    return (
+        f"WITH datasets AS ({seed} UNION ALL "
+        f"SELECT * FROM (VALUES\n    {values}\n) AS t({cols})) "
+        f"{sqlgen.hits_sql(_search_cq())}"
+    )
+
+
+register(
+    "stream_ingest_indexed_search",
+    stream_ingest_indexed_search,
+    _ingest_oracle(),
+)

@@ -73,3 +73,19 @@ def test_foreach_batch_merge_sink_equals_batch_rollup(spark, sf_dir, ddb):
     from conftest import assert_same
 
     assert_same(stream_rollup_merge_sink(spark, sf_dir), ddb, STREAM_MERGE_ORACLE)
+
+
+def test_stream_ingest_indexed_search_parity(spark, sf_dir, ddb):
+    """The registered write-path query: one streamed micro-batch lands in
+    catalog + index, and the indexed search equals the sqlgen oracle over
+    seed ∪ planted rows."""
+    from conftest import assert_same
+    from data_catalog_spark.streaming import ingest
+
+    df = ingest.stream_ingest_indexed_search(spark, sf_dir)
+    rows = df.collect()
+    # exactly the PUBLIC planted entries (marker token is new vocabulary)
+    assert {r.id for r in rows} == {
+        f"stream-{i:02d}" for i in range(0, ingest.BATCH_N, 2)
+    }
+    assert_same(df, ddb, ingest._ingest_oracle())
