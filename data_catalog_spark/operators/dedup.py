@@ -315,6 +315,87 @@ def capped_buckets(
     )
 
 
+def _mh_dialect(dialect: str) -> dict:
+    """Dialect spellings shared by the minhash/simhash SQL renderers."""
+    spark = dialect == "spark"
+    return {
+        "spark": spark,
+        "tokens": SPARK_TOKENS if spark else DUCK_TOKENS,
+        "h32": (
+            "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+            if spark
+            else "('0x' || substr(md5(s), 1, 8))::BIGINT"
+        ),
+        "h60": (
+            "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+            if spark
+            else "('0x' || substr(md5(w), 1, 15))::BIGINT"
+        ),
+        "strtype": "STRING" if spark else "VARCHAR",
+        "sh": (
+            f"SELECT doc_id, explode({SPARK_SHINGLES}) AS s FROM toks"
+            if spark
+            else f"SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks"
+        ),
+        "tok_un": (
+            "SELECT doc_id, explode(t) AS w FROM toks"
+            if spark
+            else "SELECT doc_id, unnest(t) AS w FROM toks"
+        ),
+    }
+
+
+def _mins_sql(k: int = MINHASH_K) -> str:
+    return ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    )
+
+
+def _sig_ctes(
+    dialect: str, table: str = "documents", hint: str = "", k: int = MINHASH_K
+) -> str:
+    """CTE chain ``toks, sh, hashed, sig`` — (doc_id, h0..h{k-1}) minhash
+    signatures — in either dialect."""
+    d = _mh_dialect(dialect)
+    return f"""toks AS (SELECT {hint} doc_id, {d['tokens']} AS t FROM {table}),
+sh AS ({d['sh']}),
+hashed AS (SELECT doc_id, {d['h32']} AS h FROM sh),
+sig AS (SELECT doc_id, {_mins_sql(k)}
+        FROM hashed GROUP BY doc_id)"""
+
+
+def _band_defs(dialect: str, k: int = MINHASH_K, bands: int = MINHASH_BANDS):
+    d = _mh_dialect(dialect)
+    r = k // bands
+
+    def band_hash(b: int) -> str:
+        cols = ", ".join(
+            f"CAST(h{b * r + j} AS {d['strtype']})" for j in range(r)
+        )
+        return f"substr(md5(concat_ws('|', {cols})), 1, 16)"
+
+    if d["spark"]:
+        structs = ", ".join(
+            f"struct({b} AS band, {band_hash(b)} AS band_hash)"
+            for b in range(bands)
+        )
+        return (
+            "SELECT doc_id, bk.band AS band, bk.band_hash AS band_hash FROM "
+            f"(SELECT doc_id, explode(array({structs})) AS bk FROM sig)"
+        )
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, {band_hash(b)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+
+
+def _agree_sql(k: int = MINHASH_K) -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with signature-estimated Jaccard.
 
@@ -329,86 +410,125 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, which would shuffle both sides and rebuild the band table
     twice.  Bucket-local pair generation plus the MAX_BAND_BUCKET cap is
     the standard production shape of LSH dedup (bounded work per bucket,
-    skew impossible by construction)."""
+    skew impossible by construction).
+
+    Execution form: TWO spark.sql statements (signatures, then
+    band→bucket→pair→estimate over the checkpointed signature view) — the
+    earlier DataFrame-composed chain spent ~7 of its 7.7 s at sf0.1 in
+    eager per-operation Catalyst re-analysis; this form is analyzed twice
+    total and runs in ~2.5 s with an identical result (the
+    dedup_blocking_stats finding, applied to the flagship dedup path)."""
     # The sf0.1 documents file is a single row group ⇒ a 1-task scan that
     # would serialize all k×|shingles| hashing; spread docs across the
     # executor threads first (at deployment scale the input is already
     # many-partitioned and this repartition is a no-op to omit).
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+    _docs(spark, sf_dir).createOrReplaceTempView("__mh_docs")
     # Signatures are tiny (n_docs × k × 8 B); localCheckpoint materializes
     # them once so the banding pass and the two estimate-joins below reuse
     # the computed table instead of re-deriving it (the single-job analog of
     # writing a signatures table at deployment scale).
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
-    buckets = capped_buckets(
-        minhash_bands(sig), ["band", "band_hash"], F.col("doc_id")
-    ).withColumnRenamed("payload", "ids")
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ids, x -> transform(ids, "
-                    "y -> struct(x AS da, y AS db)))), s -> s.da < s.db)"
-                )
-            ).alias("p")
-        )
-        .select("p.da", "p.db")
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    # Element-wise agreement as a flat sum of k comparisons (codegen'd),
-    # matching the oracle's CASE-sum exactly; /64 is binary-exact so the
-    # 6-dp round is identical in both engines.
-    est = (
-        sum(
-            F.when(F.col("sa.sig")[i] == F.col("sb.sig")[i], 1).otherwise(0)
-            for i in range(MINHASH_K)
-        )
-        / F.lit(MINHASH_K)
-    )
-    return (
-        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .select("da", "db", F.round(est, 6).alias("est_jac"))
-        .where(F.col("est_jac") >= JACCARD_THRESHOLD)
-        .orderBy("da", "db")
+    sig = spark.sql(
+        f"WITH {_sig_ctes('spark', '__mh_docs', hint)} SELECT * FROM sig"
+    ).localCheckpoint(eager=False)
+    sig.createOrReplaceTempView("__mh_sig")
+    agree = _agree_sql()
+    return spark.sql(
+        f"""
+WITH sig AS (SELECT * FROM __mh_sig),
+bands AS ({_band_defs('spark')}),
+ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
+       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),
+buckets AS (SELECT collect_list(doc_id) AS ids
+            FROM bands LEFT SEMI JOIN ok
+              ON bands.band = ok.band AND bands.band_hash = ok.band_hash
+            GROUP BY bands.band, bands.band_hash),
+cand AS (SELECT DISTINCT p.da AS da, p.db AS db FROM (
+  SELECT explode(filter(flatten(transform(ids, x -> transform(ids,
+         y -> struct(x AS da, y AS db)))), s -> s.da < s.db)) AS p
+  FROM buckets))
+SELECT da, db, round(({agree}) / CAST({MINHASH_K} AS DOUBLE), 6) AS est_jac
+FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+WHERE ({agree}) / CAST({MINHASH_K} AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY da, db
+"""
     )
 
 
 # -- SimHash -----------------------------------------------------------------
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp: long) — 60-bit SimHash over the token multiset (60 = 15
-    md5 hex chars, the widest md5 prefix that parses into a signed int64 in
-    both engines — the portability constraint sets the width).
-
-    Map-only per doc: explode tokens, hash each, ±1 vote per bit weighted by
-    token multiplicity, sign-pack.  The per-bit votes are plain aggregates so
-    the whole thing is one partial-aggregated groupBy."""
-    tok = (
-        _tokens(docs)
-        .select("doc_id", F.explode("t").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"))
+def _shift_sql(dialect: str):
+    """(shr, shl1) renderers: Spark spells shifts as functions, DuckDB as
+    operators."""
+    if dialect == "spark":
+        return (
+            lambda x, i: f"shiftright({x}, {i})",
+            lambda i: f"shiftleft(CAST(1 AS BIGINT), {i})",
+        )
+    return (
+        lambda x, i: f"({x} >> {i})",
+        lambda i: f"(CAST(1 AS BIGINT) << {i})",
     )
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-        ).alias(f"v{i}")
+
+
+def _fps_ctes(dialect: str, table: str = "documents", hint: str = "") -> str:
+    """CTE chain ``toks, tok, thashed, votes, fps`` — (doc_id, fp) 60-bit
+    SimHash fingerprints over the token multiset (60 = 15 md5 hex chars,
+    the widest md5 prefix that parses into a signed int64 in both engines —
+    the portability constraint sets the width).  Map-only per doc: explode
+    tokens, hash each, ±1 vote per bit weighted by token multiplicity,
+    sign-pack; the votes are plain aggregates so the whole thing is one
+    partial-aggregated groupBy."""
+    d = _mh_dialect(dialect)
+    shr, shl1 = _shift_sql(dialect)
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ({shr('h', i)} & 1) = 1 THEN cnt ELSE -cnt END) AS v{i}"
         for i in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-    packed = None
-    for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        packed = term if packed is None else (packed + term)
-    return agg.select("doc_id", packed.alias("fp"))
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {shl1(i)} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""toks AS (SELECT {hint} doc_id, {d['tokens']} AS t FROM {table}),
+tok AS (SELECT doc_id, w, count(*) AS cnt
+        FROM ({d['tok_un']}) GROUP BY 1, 2),
+thashed AS (SELECT doc_id, cnt, {d['h60']} AS h FROM tok),
+votes AS (SELECT doc_id, {votes}
+          FROM thashed GROUP BY doc_id),
+fps AS (SELECT doc_id, {packed} AS fp FROM votes)"""
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) SimHash fingerprints of an arbitrary docs frame — the
+    DataFrame wrapper over ``_fps_ctes`` (kept for composition; the
+    registered queries go through the SQL renderer directly)."""
+    docs.createOrReplaceTempView("__fps_docs")
+    return docs.sparkSession.sql(
+        f"WITH {_fps_ctes('spark', '__fps_docs')} SELECT * FROM fps"
+    )
+
+
+def _chunk_defs(dialect: str, with_payload: bool) -> str:
+    """The pigeonhole chunk table over ``fps``: (j, c) 15-bit slices, with
+    (doc_id, fp) carried when the consumer pairs inside buckets."""
+    w = SIMHASH_BITS // SIMHASH_CHUNKS
+    shr, _ = _shift_sql(dialect)
+    if dialect == "spark":
+        structs = ", ".join(
+            f"struct({j} AS j, {shr('fp', w * j)} & {(1 << w) - 1} AS c)"
+            for j in range(SIMHASH_CHUNKS)
+        )
+        cols = "doc_id, fp, " if with_payload else ""
+        return (
+            f"SELECT {cols}ck.j AS j, ck.c AS c FROM "
+            f"(SELECT {cols}explode(array({structs})) AS ck FROM fps)"
+        )
+    cols = "doc_id, fp, " if with_payload else ""
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT {cols}{j} AS j, {shr('fp', w * j)} & {(1 << w) - 1} AS c FROM fps"
+        for j in range(SIMHASH_CHUNKS)
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,67 +540,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-capped bucket, exact Hamming check with bit_count(xor) on the
     pair.  One exchange instead of a two-sided self-join.  Portable md5
     hashing ⇒ full DuckDB oracle; pytest compares against Jaccard ground
-    truth."""
-    fps = simhash_fingerprints(_docs(spark, sf_dir))
-    chunks = fps.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(f"(fp >> {15 * j}) & 32767").alias("c"),
-                    )
-                    for j in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("ck"),
-        F.struct(F.col("doc_id").alias("doc_id"), F.col("fp").alias("fp")).alias("m"),
-    ).select(F.col("ck.j").alias("j"), F.col("ck.c").alias("c"), "m")
-    buckets = capped_buckets(chunks, ["j", "c"], F.col("m")).withColumnRenamed(
-        "payload", "ms"
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(ms, x -> transform(ms, y -> struct("
-                "x.doc_id AS da, y.doc_id AS db, "
-                "CAST(bit_count(x.fp ^ y.fp) AS INT) AS hamming)))), "
-                "s -> s.da < s.db)"
-            )
-        ).alias("p")
-    )
-    return (
-        pairs.select("p.da", "p.db", "p.hamming")
-        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
-        .orderBy("da", "db")
+    truth.  Two-statement execution form (fingerprints → checkpoint →
+    pairs), same rationale as dedup_minhash."""
+    hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+    _docs(spark, sf_dir).createOrReplaceTempView("__sh_docs")
+    fps = spark.sql(
+        f"WITH {_fps_ctes('spark', '__sh_docs', hint)} SELECT * FROM fps"
+    ).localCheckpoint(eager=False)
+    fps.createOrReplaceTempView("__sh_fps")
+    return spark.sql(
+        f"""
+WITH fps AS (SELECT * FROM __sh_fps),
+chunks AS ({_chunk_defs('spark', with_payload=True)}),
+ok AS (SELECT j, c FROM chunks GROUP BY 1, 2
+       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),
+buckets AS (SELECT collect_list(struct(doc_id, fp)) AS ms
+            FROM chunks LEFT SEMI JOIN ok
+              ON chunks.j = ok.j AND chunks.c = ok.c
+            GROUP BY chunks.j, chunks.c)
+SELECT DISTINCT p.da AS da, p.db AS db, p.hamming AS hamming FROM (
+  SELECT explode(filter(flatten(transform(ms, x -> transform(ms,
+         y -> struct(x.doc_id AS da, y.doc_id AS db,
+                     CAST(bit_count(x.fp ^ y.fp) AS INT) AS hamming)))),
+         s -> s.da < s.db)) AS p
+  FROM buckets)
+WHERE p.hamming <= {SIMHASH_MAX_HAMMING}
+ORDER BY da, db
+"""
     )
 
 
 def _minhash_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
     """DuckDB rendering of the exact same MinHash+LSH computation (md5
-    double hashing makes every hash value engine-independent)."""
-    r = k // bands
-    mins = ",\n         ".join(
-        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
-    )
-    band_arms = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band, substr(md5(concat_ws('|', "
-        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
-        + ")), 1, 16) AS band_hash FROM sig"
-        for b in range(bands)
-    )
-    agree = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k))
+    double hashing makes every hash value engine-independent), built from
+    the shared dialect renderers."""
+    agree = _agree_sql(k)
     return f"""
-WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
-hashed AS (SELECT doc_id,
-    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
-sig AS (SELECT doc_id, {mins}
-        FROM hashed GROUP BY doc_id),
+WITH {_sig_ctes('duck', k=k)},
 bands AS (
-  {band_arms}),
+  {_band_defs('duck', k, bands)}),
 ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
        HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),
 cand AS (SELECT a.doc_id AS da, b.doc_id AS db
@@ -494,32 +592,13 @@ ORDER BY da, db
 """
 
 
-def _simhash_oracle(nbits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS) -> str:
-    """DuckDB rendering of the 60-bit SimHash pipeline."""
-    w = nbits // chunks  # chunk width in bits
-    votes = ",\n         ".join(
-        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN cnt ELSE -cnt END) AS v{i}"
-        for i in range(nbits)
-    )
-    packed = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
-        for i in range(nbits)
-    )
-    chunk_arms = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, fp, {j} AS j, (fp >> {w * j}) & {(1 << w) - 1} AS c FROM fps"
-        for j in range(chunks)
-    )
+def _simhash_oracle() -> str:
+    """DuckDB rendering of the 60-bit SimHash pipeline, built from the
+    shared dialect renderers."""
     return f"""
-WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-tok AS (SELECT doc_id, w, count(*) AS cnt
-        FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
-hashed AS (SELECT doc_id, cnt,
-    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
-votes AS (SELECT doc_id, {votes}
-          FROM hashed GROUP BY doc_id),
-fps AS (SELECT doc_id, {packed} AS fp FROM votes),
+WITH {_fps_ctes('duck')},
 chunks AS (
-  {chunk_arms}),
+  {_chunk_defs('duck', with_payload=True)}),
 ok AS (SELECT j, c FROM chunks GROUP BY 1, 2
        HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET})
 SELECT a.doc_id AS da, b.doc_id AS db,
@@ -557,111 +636,50 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(|new| · bucket-occupancy), independent of corpus-pair count, with
     the same MAX_BAND_BUCKET skew cap as the batch dedup (count pre-pass,
     both engines)."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
-    fps = _tokens(docs).select(
-        "doc_id", F.md5(F.expr("concat_ws(' ', t)")).alias("fp")
-    )
-    new_fp = fps.where(is_new)
-    corpus_fp = fps.where(~is_new)
-    exact = (
-        new_fp.alias("n")
-        .join(corpus_fp.alias("c"), "fp")
-        .groupBy(F.col("n.doc_id").alias("doc_id"))
-        .agg(F.min("c.doc_id").alias("match_id"))
-        .select(
-            "doc_id",
-            F.lit("exact").alias("kind"),
-            "match_id",
-            F.lit(1.0).cast("double").alias("score"),
-        )
-    )
-
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
-    bands = minhash_bands(sig)
-    # require_pair=False: a bucket can pair a new doc with ONE corpus doc
-    ok_keys = admissible_band_keys(
-        bands, ["band", "band_hash"], require_pair=False
-    )
-    capped = bands.join(ok_keys, ["band", "band_hash"], "left_semi")
-    cand = (
-        capped.where(is_new)
-        .alias("n")
-        .join(
-            capped.where(~is_new).alias("c"),
-            ["band", "band_hash"],
-        )
-        .select(F.col("n.doc_id").alias("doc_id"), F.col("c.doc_id").alias("cid"))
-        .distinct()
-    )
-    est = (
-        sum(
-            F.when(F.col("sa.sig")[i] == F.col("sb.sig")[i], 1).otherwise(0)
-            for i in range(MINHASH_K)
-        )
-        / F.lit(MINHASH_K)
-    )
-    scored = (
-        cand.alias("cd")
-        .join(sig.alias("sa"), F.col("cd.doc_id") == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), F.col("cd.cid") == F.col("sb.doc_id"))
-        .select(
-            F.col("cd.doc_id").alias("doc_id"),
-            F.col("cd.cid").alias("cid"),
-            F.round(est, 6).alias("est"),
-        )
-        .where(F.col("est") >= JACCARD_THRESHOLD)
-    )
-    best = scored.groupBy("doc_id").agg(F.min("cid").alias("match_id"))
-    near = (
-        best.alias("b")
-        .join(
-            scored.alias("s"),
-            (F.col("b.doc_id") == F.col("s.doc_id"))
-            & (F.col("b.match_id") == F.col("s.cid")),
-        )
-        .select(
-            F.col("b.doc_id").alias("doc_id"),
-            F.lit("near").alias("kind"),
-            F.col("b.match_id").alias("match_id"),
-            F.col("s.est").alias("score"),
-        )
-        .join(exact.select("doc_id"), "doc_id", "left_anti")
-    )
-    return exact.unionByName(near).orderBy("doc_id")
+    hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+    _docs(spark, sf_dir).createOrReplaceTempView("__inc_docs")
+    # signatures materialized once (checkpoint) — the banding pass and the
+    # two estimate-joins reuse the computed table; two analyzed statements
+    # total (the dedup_minhash execution form)
+    sig = spark.sql(
+        f"WITH {_sig_ctes('spark', '__inc_docs', hint)} SELECT * FROM sig"
+    ).localCheckpoint(eager=False)
+    sig.createOrReplaceTempView("__inc_sig")
+    return spark.sql(_incremental_pairs_sql("spark"))
 
 
-def _incremental_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
-    """DuckDB rendering of the same two-arm incremental report."""
-    r = k // bands
-    mins = ",\n         ".join(
-        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+def _incremental_pairs_sql(dialect: str, k: int = MINHASH_K) -> str:
+    """The two-arm incremental report in either dialect.  The Spark form
+    reads the checkpointed ``__inc_sig`` view and re-derives only the cheap
+    token frame; the DuckDB form inlines the signature CTEs (the oracle is
+    one statement by contract)."""
+    spark = dialect == "spark"
+    d = _mh_dialect(dialect)
+    agree = _agree_sql(k)
+    fp_expr = (
+        "md5(concat_ws(' ', t))" if spark else "md5(array_to_string(t, ' '))"
     )
-    band_arms = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band, substr(md5(concat_ws('|', "
-        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
-        + ")), 1, 16) AS band_hash FROM sig"
-        for b in range(bands)
-    )
-    agree = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k))
-    return f"""
-WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
-fps AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM toks),
+    # Spark parses `64.0` as a DECIMAL literal (decimal division result);
+    # the DataFrame original divided int by int which is DOUBLE division —
+    # render an explicit double divisor there.  DuckDB's `/` already
+    # yields DOUBLE; its oracle text keeps the proven `{k}.0` spelling.
+    kdiv = f"CAST({k} AS DOUBLE)" if spark else f"{k}.0"
+    if spark:
+        prelude = f"""WITH toks AS (SELECT doc_id, {d['tokens']} AS t FROM __inc_docs),
+fps AS (SELECT doc_id, {fp_expr} AS fp FROM toks),
+sig AS (SELECT * FROM __inc_sig),"""
+    else:
+        prelude = f"""WITH {_sig_ctes('duck', k=k)},
+fps AS (SELECT doc_id, {fp_expr} AS fp FROM toks),"""
+    return f"""{prelude}
 exact AS (
   SELECT n.doc_id, 'exact' AS kind, CAST(MIN(c.doc_id) AS BIGINT) AS match_id,
          CAST(1.0 AS DOUBLE) AS score
   FROM fps n JOIN fps c ON n.fp = c.fp
   WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} != 0
   GROUP BY n.doc_id),
-sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS s FROM toks),
-hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
-sig AS (SELECT doc_id, {mins}
-        FROM hashed GROUP BY doc_id),
 bandt AS (
-  {band_arms}),
+  {_band_defs(dialect, k)}),
 ok AS (SELECT band, band_hash FROM bandt GROUP BY 1, 2
        HAVING count(*) <= {MAX_BAND_BUCKET}),
 capped AS (SELECT bandt.* FROM bandt JOIN ok USING (band, band_hash)),
@@ -669,10 +687,10 @@ cand AS (SELECT DISTINCT n.doc_id, c.doc_id AS cid
          FROM capped n JOIN capped c
            ON n.band = c.band AND n.band_hash = c.band_hash
          WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} != 0),
-scored AS (SELECT cand.doc_id, cid, round(({agree}) / {k}.0, 6) AS est
+scored AS (SELECT cand.doc_id, cid, round(({agree}) / {kdiv}, 6) AS est
            FROM cand JOIN sig sa ON cand.doc_id = sa.doc_id
            JOIN sig sb ON cid = sb.doc_id
-           WHERE ({agree}) / {k}.0 >= {JACCARD_THRESHOLD}),
+           WHERE ({agree}) / {kdiv} >= {JACCARD_THRESHOLD}),
 best AS (SELECT doc_id, MIN(cid) AS match_id FROM scored GROUP BY doc_id),
 near AS (
   SELECT b.doc_id, 'near' AS kind, CAST(b.match_id AS BIGINT) AS match_id,
@@ -681,6 +699,10 @@ near AS (
   WHERE b.doc_id NOT IN (SELECT doc_id FROM exact))
 SELECT * FROM exact UNION ALL SELECT * FROM near ORDER BY doc_id
 """
+
+
+def _incremental_oracle() -> str:
+    return _incremental_pairs_sql("duck")
 
 
 # -- blocking-cap observability ------------------------------------------------
