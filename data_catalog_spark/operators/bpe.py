@@ -139,3 +139,88 @@ ws{i} AS MATERIALIZED (SELECT replace(w,
 BPE_ORACLE = _bpe_oracle()
 
 register("bpe_train_merges", bpe_train_merges, BPE_ORACLE)
+
+
+# -- encoding: apply the learned merges to the whole corpus --------------------
+#
+# The application half of the tokenizer lifecycle: segment EVERY corpus word
+# with the trained merge list and report per-source compression.  Encoding
+# is O(distinct words × N_MERGES) — the corpus is touched once to build the
+# (source, doc_id, word) stream and once more only as a hash join against
+# the word→subword-count table, so at 100 TB the replace chain runs over
+# the (much smaller) distinct-word table, never per occurrence.
+
+
+def _framed(col: str) -> str:
+    return f"'__' || regexp_replace({col}, '(.)', '$1__')"
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_words, n_subwords, avg_per_word): corpus-wide
+    subword statistics under the merges learned by ``bpe_train_merges``
+    (re-trained in the same run — one engine, training and application)."""
+    merges = [
+        (r.first, r.second)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    enc = _framed("word")
+    for a, b in merges:
+        enc = f"replace({enc}, '_{a}__{b}_', '_{a}{b}_')"
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__bpe_docs")
+    return spark.sql(
+        f"""
+WITH toks AS (SELECT doc_id, source, {SPARK_TOKENS} AS t FROM __bpe_docs),
+stream AS (SELECT doc_id, source, explode(t) AS word FROM toks),
+words AS (SELECT DISTINCT word FROM stream),
+wq AS (SELECT word,
+       CAST(size(filter(split({enc}, '_'), x -> x != '')) AS BIGINT) AS n_sub
+       FROM words)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(sum(n_sub) / count(*), 6) AS avg_per_word
+FROM stream JOIN wq USING (word)
+GROUP BY source ORDER BY source
+"""
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Replays training (the BPE_ORACLE CTE chain) and then applies each
+    round's winning merge to the FULL distinct-word table via the same
+    data-driven replace chain — no literals, the oracle re-derives the
+    merges itself."""
+    train = BPE_ORACLE.split("\nm AS (")[0]  # CTE chain through ws{N}
+    parts = [
+        train,
+        """stream AS (SELECT doc_id, source, unnest({toks}) AS word FROM documents),
+words AS (SELECT DISTINCT word FROM stream),
+ew0 AS (SELECT word, '__' || regexp_replace(word, '(.)', '\\1__', 'g') AS w
+        FROM words),""".replace("{toks}", DUCK_TOKENS),
+    ]
+    for i in range(1, N_MERGES + 1):
+        parts.append(
+            f"""ew{i} AS MATERIALIZED (SELECT word, replace(w,
+    COALESCE((SELECT '_' || first || '__' || second || '_' FROM win{i}), '~'),
+    COALESCE((SELECT '_' || first || second || '_' FROM win{i}), '~')) AS w
+    FROM ew{i - 1}),"""
+        )
+    parts.append(
+        f"""wq AS (SELECT word,
+    CAST(len(list_filter(string_split(w, '_'), x -> x <> '')) AS BIGINT) AS n_sub
+    FROM ew{N_MERGES})
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(sum(n_sub) / count(*), 6) AS avg_per_word
+FROM stream JOIN wq USING (word)
+GROUP BY source ORDER BY source"""
+    )
+    return "\n".join(parts)
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+register("bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_ORACLE)

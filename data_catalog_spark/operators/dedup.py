@@ -174,14 +174,38 @@ def ngram_jaccard_pairs(
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth near-dup pairs (the recall denominator for MinHash),
-    with the df-cutoff blocking guard active — see ``ngram_jaccard_pairs``.
-    The docs repartition spreads the 1-row-group local file across the
-    executor threads so shingling isn't a serial scan task (no-op to omit
-    on a properly partitioned deployment input)."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    with the df-cutoff blocking guard active — the SQL twin of
+    ``ngram_jaccard_pairs`` (which tests keep exercising with custom caps).
+    Two analyzed statements (capped shingles → checkpoint → pair join),
+    the dedup_minhash execution form; the REPARTITION hint spreads the
+    1-row-group local file across the executor threads (no-op on a
+    properly partitioned deployment input)."""
+    hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+    _docs(spark, sf_dir).createOrReplaceTempView("__jac_docs")
+    sh = spark.sql(
+        f"""
+WITH toks AS (SELECT {hint} doc_id, {SPARK_TOKENS} AS t FROM __jac_docs),
+sh0 AS (SELECT doc_id, explode({SPARK_SHINGLES}) AS s FROM toks),
+dfs AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF})
+SELECT sh0.* FROM sh0 JOIN dfs USING (s)
+"""
+    ).localCheckpoint(eager=False)
+    sh.createOrReplaceTempView("__jac_sh")
+    return spark.sql(
+        f"""
+WITH sh AS (SELECT * FROM __jac_sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db, round(common / (na.n + nb.n - common), 6) AS jac
+FROM pairs JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
+WHERE common / (na.n + nb.n - common) >= {JACCARD_THRESHOLD}
+ORDER BY da, db
+"""
     )
-    return ngram_jaccard_pairs(docs)
 
 
 # The pair query body, reusable as a subquery (dup-cluster resolution in

@@ -100,3 +100,34 @@ def test_bpe_merges_apply_like_reference_bpe(spark, sf_dir):
     }
     for w in words:
         assert got[w] == apply_merges(w), w
+
+
+def test_bpe_encode_corpus_parity_and_compression(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import bpe
+
+    df = bpe.bpe_encode_corpus(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "per-source stats must be non-empty"
+    for r in rows:
+        # merges only ever fuse adjacent symbols: 1 <= subwords/word <= chars
+        assert r.n_subwords >= r.n_words
+        assert r.avg_per_word >= 1.0
+    # the learned merges must compress vs character-level segmentation
+    total_sub = sum(r.n_subwords for r in rows)
+    from pyspark.sql import functions as F
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators.text import SPARK_TOKENS
+
+    total_chars = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.expr(
+                f"aggregate({SPARK_TOKENS}, 0L, (a, x) -> a + length(x))"
+            ).alias("c")
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert total_sub < total_chars
+    assert_same(df, ddb, bpe.BPE_ENCODE_ORACLE)
