@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-from .similarity import _assign_clusters, _emb, _with_centroid_dists
+from .similarity import _emb
 
 K_TRAIN = 8
 TRAIN_ITERS = 4
@@ -57,20 +57,41 @@ def _micro_sum(col: str) -> F.Column:
     )
 
 
-def _lloyd_centroids(spark: SparkSession, e: DataFrame) -> list[list[float]]:
+def _dists_sql(cents: list[list[float]]) -> str:
+    from .similarity import _centroids_sql
+
+    return (
+        f"transform({_centroids_sql(cents)}, "
+        f"c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
+def _lloyd_centroids(spark: SparkSession) -> list[list[float]]:
+    """One analyzed statement per Lloyd iteration over the ``__km_e`` view
+    (DataFrame-composed iterations spent ~0.5 s/round in eager
+    re-analysis — the dedup two-statement finding applied to a loop)."""
     init = [
         [float(x) for x in r.v]
-        for r in e.orderBy("vec_id").limit(K_TRAIN).collect()
+        for r in spark.sql(
+            f"SELECT v FROM __km_e ORDER BY vec_id LIMIT {K_TRAIN}"
+        ).collect()
     ]
     cents = init
     for _ in range(TRAIN_ITERS):
-        rows = (
-            _assign_clusters(e, cents)
-            .select("cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(_micro_sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        rows = spark.sql(
+            f"""
+WITH a AS (SELECT v, {_dists_sql(cents)} AS dists FROM __km_e),
+s AS (SELECT CAST(array_position(dists, array_min(dists)) - 1 AS INT)
+             AS cluster,
+             posexplode(v) AS (pos, val)
+      FROM a)
+SELECT cluster, pos,
+       sum(CAST(round(val * {_Q!r}) AS DECIMAL(38,0))) AS s,
+       count(1) AS n
+FROM s GROUP BY cluster, pos
+"""
+        ).collect()
         new = {(r.cluster, r.pos): float(r.s) / float(r.n) / _Q for r in rows}
         cents = [
             [new.get((c, p), cents[c][p]) for p in range(_DIM)]
@@ -84,21 +105,18 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model: one row per (cluster, pos) with the centroid component plus
     the cluster's final point count and inertia (sum of squared distance
     of members to their centroid, in the same microunit fixed point)."""
-    e = _emb(spark, sf_dir)
-    cents = _lloyd_centroids(spark, e)
-    stats = (
-        _with_centroid_dists(e, cents)
-        .select(
-            F.expr(
-                "CAST(array_position(dists, array_min(dists)) - 1 AS INT)"
-            ).alias("cluster"),
-            F.array_min("dists").alias("dist"),
-        )
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_points"),
-            (_micro_sum("dist").cast("double") / F.lit(_Q)).alias("inertia"),
-        )
+    e = _emb(spark, sf_dir).localCheckpoint(eager=False)
+    e.createOrReplaceTempView("__km_e")
+    cents = _lloyd_centroids(spark)
+    stats = spark.sql(
+        f"""
+WITH a AS (SELECT {_dists_sql(cents)} AS dists FROM __km_e)
+SELECT CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS cluster,
+       CAST(count(1) AS BIGINT) AS n_points,
+       CAST(sum(CAST(round(array_min(dists) * {_Q!r}) AS DECIMAL(38,0)))
+            AS DOUBLE) / {_Q!r} AS inertia
+FROM a GROUP BY 1
+"""
     )
     cent_rows = [
         (c, p, cents[c][p]) for c in range(K_TRAIN) for p in range(_DIM)
