@@ -131,10 +131,13 @@ FROM a GROUP BY 1
     )
 
 
-def _kmeans_oracle() -> str:
+def _train_ctes() -> str:
+    """The DuckDB Lloyd-replay CTE chain: ``e`` (double vectors) through
+    ``c{TRAIN_ITERS}`` (the trained centroid list-of-lists).  Shared by
+    the kmeans_train oracle and the trained-quantizer ANN oracle."""
     dist = "list_sum([(v[k] - c[k]) * (v[k] - c[k]) for k in range(1, 65)])"
     parts = [
-        "WITH e AS (SELECT vec_id,"
+        "e AS (SELECT vec_id,"
         " [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),",
         f"c0 AS (SELECT list(v ORDER BY vec_id) AS cents FROM"
         f" (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {K_TRAIN})),",
@@ -162,9 +165,17 @@ c{i} AS (
            c{i - 1}.cents[r.cl + 1] AS prev
     FROM range(0, {K_TRAIN}) r(cl) CROSS JOIN c{i - 1})),"""
         )
+    # the last round's part ends with a trailing comma — strip it so the
+    # chain composes cleanly with whatever CTE the consumer appends
+    chain = "\n".join(parts)
+    return chain.rstrip().rstrip(",")
+
+
+def _kmeans_oracle() -> str:
+    dist = "list_sum([(v[k] - c[k]) * (v[k] - c[k]) for k in range(1, 65)])"
     n = TRAIN_ITERS
-    parts.append(
-        f"""af AS (
+    return f"""WITH {_train_ctes()},
+af AS (
   SELECT [{dist} for c in cents] AS dists
   FROM e CROSS JOIN c{n}),
 stats AS (
@@ -181,10 +192,97 @@ flat AS (
 SELECT f.cluster, f.pos, f.centroid, s.n_points, s.inertia
 FROM flat f JOIN stats s USING (cluster)
 ORDER BY cluster, pos"""
-    )
-    return "\n".join(parts)
 
 
 KMEANS_ORACLE = _kmeans_oracle()
 
 register("kmeans_train", kmeans_train, KMEANS_ORACLE)
+
+
+# -- trained-quantizer IVF: the full train→index→query pipeline ----------------
+#
+# ann_ivf_topk's coarse quantizer is FROZEN model state (the standard
+# pretrain-on-a-sample deployment); this variant closes the loop by
+# training the quantizer IN the query — Lloyd's above, then the identical
+# IVF search (cluster-assign the corpus, probe the nprobe nearest
+# centroids per query, exact rounded-cosine re-rank inside the probed
+# buckets).  One oracle checks the whole train→index→query composition.
+
+IVF_TRAINED_NPROBE = 2  # of K_TRAIN=8 clusters — same ~25% scan fraction
+                        # as the frozen 4-of-16 pipeline
+
+
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors through an IVF index whose coarse quantizer
+    is trained by ``_lloyd_centroids`` in the same run."""
+    from pyspark.sql import Window
+
+    from .similarity import (
+        N_QUERIES,
+        TOP_K,
+        _assign_clusters,
+        _assign_probes,
+        _cos,
+        _with_norm,
+    )
+
+    e0 = _emb(spark, sf_dir).localCheckpoint(eager=False)
+    e0.createOrReplaceTempView("__km_e")
+    cents = _lloyd_centroids(spark)
+    e = _with_norm(e0)
+    corpus = _assign_clusters(e.where(F.col("vec_id") >= N_QUERIES), cents)
+    queries = _assign_probes(
+        e.where(F.col("vec_id") < N_QUERIES), cents, IVF_TRAINED_NPROBE
+    )
+    cand = (
+        F.broadcast(queries)
+        .alias("a")
+        .join(corpus.alias("b"), F.col("a.probe") == F.col("b.cluster"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            F.round(_cos(), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def _ivf_trained_oracle() -> str:
+    from .similarity import N_QUERIES, TOP_K, _duck_sq
+
+    n = TRAIN_ITERS
+    dist = _duck_sq("v", "c", _DIM)
+    return f"""
+WITH {_train_ctes()},
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+d AS (SELECT vec_id, v, nrm,
+             list_transform(cents, c -> {dist}) AS dists
+      FROM nn CROSS JOIN c{n}),
+corpus AS (SELECT vec_id, v, nrm,
+                  list_position(dists, list_min(dists)) - 1 AS cluster
+           FROM d WHERE vec_id >= {N_QUERIES}),
+qp AS (SELECT vec_id, v, nrm, unnest(probes) AS probe FROM (
+         SELECT vec_id, v, nrm,
+                list_transform(list_slice(list_sort(
+                  [{{'d': dists[j + 1], 'c': j}} for j in range(0, {K_TRAIN})]),
+                  1, {IVF_TRAINED_NPROBE}), p -> p.c) AS probes
+         FROM d WHERE vec_id < {N_QUERIES})),
+cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid,
+                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         FROM qp a JOIN corpus b ON a.probe = b.cluster),
+r AS (SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM cand)
+SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
+register("ann_ivf_trained_topk", ann_ivf_trained_topk, _ivf_trained_oracle())

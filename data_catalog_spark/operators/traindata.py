@@ -305,3 +305,69 @@ def _pack_oracle() -> str:
 
 
 register("docs_pack_shards", docs_pack_shards, _pack_oracle())
+
+
+# -- split leakage audit --------------------------------------------------------
+#
+# Random (hash-bucket) splits leak: a near-duplicate pair with one member in
+# train and the other in test inflates eval scores (the canonical argument
+# for dedup-before-split; cf. Lee et al. 2022 §6).  This audit joins the
+# Jaccard near-dup pair set against the split assignment and reports, per
+# (split_a, split_b) combination, how many near-dup pairs cross it — the
+# number a pipeline must drive to zero for train→val/test edges before
+# trusting held-out metrics.  Scale shape: the pair set is the already-
+# blocked dedup output (linear, capped), the split columns are two hash
+# joins on doc_id, and the report is a tiny groupBy — no new heavy ops.
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_a, split_b, n_pairs, n_leaking): near-dup pairs per ordered
+    split combination; ``n_leaking`` counts pairs crossing DIFFERENT
+    splits (the leakage), so same-split rows carry 0 and the total
+    leakage is one SUM away."""
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    splits = docs_train_split(spark, sf_dir).select("doc_id", "split")
+    a = splits.withColumnRenamed("doc_id", "da").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = splits.withColumnRenamed("doc_id", "db").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(a, "da")
+        .join(b, "db")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("split_a") != F.col("split_b")).cast("bigint")
+            ).alias("n_leaking"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _leakage_oracle() -> str:
+    from .dedup import JACCARD_PAIRS_BODY
+
+    return f"""
+WITH pairs AS (SELECT da, db FROM ({JACCARD_PAIRS_BODY}) p),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+              WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_leaking
+FROM pairs JOIN splits a ON pairs.da = a.doc_id
+           JOIN splits b ON pairs.db = b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+register("split_leakage_audit", split_leakage_audit, _leakage_oracle())

@@ -79,3 +79,22 @@ def test_kmeans_assignment_is_nearest_centroid(spark, sf_dir, trained):
         assert math.isclose(
             d[assigned[p.vec_id]], d[best], rel_tol=1e-12, abs_tol=1e-12
         )
+
+
+def test_trained_ivf_parity_and_recall(spark, sf_dir, ddb):
+    """The train→index→query composition: oracle parity plus recall vs the
+    exact brute-force top-k (nprobe=2 of 8 clusters scans ~25% of the
+    corpus; the trained quantizer must keep most true neighbors)."""
+    from conftest import assert_same
+    from data_catalog_spark.operators import kmeans as km
+    from data_catalog_spark.operators import similarity as S
+
+    got = km.ann_ivf_trained_topk(spark, sf_dir)
+    assert_same(got, ddb, km._ivf_trained_oracle())
+    exact = {
+        (r.qid, r.nid)
+        for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.qid, r.nid) for r in got.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall  # 2-of-8 probe at an unclustered SF

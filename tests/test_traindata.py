@@ -119,3 +119,22 @@ def test_pack_shards_no_single_partition_window(spark, sf_dir):
     windows = re.findall(r"Window \[.*?\]", plan)
     doc_scale = [w for w in windows if "n_tokens" in w and "bucket" not in w]
     assert not doc_scale, f"doc-scale global window found: {doc_scale}"
+
+
+def test_split_leakage_audit_counts_and_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import traindata
+    from data_catalog_spark.operators.dedup import dedup_ngram_jaccard
+
+    df = traindata.split_leakage_audit(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "the synthetic corpus has near-dup pairs"
+    total = sum(r.n_pairs for r in rows)
+    assert total == dedup_ngram_jaccard(spark, sf_dir).count()
+    for r in rows:
+        assert 0 <= r.n_leaking <= r.n_pairs
+        if r.split_a == r.split_b:
+            assert r.n_leaking == 0
+        else:
+            assert r.n_leaking == r.n_pairs
+    assert_same(df, ddb, traindata._leakage_oracle())
