@@ -126,6 +126,8 @@ HEADLINE = [
     "bpe_train_merges",
     "media_phash_dedup",
     "stream_ingest_indexed_search",
+    "split_leakage_audit",
+    "ann_ivf_trained_topk",
 ]
 
 

@@ -247,3 +247,78 @@ ORDER BY a_id, b_id
 PHASH_ORACLE = _phash_oracle()
 
 register("media_phash_dedup", media_phash_dedup, PHASH_ORACLE)
+
+
+# -- image near-dup resolution --------------------------------------------------
+#
+# The image lane's counterpart of quality_model.dedup_keep_best: connected
+# components over the pHash pair graph, then one representative per cluster
+# (largest blob wins — the "keep the highest-resolution copy" heuristic of
+# crawled-image dedup; ties break to the lowest media_id).  Same machinery
+# as the text clusters: distributed Hash-Min label propagation with a
+# control-only driver loop, window over the (tiny) cluster frame.
+
+
+def media_phash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, kept_media_id, kept_bytes, n_members, n_dropped) per
+    pHash near-dup cluster."""
+    from pyspark.sql import Window
+
+    from .corpus import _connected_components
+
+    pairs = media_phash_dedup(spark, sf_dir)
+    edges = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    clusters = _connected_components(edges).select(
+        F.col("node").alias("media_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = synth_media(spark, sf_dir).select(
+        "media_id", F.expr("CAST(octet_length(content) AS BIGINT)").alias("n_bytes")
+    )
+    j = clusters.join(sizes, "media_id")
+    by_cluster = Window.partitionBy("cluster_id")
+    rank_w = by_cluster.orderBy(F.col("n_bytes").desc(), F.col("media_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(rank_w))
+        .withColumn("n_members", F.count(F.lit(1)).over(by_cluster))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("media_id").alias("kept_media_id"),
+            F.col("n_bytes").alias("kept_bytes"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - F.lit(1)).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _phash_resolve_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+p AS (SELECT a_id, b_id FROM ({PHASH_ORACLE}) t),
+edges AS (SELECT a_id AS a, b_id AS b FROM p UNION SELECT b_id, a_id FROM p),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS media_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a),
+sizes AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 0),
+m AS (SELECT c.cluster_id, c.media_id, s.n_bytes
+      FROM clusters c JOIN sizes s USING (media_id))
+SELECT cluster_id, media_id AS kept_media_id, n_bytes AS kept_bytes,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       CAST(count(*) OVER (PARTITION BY cluster_id) - 1 AS BIGINT) AS n_dropped
+FROM m
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_bytes DESC, media_id) = 1
+ORDER BY cluster_id
+"""
+
+
+register("media_phash_resolve", media_phash_resolve, _phash_resolve_oracle())

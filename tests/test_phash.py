@@ -93,3 +93,48 @@ def test_gray_grid_bytes_view_pads_and_truncates():
     assert short[31, 31] == 0
     long_grid, _ = phash._gray_grid(bytes(range(256)) * 8)  # 2048 bytes
     assert long_grid[0, 31] == 31
+
+
+def test_phash_resolve_keeps_largest_member(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import phash
+    from data_catalog_spark.operators.multimodal import synth_media
+    from pyspark.sql import functions as F
+
+    resolved = phash.media_phash_resolve(spark, sf_dir)
+    rows = resolved.collect()
+    assert rows, "the near-dup pairs imply at least one cluster"
+    sizes = {
+        r.media_id: r.n
+        for r in synth_media(spark, sf_dir)
+        .select("media_id", F.expr("CAST(octet_length(content) AS BIGINT)").alias("n"))
+        .collect()
+    }
+    pairs = phash.media_phash_dedup(spark, sf_dir).collect()
+    members: dict[int, set[int]] = {}
+    # reconstruct clusters in pure python (union-find over the pair graph)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.a_id), find(p.b_id)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for node in list(parent):
+        members.setdefault(find(node), set()).add(node)
+    got = {r.cluster_id: r for r in rows}
+    assert set(got) == set(members)
+    for cid, mem in members.items():
+        r = got[cid]
+        assert r.n_members == len(mem)
+        assert r.n_dropped == len(mem) - 1
+        best = sorted(mem, key=lambda m: (-sizes[m], m))[0]
+        assert r.kept_media_id == best
+        assert r.kept_bytes == sizes[best]
+    assert_same(resolved, ddb, phash._phash_resolve_oracle())
