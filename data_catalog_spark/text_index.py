@@ -584,6 +584,9 @@ class SegmentedTextIndex:
         segment with their postings; their old postings in earlier
         segments are tombstoned.  Both effects commit in ONE manifest
         swap, so no reader can observe the delete without the add."""
+        # three consumers below (id collect, postings build, id sidecar) —
+        # materialize the slice once instead of re-running its source scan
+        ds_slice = ds_slice.localCheckpoint(eager=False)
         ids = [r.id for r in ds_slice.select("id").distinct().collect()]
         with self._mutation_lock() as lk:
             updated = self._tombstoned(self._manifest(), ids)
