@@ -128,6 +128,7 @@ HEADLINE = [
     "stream_ingest_indexed_search",
     "split_leakage_audit",
     "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
 ]
 
 

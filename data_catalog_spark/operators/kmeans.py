@@ -286,3 +286,153 @@ FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
 
 
 register("ann_ivf_trained_topk", ann_ivf_trained_topk, _ivf_trained_oracle())
+
+
+# -- trained-codebook PQ: compressed-domain search on in-run-trained books ------
+#
+# The PQ twin of ann_ivf_trained_topk: per-subspace Lloyd's (microunit
+# fixed-point means, so the DuckDB oracle replays training bit-for-bit)
+# followed by the standard PQ search — code assignment, per-query ADC
+# lookup tables, compressed-domain rank cut, exact re-rank on the bounded
+# survivor pool (the search half is SHARED with the frozen-literal
+# ann_pq_topk: _pq_parts/_pq_exact_rerank take the books as a parameter).
+
+PQ_TRAIN_ITERS = 2  # matches the frozen pipeline's PQ_ITERS
+
+
+def _pq_codebooks_micro(spark: SparkSession) -> list[list[list[float]]]:
+    """[m][j][d] codebooks trained over the ``__pq_sl`` slice view with
+    one analyzed statement per iteration; means are microunit-exact."""
+    from .similarity import PQ_K, PQ_M, _centroids_sql
+
+    sub = _DIM // PQ_M
+    init = spark.sql(
+        "SELECT vn FROM __pq_corpus ORDER BY vec_id LIMIT " + str(PQ_K)
+    ).collect()
+    books = [
+        [[float(x) for x in r.vn[m * sub : (m + 1) * sub]] for r in init]
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_TRAIN_ITERS):
+        cb_lit = "array(" + ", ".join(_centroids_sql(b) for b in books) + ")"
+        rows = spark.sql(
+            f"""
+WITH a AS (SELECT m, sv,
+  transform(element_at({cb_lit}, m + 1),
+            c -> aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)),
+                           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS dists
+  FROM __pq_sl),
+s AS (SELECT m, CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS j,
+             posexplode(sv) AS (pos, val)
+      FROM a)
+SELECT m, j, pos,
+       sum(CAST(round(val * {_Q!r}) AS DECIMAL(38,0))) AS s,
+       count(1) AS n
+FROM s GROUP BY m, j, pos
+"""
+        ).collect()
+        new = {
+            (r.m, r.j, r.pos): float(r.s) / float(r.n) / _Q for r in rows
+        }
+        books = [
+            [
+                [new.get((m, j, p), books[m][j][p]) for p in range(sub)]
+                for j in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+    return books
+
+
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k whose codebooks are trained by per-subspace Lloyd's in the
+    same run — train→compress→search, one oracle."""
+    from .similarity import (
+        N_QUERIES,
+        PQ_M,
+        _emb,
+        _pq_exact_rerank,
+        _pq_parts,
+        _with_norm,
+    )
+
+    sub = _DIM // PQ_M
+    corpus = (
+        _with_norm(_emb(spark, sf_dir))
+        .withColumn("vn", F.expr("transform(v, x -> x / nrm)"))
+        .where(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "vn")
+        .localCheckpoint(eager=False)
+    )
+    corpus.createOrReplaceTempView("__pq_corpus")
+    sl = spark.sql(
+        f"""
+SELECT vec_id, s.m AS m, s.sv AS sv FROM (
+  SELECT vec_id,
+         explode(transform(sequence(0, {PQ_M - 1}),
+                 m -> struct(m AS m, slice(vn, m * {sub} + 1, {sub}) AS sv))) AS s
+  FROM __pq_corpus)
+"""
+    ).localCheckpoint(eager=False)
+    sl.createOrReplaceTempView("__pq_sl")
+    books = _pq_codebooks_micro(spark)
+    e, queries, pool = _pq_parts(spark, sf_dir, books=books)
+    return _pq_exact_rerank(e, queries, pool)
+
+
+def _pq_trained_oracle() -> str:
+    from .similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        _DUCK_PQ_PRELUDE,
+        _pq_search_body,
+    )
+
+    sub = _DIM // PQ_M
+    parts = [
+        f"WITH{_DUCK_PQ_PRELUDE},",
+        f"""sl AS (SELECT vec_id, m, vn[m * {sub} + 1 : m * {sub} + {sub}] AS sv
+      FROM u CROSS JOIN range(0, {PQ_M}) r(m)
+      WHERE vec_id >= {N_QUERIES}),
+b0 AS (SELECT m, list(sv ORDER BY vec_id) AS book FROM sl
+       WHERE vec_id IN (SELECT vec_id FROM u WHERE vec_id >= {N_QUERIES}
+                        ORDER BY vec_id LIMIT {PQ_K})
+       GROUP BY m),""",
+    ]
+    dist = (
+        f"list_sum([(sv[k] - c[k]) * (sv[k] - c[k]) "
+        f"for k in range(1, {sub + 1})])"
+    )
+    for i in range(1, PQ_TRAIN_ITERS + 1):
+        parts.append(
+            f"""pa{i} AS (
+  SELECT sl.m AS m, sv, [{dist} for c in book] AS dists
+  FROM sl JOIN b{i - 1} USING (m)),
+ps{i} AS (
+  SELECT m, CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS j,
+         unnest(sv) AS val, unnest(range(0, {sub})) AS pos
+  FROM pa{i}),
+pm{i} AS (
+  SELECT m, j, pos,
+         CAST(SUM(CAST(round(val * {_Q}) AS DECIMAL(38,0))) AS DOUBLE)
+           / COUNT(*) / {_Q} AS val
+  FROM ps{i} GROUP BY 1, 2, 3),
+b{i} AS MATERIALIZED (
+  SELECT m, list(COALESCE(cv, prev) ORDER BY j) AS book FROM (
+    SELECT gm.m AS m, gj.j AS j,
+           (SELECT list(val ORDER BY pos) FROM pm{i}
+            WHERE pm{i}.m = gm.m AND pm{i}.j = gj.j) AS cv,
+           (SELECT book[gj.j + 1] FROM b{i - 1}
+            WHERE b{i - 1}.m = gm.m) AS prev
+    FROM range(0, {PQ_M}) gm(m) CROSS JOIN range(0, {PQ_K}) gj(j))
+  GROUP BY m),"""
+        )
+    parts.append(
+        f"cbt AS (SELECT list(book ORDER BY m) AS cb FROM b{PQ_TRAIN_ITERS}),"
+    )
+    parts.append(_pq_search_body())
+    return "\n".join(parts)
+
+
+register("ann_pq_trained_topk", ann_pq_trained_topk, _pq_trained_oracle())

@@ -626,13 +626,16 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame) -> list[list[list[float]]]:
 
 
 def _pq_parts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, books=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the PQ pipeline's three relations: the normalized embedding
     table ``e``, the query subset, and the compressed-domain candidate
     ``pool`` (qid, nid survivors of the ADC rank cut).  Split out so tests
-    can pin the pool's plan independently of the exact re-rank stage."""
-    from .ann_models import PQ_CODEBOOKS as books
+    can pin the pool's plan independently of the exact re-rank stage.
+    ``books`` defaults to the frozen pretrained codebooks; the trained-
+    in-run variant (ann_pq_trained_topk) passes its own."""
+    if books is None:
+        from .ann_models import PQ_CODEBOOKS as books
 
     sub = _DIM // PQ_M
     # normalize first: on unit vectors L2² = 2 − 2·cos, so compressed-domain
@@ -725,6 +728,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pins the pool plan to the compressed domain (no exact cosine, no
     cartesian re-rank)."""
     e, queries, pool = _pq_parts(spark, sf_dir)
+    return _pq_exact_rerank(e, queries, pool)
+
+
+def _pq_exact_rerank(e, queries, pool) -> DataFrame:
     # Exact re-rank: the survivor set is BOUNDED by construction
     # (|queries|·PQ_RERANK rows), so hand it back via a broadcast hash
     # join — the ADC job runs exactly once, inside the broadcast
@@ -849,39 +856,25 @@ FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
 """
 
 
-def _pq_oracle() -> str:
-    """DuckDB rendering of the frozen-codebook PQ pipeline: per-subspace
-    argmin codes, asymmetric compressed-domain distance, (approx_d, nid)
-    re-rank pool cut, exact rounded-cosine final rank."""
-    from .ann_models import PQ_CODEBOOKS
+_DUCK_PQ_PRELUDE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+u AS (SELECT vec_id, v, nrm, list_transform(v, x -> x / nrm) AS vn FROM n)"""
 
+
+def _pq_search_body() -> str:
+    """The search half of the PQ oracle — expects CTEs ``u`` (normalized
+    vectors) and ``cbt(cb)`` (the [m][j][d] codebooks) to be in scope, so
+    the frozen-literal and trained-in-run variants share one definition."""
     sub = _DIM // PQ_M
-    cb = (
-        "["
-        + ", ".join(
-            "["
-            + ", ".join(
-                "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in cent) + "]"
-                for cent in book
-            )
-            + "]"
-            for book in PQ_CODEBOOKS
-        )
-        + "]"
-    )
     sq = _duck_sq("vn", "c", sub, off=f"m * {sub}")
     adc_inner = (
         f"list_sum([(a.vn[m * {sub} + i] - cb[m + 1][b.codes[m + 1] + 1][i]) * "
         f"(a.vn[m * {sub} + i] - cb[m + 1][b.codes[m + 1] + 1][i]) "
         f"for i in range(1, {sub} + 1)])"
     )
-    return f"""
-WITH cbt AS (SELECT {cb} AS cb),
-e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-u AS (SELECT vec_id, v, nrm, list_transform(v, x -> x / nrm) AS vn FROM n),
-corpus AS (SELECT vec_id, v, nrm, vn,
+    return f"""corpus AS (SELECT vec_id, v, nrm, vn,
                   [list_position(list_transform(cb[m + 1], c -> {sq}),
                                  list_min(list_transform(cb[m + 1], c -> {sq}))) - 1
                    for m in range(0, {PQ_M})] AS codes
@@ -900,6 +893,30 @@ rr AS (SELECT qid, nid, cos,
 SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
 FROM rr WHERE rank <= {TOP_K} ORDER BY qid, rank
 """
+
+
+def _pq_oracle() -> str:
+    """DuckDB rendering of the frozen-codebook PQ pipeline: per-subspace
+    argmin codes, asymmetric compressed-domain distance, (approx_d, nid)
+    re-rank pool cut, exact rounded-cosine final rank."""
+    from .ann_models import PQ_CODEBOOKS
+
+    cb = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in cent) + "]"
+                for cent in book
+            )
+            + "]"
+            for book in PQ_CODEBOOKS
+        )
+        + "]"
+    )
+    return f"""
+WITH cbt AS (SELECT {cb} AS cb),{_DUCK_PQ_PRELUDE},
+{_pq_search_body()}"""
 
 
 register("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTE_ORACLE)

@@ -98,3 +98,21 @@ def test_trained_ivf_parity_and_recall(spark, sf_dir, ddb):
     approx = {(r.qid, r.nid) for r in got.collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, recall  # 2-of-8 probe at an unclustered SF
+
+
+def test_trained_pq_parity_and_recall(spark, sf_dir, ddb):
+    """train→compress→search: oracle parity plus recall vs brute force
+    (the trained codebooks must rank true neighbors into the re-rank
+    pool at least as well as a random quantizer would not)."""
+    from conftest import assert_same
+    from data_catalog_spark.operators import kmeans as km
+    from data_catalog_spark.operators import similarity as S
+
+    got = km.ann_pq_trained_topk(spark, sf_dir)
+    assert_same(got, ddb, km._pq_trained_oracle())
+    exact = {
+        (r.qid, r.nid)
+        for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.qid, r.nid) for r in got.collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
