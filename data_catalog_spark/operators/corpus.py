@@ -134,29 +134,32 @@ MAX_CC_ROUNDS = 20
 def _connected_components(edges: DataFrame) -> DataFrame:
     """(node, label) with label = min node reachable through the undirected
     pair graph.  Driver loop runs min-label propagation to fixpoint (≤ graph
-    diameter rounds); per round: one join + one groupBy, both on the node
-    key; localCheckpoint truncates the iterative lineage so plan size stays
-    O(1) in rounds.  ``edges`` must have columns (a, b), one row per
-    directed pair."""
+    diameter rounds); per round ONE analyzed spark.sql statement (join +
+    groupBy on the node key) — the two-statement finding applied to a loop:
+    the DataFrame-composed rounds paid eager per-op re-analysis every
+    iteration.  localCheckpoint truncates the iterative lineage so plan
+    size stays O(1) in rounds; convergence is a 1-scalar count.  ``edges``
+    must have columns (a, b), one row per directed pair."""
+    spark = edges.sparkSession
     edges = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = edges.localCheckpoint()
-    labels = (
-        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    edges.createOrReplaceTempView("__cc_edges")
+    labels = spark.sql(
+        "SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM __cc_edges)"
     )
+    step = """
+WITH msgs AS (
+  SELECT e.b AS node2, min(l.label) AS nbr_min
+  FROM __cc_edges e JOIN __cc_labels l ON e.a = l.node
+  GROUP BY e.b)
+SELECT node,
+       least(label, coalesce(nbr_min, label)) AS new_label,
+       label
+FROM __cc_labels LEFT OUTER JOIN msgs ON node = node2
+"""
     for _ in range(MAX_CC_ROUNDS):
-        msgs = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new = (
-            labels.join(msgs, labels.node == msgs.node2, "left_outer")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nbr_min", "label")).alias("new_label"),
-                "label",
-            )
-        ).localCheckpoint()  # truncate iterative lineage
+        labels.createOrReplaceTempView("__cc_labels")
+        new = spark.sql(step).localCheckpoint()  # truncate iterative lineage
         changed = new.where(F.col("new_label") < F.col("label")).count()
         labels = new.select("node", F.col("new_label").alias("label"))
         if changed == 0:
