@@ -196,10 +196,12 @@ def _q_sql() -> str:
     return f"[{rows}]"
 
 
-def _phash_oracle() -> str:
+def _hash_ctes() -> str:
+    """CTE chain ``q, img, px, tmat, mmat, vals, h, bands`` — pHash +
+    band table over the bytes-view image corpus; shared by the pair,
+    resolution, and incremental oracles."""
     g = GRID
-    return f"""
-WITH q(m) AS (SELECT {_q_sql()}),
+    return f"""q(m) AS (SELECT {_q_sql()}),
 img AS (
   SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
 px AS (
@@ -232,7 +234,12 @@ h AS (
 bands AS (
   SELECT media_id, phash, i AS band,
          (phash >> (i * {BAND_BITS})) & {2**BAND_BITS - 1} AS bv
-  FROM h CROSS JOIN range(0, {N_BANDS}) r(i)),
+  FROM h CROSS JOIN range(0, {N_BANDS}) r(i))"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+WITH {_hash_ctes()},
 cand AS (
   SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
          CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
@@ -322,3 +329,100 @@ ORDER BY cluster_id
 
 
 register("media_phash_resolve", media_phash_resolve, _phash_resolve_oracle())
+
+
+# -- incremental image dedup (new crawl batch vs existing corpus) ---------------
+#
+# The image lane's counterpart of dedup_incremental: per-crawl ingest
+# checks ONLY the incoming batch against what is already kept — work is
+# O(|new| · band-bucket occupancy), never all-pairs over everything.  The
+# "incoming batch" is a deterministic slice like the text pipeline's
+# (at deployment it is the crawl/partition id); mod 2 here so the split
+# actually bisects the near-dup pairs at every test SF (image ids are all
+# multiples of 3, and the sparse pair set straddles the even/odd split
+# where a 1-in-7 slice misses it entirely at sf<=0.01).
+
+PHASH_NEW_MOD = 2
+
+
+def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, kind, match_id, hamming) for every new-batch image with
+    a Hamming≤HAM_K match in the existing corpus: kind = 'exact' when the
+    63-bit hashes are identical, else 'near'; match = lowest (hamming,
+    media_id) existing neighbor."""
+    from pyspark.sql import Window
+
+    hashed = phash_images(synth_media(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), i -> "
+                f"struct(i AS band, "
+                f"shiftright(phash, i * {BAND_BITS}) & {2**BAND_BITS - 1} AS bv))"
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.bv")
+    is_new = F.col("media_id") % PHASH_NEW_MOD == 0
+    cand = (
+        bands.where(is_new)
+        .alias("n")
+        .join(
+            bands.where(~is_new).alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bv") == F.col("e.bv")),
+        )
+        .select(
+            F.col("n.media_id").alias("media_id"),
+            F.col("e.media_id").alias("match_id"),
+            F.expr("CAST(bit_count(n.phash ^ e.phash) AS INT)").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= HAM_K)
+    )
+    w = Window.partitionBy("media_id").orderBy("hamming", "match_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "media_id",
+            F.when(F.col("hamming") == 0, "exact").otherwise("near").alias(
+                "kind"
+            ),
+            "match_id",
+            "hamming",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _phash_incremental_oracle() -> str:
+    return f"""
+WITH {_hash_ctes()},
+cand AS (
+  SELECT DISTINCT n.media_id AS media_id, e.media_id AS match_id,
+         CAST(bit_count(xor(n.phash, e.phash)) AS INT) AS hamming
+  FROM bands n JOIN bands e ON n.band = e.band AND n.bv = e.bv
+  WHERE n.media_id % {PHASH_NEW_MOD} = 0
+    AND e.media_id % {PHASH_NEW_MOD} != 0
+    AND bit_count(xor(n.phash, e.phash)) <= {HAM_K})
+SELECT media_id,
+       CASE WHEN hamming = 0 THEN 'exact' ELSE 'near' END AS kind,
+       match_id, hamming
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY media_id
+                           ORDER BY hamming, match_id) = 1
+ORDER BY media_id
+"""
+
+
+register(
+    "media_phash_incremental",
+    media_phash_incremental,
+    _phash_incremental_oracle(),
+)

@@ -138,3 +138,30 @@ def test_phash_resolve_keeps_largest_member(spark, sf_dir, ddb):
         assert r.kept_media_id == best
         assert r.kept_bytes == sizes[best]
     assert_same(resolved, ddb, phash._phash_resolve_oracle())
+
+
+def test_phash_incremental_matches_batch_pairs(spark, sf_dir, ddb):
+    """Every incremental match must be derivable from the batch pair set
+    restricted to new×existing, with the best (hamming, id) neighbor
+    kept; parity against the replayed oracle."""
+    from conftest import assert_same
+    from data_catalog_spark.operators import phash
+
+    inc = phash.media_phash_incremental(spark, sf_dir)
+    rows = inc.collect()
+    assert rows, "the split must bisect at least one near-dup pair"
+    pairs = phash.media_phash_dedup(spark, sf_dir).collect()
+    best: dict[int, tuple[int, int]] = {}
+    for p in pairs:
+        for new, ex in ((p.a_id, p.b_id), (p.b_id, p.a_id)):
+            if new % phash.PHASH_NEW_MOD == 0 and ex % phash.PHASH_NEW_MOD != 0:
+                cur = best.get(new)
+                if cur is None or (p.hamming, ex) < cur:
+                    best[new] = (p.hamming, ex)
+    got = {r.media_id: (r.hamming, r.match_id, r.kind) for r in rows}
+    assert set(got) == set(best)
+    for mid, (ham, ex) in best.items():
+        g = got[mid]
+        assert (g[0], g[1]) == (ham, ex)
+        assert g[2] == ("exact" if ham == 0 else "near")
+    assert_same(inc, ddb, phash._phash_incremental_oracle())
