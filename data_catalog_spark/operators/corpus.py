@@ -157,6 +157,7 @@ SELECT node,
        label
 FROM __cc_labels LEFT OUTER JOIN msgs ON node = node2
 """
+    changed = -1
     for _ in range(MAX_CC_ROUNDS):
         labels.createOrReplaceTempView("__cc_labels")
         new = spark.sql(step).localCheckpoint()  # truncate iterative lineage
@@ -164,6 +165,16 @@ FROM __cc_labels LEFT OUTER JOIN msgs ON node = node2
         labels = new.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        # A component whose diameter exceeds the round cap would otherwise
+        # return SILENTLY split clusters (and diverge from the oracles'
+        # exact recursive closure).  Fail loudly — the cap is a runaway
+        # bound, not an approximation knob.
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ROUNDS} "
+            f"rounds ({changed} labels still moving) — raise MAX_CC_ROUNDS "
+            "for graphs with diameter beyond the cap"
+        )
     return labels
 
 

@@ -339,6 +339,15 @@ def capped_buckets(
     )
 
 
+def _ok_bucket_sql(require_pair: bool = True) -> str:
+    """The ONE spelling of the bucket-admissibility predicate for the SQL
+    twins (Spark statement and DuckDB oracle alike) — the HAVING clause of
+    every banded candidate generator.  Mirrors admissible_band_keys'
+    semantics (which guards the composable DataFrame variants)."""
+    base = f"count(*) <= {MAX_BAND_BUCKET}"
+    return f"count(*) > 1 AND {base}" if require_pair else base
+
+
 def _mh_dialect(dialect: str) -> dict:
     """Dialect spellings shared by the minhash/simhash SQL renderers."""
     spark = dialect == "spark"
@@ -462,7 +471,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sig AS (SELECT * FROM __mh_sig),
 bands AS ({_band_defs('spark')}),
 ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
-       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),
+       HAVING {_ok_bucket_sql()}),
 buckets AS (SELECT collect_list(doc_id) AS ids
             FROM bands LEFT SEMI JOIN ok
               ON bands.band = ok.band AND bands.band_hash = ok.band_hash
@@ -577,7 +586,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH fps AS (SELECT * FROM __sh_fps),
 chunks AS ({_chunk_defs('spark', with_payload=True)}),
 ok AS (SELECT j, c FROM chunks GROUP BY 1, 2
-       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),
+       HAVING {_ok_bucket_sql()}),
 buckets AS (SELECT collect_list(struct(doc_id, fp)) AS ms
             FROM chunks LEFT SEMI JOIN ok
               ON chunks.j = ok.j AND chunks.c = ok.c
@@ -604,7 +613,7 @@ WITH {_sig_ctes('duck', k=k)},
 bands AS (
   {_band_defs('duck', k, bands)}),
 ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
-       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),
+       HAVING {_ok_bucket_sql()}),
 cand AS (SELECT a.doc_id AS da, b.doc_id AS db
          FROM bands a JOIN ok USING (band, band_hash) JOIN bands b
            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -624,7 +633,7 @@ WITH {_fps_ctes('duck')},
 chunks AS (
   {_chunk_defs('duck', with_payload=True)}),
 ok AS (SELECT j, c FROM chunks GROUP BY 1, 2
-       HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET})
+       HAVING {_ok_bucket_sql()})
 SELECT a.doc_id AS da, b.doc_id AS db,
        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
 FROM chunks a JOIN ok USING (j, c) JOIN chunks b
@@ -705,7 +714,7 @@ exact AS (
 bandt AS (
   {_band_defs(dialect, k)}),
 ok AS (SELECT band, band_hash FROM bandt GROUP BY 1, 2
-       HAVING count(*) <= {MAX_BAND_BUCKET}),
+       HAVING {_ok_bucket_sql(require_pair=False)}),
 capped AS (SELECT bandt.* FROM bandt JOIN ok USING (band, band_hash)),
 cand AS (SELECT DISTINCT n.doc_id, c.doc_id AS cid
          FROM capped n JOIN capped c

@@ -67,21 +67,24 @@ def _dists_sql(cents: list[list[float]]) -> str:
     )
 
 
-def _lloyd_centroids(spark: SparkSession) -> list[list[float]]:
-    """One analyzed statement per Lloyd iteration over the ``__km_e`` view
-    (DataFrame-composed iterations spent ~0.5 s/round in eager
-    re-analysis — the dedup two-statement finding applied to a loop)."""
+def _lloyd_centroids(spark: SparkSession, view: str = "__km_e") -> list[list[float]]:
+    """One analyzed statement per Lloyd iteration over the (vec_id, v)
+    ``view`` — callers must register it explicitly (passing the name keeps
+    a forgotten registration an immediate analysis error instead of
+    silently training on whatever a previous query left behind).
+    DataFrame-composed iterations spent ~0.5 s/round in eager re-analysis
+    — the dedup two-statement finding applied to a loop."""
     init = [
         [float(x) for x in r.v]
         for r in spark.sql(
-            f"SELECT v FROM __km_e ORDER BY vec_id LIMIT {K_TRAIN}"
+            f"SELECT v FROM {view} ORDER BY vec_id LIMIT {K_TRAIN}"
         ).collect()
     ]
     cents = init
     for _ in range(TRAIN_ITERS):
         rows = spark.sql(
             f"""
-WITH a AS (SELECT v, {_dists_sql(cents)} AS dists FROM __km_e),
+WITH a AS (SELECT v, {_dists_sql(cents)} AS dists FROM {view}),
 s AS (SELECT CAST(array_position(dists, array_min(dists)) - 1 AS INT)
              AS cluster,
              posexplode(v) AS (pos, val)
@@ -107,7 +110,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     of members to their centroid, in the same microunit fixed point)."""
     e = _emb(spark, sf_dir).localCheckpoint(eager=False)
     e.createOrReplaceTempView("__km_e")
-    cents = _lloyd_centroids(spark)
+    cents = _lloyd_centroids(spark, "__km_e")
     stats = spark.sql(
         f"""
 WITH a AS (SELECT {_dists_sql(cents)} AS dists FROM __km_e)
@@ -228,7 +231,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e0 = _emb(spark, sf_dir).localCheckpoint(eager=False)
     e0.createOrReplaceTempView("__km_e")
-    cents = _lloyd_centroids(spark)
+    cents = _lloyd_centroids(spark, "__km_e")
     e = _with_norm(e0)
     corpus = _assign_clusters(e.where(F.col("vec_id") >= N_QUERIES), cents)
     queries = _assign_probes(

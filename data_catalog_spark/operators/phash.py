@@ -90,10 +90,14 @@ def _gray_grid(content: bytes) -> tuple[np.ndarray, str]:
     ):
         try:
             out = dec(content)
-            pixels = out[3] if isinstance(out, tuple) else out
+            pixels = out[3]
             fmt = name
             break
-        except Exception:
+        except ValueError:
+            # the codecs' documented not-this-format / unsupported-mode
+            # signal (classify_decode's contract); anything else is a
+            # decoder BUG and must surface, not silently fall through to
+            # the bytes-view
             continue
     if pixels is not None:
         px = np.asarray(pixels, dtype=np.int64)
@@ -128,7 +132,10 @@ def _phash64(grid: np.ndarray) -> int:
 
 def phash_images(media: DataFrame) -> DataFrame:
     """(media_id, phash, decode_fmt) for every image row — Arrow-batched
-    map-only pass."""
+    map-only pass.  Spread across executor threads first: the decode
+    attempts + einsum are per-row-expensive, and the local test media
+    derives from a single-row-group scan (the repo's standing 1-task
+    pitfall; a no-op at deployment scale)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,14 +149,17 @@ def phash_images(media: DataFrame) -> DataFrame:
                 {"media_id": ids, "phash": hashes, "decode_fmt": fmts}
             )
 
-    return media.where(F.col("kind") == "image").mapInPandas(
-        run, schema=_PHASH_SCHEMA
-    )
+    media = media.where(F.col("kind") == "image")
+    return media.repartition(
+        media.sparkSession.sparkContext.defaultParallelism, "media_id"
+    ).mapInPandas(run, schema=_PHASH_SCHEMA)
 
 
-def near_dup_pairs(hashed: DataFrame) -> DataFrame:
-    """Hamming≤HAM_K pairs via band-equality blocking + verification."""
-    bands = hashed.select(
+def _bands(hashed: DataFrame) -> DataFrame:
+    """(media_id, phash, band, bv): the 7×9-bit pigeonhole band table —
+    the ONE Spark-side rendering of the band layout (batch pairs and the
+    incremental matcher both consume it; _hash_ctes is its oracle twin)."""
+    return hashed.select(
         "media_id",
         "phash",
         F.explode(
@@ -160,6 +170,11 @@ def near_dup_pairs(hashed: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("media_id", "phash", "b.band", "b.bv")
+
+
+def near_dup_pairs(hashed: DataFrame) -> DataFrame:
+    """Hamming≤HAM_K pairs via band-equality blocking + verification."""
+    bands = _bands(hashed)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -355,17 +370,7 @@ def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = phash_images(synth_media(spark, sf_dir)).localCheckpoint(
         eager=False
     )
-    bands = hashed.select(
-        "media_id",
-        "phash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), i -> "
-                f"struct(i AS band, "
-                f"shiftright(phash, i * {BAND_BITS}) & {2**BAND_BITS - 1} AS bv))"
-            )
-        ).alias("b"),
-    ).select("media_id", "phash", "b.band", "b.bv")
+    bands = _bands(hashed)
     is_new = F.col("media_id") % PHASH_NEW_MOD == 0
     cand = (
         bands.where(is_new)

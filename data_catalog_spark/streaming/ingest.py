@@ -97,11 +97,23 @@ def _search_cq():
     )
 
 
+# Scratch dirs of the PREVIOUS invocation, reclaimed on the next call: the
+# returned hits page lazily reads the catalog table + index, so they must
+# outlive the call itself — but a benchmark loop must not leak one
+# table+index+checkpoint set per iteration.
+_PREV_RUN_DIRS: list[str] = []
+
+
 def stream_ingest_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    while _PREV_RUN_DIRS:
+        shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
     tbl = tempfile.mkdtemp(prefix="ingest-tbl-")
     idx = tempfile.mkdtemp(prefix="ingest-idx-")
     src = tempfile.mkdtemp(prefix="ingest-src-")
     ckpt = tempfile.mkdtemp(prefix="ingest-ckpt-")
+    _PREV_RUN_DIRS.extend([tbl, idx, src, ckpt])
 
     cat = DatasetsCatalog(spark, tbl)
     ic = IndexedCatalog(cat, idx)

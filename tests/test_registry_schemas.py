@@ -27,3 +27,9 @@ def test_every_registered_query_output_is_scalar_only(spark, sf_dir):
         "driver-unhashable (non-scalar) output columns found:\n  "
         + "\n  ".join(bad)
     )
+
+
+# Cost note: constructing every plan EXECUTES the eager operators (training
+# loops, the streaming ingest job) — deliberate: the guard must see the
+# exact DataFrame the driver will hash, not a declared schema that could
+# drift from it.
