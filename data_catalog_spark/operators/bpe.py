@@ -103,7 +103,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle() -> str:
+def _train_ctes() -> str:
+    """The shared DuckDB training CTE chain (toks → vocab → ws0 → per-round
+    p{i}/win{i}/ws{i}), ending with a trailing comma so both oracles append
+    their own CTEs.  Factored (rather than string-sliced from the rendered
+    SQL) so a reformat of one oracle cannot silently truncate the other.
+    ``CAST(SUM(cnt) AS BIGINT)`` keeps the pair counts BIGINT — DuckDB's
+    bare SUM(BIGINT) is HUGEINT, which hash-diverges from Spark's bigint
+    even when values are identical (round-7 driver red row)."""
     parts = [
         f"""WITH toks AS (SELECT unnest({DUCK_TOKENS}) AS word FROM documents),
 vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
@@ -115,7 +122,7 @@ ws0 AS MATERIALIZED (
     for i in range(1, N_MERGES + 1):
         parts.append(
             f"""p{i} AS (
-  SELECT pr[1] AS first, pr[2] AS second, SUM(cnt) AS cnt FROM (
+  SELECT pr[1] AS first, pr[2] AS second, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
     SELECT unnest([[s[j], s[j + 1]] for j in range(1, len(s))]) AS pr, cnt
     FROM (SELECT list_filter(string_split(w, '_'), x -> x <> '') AS s, cnt
           FROM ws{i - 1}))
@@ -127,13 +134,16 @@ ws{i} AS MATERIALIZED (SELECT replace(w,
     COALESCE((SELECT '_' || first || second || '_' FROM win{i}), '~')) AS w,
     cnt FROM ws{i - 1}),"""
         )
+    return "\n".join(parts)
+
+
+def _bpe_oracle() -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS rank, first, second, first || second AS merged, cnt"
         f" FROM win{i}"
         for i in range(1, N_MERGES + 1)
     )
-    parts.append(f"m AS ({unions})\nSELECT * FROM m ORDER BY rank")
-    return "\n".join(parts)
+    return f"{_train_ctes()}\nm AS ({unions})\nSELECT * FROM m ORDER BY rank"
 
 
 BPE_ORACLE = _bpe_oracle()
@@ -187,13 +197,12 @@ GROUP BY source ORDER BY source
 
 
 def _bpe_encode_oracle() -> str:
-    """Replays training (the BPE_ORACLE CTE chain) and then applies each
-    round's winning merge to the FULL distinct-word table via the same
-    data-driven replace chain — no literals, the oracle re-derives the
-    merges itself."""
-    train = BPE_ORACLE.split("\nm AS (")[0]  # CTE chain through ws{N}
+    """Replays training (the shared ``_train_ctes()`` chain) and then
+    applies each round's winning merge to the FULL distinct-word table via
+    the same data-driven replace chain — no literals, the oracle re-derives
+    the merges itself."""
     parts = [
-        train,
+        _train_ctes(),
         """stream AS (SELECT doc_id, source, unnest({toks}) AS word FROM documents),
 words AS (SELECT DISTINCT word FROM stream),
 ew0 AS (SELECT word, '__' || regexp_replace(word, '(.)', '\\1__', 'g') AS w

@@ -147,9 +147,9 @@ WITH days AS (
   FROM islands GROUP BY user_id, island
 )
 SELECT user_id,
-       sum(streak_len) AS n_active_days,
-       count(*) AS n_streaks,
-       max(streak_len) AS longest_streak
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak
 FROM streaks GROUP BY user_id ORDER BY user_id
 """
 

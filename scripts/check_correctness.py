@@ -55,6 +55,47 @@ def norm_rows(rows, cols):
     )
 
 
+def canon_type(t: str) -> str:
+    """Collapse a Spark simpleString / DuckDB description type into the
+    class the driver's hash effectively distinguishes.  HUGEINT / UHUGEINT /
+    DECIMAL deliberately map to their own class: DuckDB's bare SUM(BIGINT)
+    widens to HUGEINT, which hash-diverges from Spark bigint even when the
+    values are identical (round-7 red rows bpe_train_merges,
+    user_activity_streaks) — the value comparison below erases dtype, so
+    this check is what keeps the local gate as strict as the driver."""
+    t = t.upper()
+    if "HUGEINT" in t or t.startswith("DECIMAL"):
+        return t  # mismatches every normal class
+    for cls, names in (
+        ("int", ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT",
+                 "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")),
+        ("float", ("DOUBLE", "FLOAT", "REAL")),
+        ("str", ("VARCHAR", "STRING", "TEXT")),
+        ("bool", ("BOOLEAN",)),
+        ("ts", ("TIMESTAMP", "TIMESTAMP_NTZ", "TIMESTAMP WITH TIME ZONE")),
+        ("date", ("DATE",)),
+    ):
+        if any(t == n or t.startswith(n) for n in names):
+            return cls
+    return t
+
+
+def dtype_problems(spark_schema, con, oracle_sql) -> list[str]:
+    """The DB-API ``description`` only reports the generic class NUMBER;
+    the real DuckDB type names need a DESCRIBE round-trip."""
+    spark_types = {
+        f.name.lower(): canon_type(f.dataType.simpleString())
+        for f in spark_schema.fields
+    }
+    out = []
+    for name, otype, *_ in con.execute(f"DESCRIBE {oracle_sql}").fetchall():
+        stype = spark_types.get(name.lower())
+        ocanon = canon_type(str(otype))
+        if stype is not None and stype != ocanon:
+            out.append(f"dtype {name}: spark {stype} vs oracle {ocanon}")
+    return out
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -86,6 +127,7 @@ def main():
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
+            schema = df.schema
             rows = [tuple(r) for r in df.collect()]
         except Exception as ex:
             failures.append((name, f"spark error: {ex}"))
@@ -106,6 +148,10 @@ def main():
         problems = []
         if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
             problems.append(f"columns {cols} vs {ocols}")
+        try:
+            problems.extend(dtype_problems(schema, con, oracles[name]))
+        except Exception as ex:
+            problems.append(f"dtype probe error: {ex}")
         if len(rows) != len(orows):
             problems.append(f"rowcount {len(rows)} vs {len(orows)}")
         else:
