@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .errors import CommitConflictError, EntryNotFoundError, InvalidEntryError
-from .schema import COLUMN_ORDER, DATASETS_SCHEMA, transform_entry, validate_entry
+from .schema import (
+    COLUMN_ORDER,
+    CREATION_TIME_FIELD,
+    DATASETS_SCHEMA,
+    FILTERABLE_FIELDS,
+    REQUIRED_FIELDS,
+    transform_entry,
+    validate_entry,
+)
 
 _UNSET = object()  # sentinel: _commit resolves the base version itself
 
@@ -520,6 +528,132 @@ class DatasetsCatalog:
         merged = current.join(batch_ids, "id", "left_anti").unionByName(batch)
         self._commit(merged, touched=touched, expected_version=base)
         return set(last) - existing
+
+    # urlparse-equivalent dissection for the DataFrame validation lane:
+    # group 1 = optional //netloc, group 2 = path up to '?' / '#'.
+    _URI_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)?([^?#]*)"
+
+    @classmethod
+    def _valid_row_expr(cls) -> F.Column:
+        """Column-predicate twin of ``schema.validate_entry`` for typed
+        batches: required fields non-null + the targetUri scheme/path rule
+        (``validate_target_uri``'s urlparse semantics re-expressed as a
+        regex — pinned against the python validator by
+        test_catalog_df_lane).  NULL-safe: a NULL anywhere means invalid."""
+        uri_ok = F.col("targetUri").rlike(
+            r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+        ) & (F.length(F.regexp_extract("targetUri", cls._URI_PATH_RE, 2)) > 1)
+        out = uri_ok
+        for name in sorted(REQUIRED_FIELDS):
+            out = out & F.col(name).isNotNull()
+        return F.coalesce(out, F.lit(False))
+
+    def bulk_upsert_df(self, batch: DataFrame) -> tuple[int, int]:
+        """S6, DataFrame-native: validate + MERGE a micro-batch without a
+        driver round-trip — the streaming ``foreachBatch`` write lane (the
+        list-based ``bulk_upsert`` stays the REST-request-sized path).
+
+        Semantics match ``bulk_upsert(skip_invalid=True)``: invalid rows
+        are skipped and counted (the admin bulk load's reject lane,
+        elastic_admin.py:54-83), valid rows merge with whole-row
+        replacement, and within a batch the LAST row per id wins in
+        arrival order (file order for a file-source micro-batch, via
+        ``monotonically_increasing_id`` over the pinned batch).  Returns
+        ``(n_valid, n_rejected)`` ROW counts (a duplicated id counts each
+        valid occurrence, like the reference's sequential bulk indexer) —
+        created-id sets would be batch-sized driver state, so this lane
+        reports bounded counts only.
+
+        Unknown / missing / mis-typed columns are a schema-level error
+        raised once per batch (Cerberus allow_unknown=False applied to the
+        batch schema instead of per row — a typed column cannot be
+        per-row mis-typed).  The ``creationTime`` default is one
+        batch-constant now() (the reference stamps per row mid-loop;
+        batch-constant is the deterministic micro-batch equivalent)."""
+        from datetime import datetime
+
+        from pyspark.sql.window import Window
+
+        writable = FILTERABLE_FIELDS | {"id"}
+        unknown = sorted(set(batch.columns) - writable)
+        if unknown:
+            raise InvalidEntryError(
+                "; ".join(f"unknown field: {c}" for c in unknown)
+            )
+        missing = sorted(({"id"} | REQUIRED_FIELDS) - set(batch.columns))
+        if missing:
+            raise InvalidEntryError(
+                "; ".join(f"missing required field: {c}" for c in missing)
+            )
+        want = {f.name: f.dataType for f in DATASETS_SCHEMA.fields}
+        for name in batch.columns:
+            have = batch.schema[name].dataType
+            if have == want[name]:
+                continue
+            if isinstance(want[name], T.LongType) and isinstance(
+                have, (T.ByteType, T.ShortType, T.IntegerType)
+            ):
+                continue  # safe integral widening, cast below
+            raise InvalidEntryError(
+                f"field {name} must be {want[name].simpleString()}"
+            )
+
+        # pin content AND arrival order once: __seq must not be recomputed
+        # across the reject-count, dedup and merge branches
+        rows = (
+            batch.withColumn("__valid", self._valid_row_expr())
+            .withColumn("__seq", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        n_total, n_valid = rows.agg(
+            F.count(F.lit(1)), F.sum(F.col("__valid").cast("long"))
+        ).first()
+        n_valid = int(n_valid or 0)
+        if n_valid == 0:
+            return 0, int(n_total)
+        now_iso = datetime.now().isoformat(timespec="seconds")
+        last_wins = Window.partitionBy("id").orderBy(F.desc("__seq"))
+        post = (
+            rows.where("__valid")
+            .withColumn("__rn", F.row_number().over(last_wins))
+            .where(F.col("__rn") == 1)
+            .select(
+                *[
+                    F.lit(None).cast("string").alias("storeType")
+                    if c == "storeType"
+                    else F.coalesce(
+                        F.nullif(F.col(c), F.lit("")), F.lit(now_iso)
+                    ).alias(c)
+                    if c == CREATION_TIME_FIELD
+                    else F.col(c).cast(want[c]).alias(c)
+                    for c in COLUMN_ORDER
+                ]
+            )
+        )
+
+        self.create_if_not_exists()
+        base = self._latest_version()
+        current = self.df(version=base)
+        batch_ids = post.select("id")
+        # touched (partition, bucket) cells: bounded by the table LAYOUT
+        # (≤ 2·N_BUCKETS rows), never the batch — the one collect this
+        # lane performs
+        touched_rows = (
+            current.join(batch_ids, "id", "left_semi")
+            .select(F.col(self.PARTITION_COL).alias("p"), self._bucket_expr().alias("b"))
+            .unionByName(
+                post.select(
+                    F.col(self.PARTITION_COL).alias("p"),
+                    self._bucket_expr().alias("b"),
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        touched = {(r["p"], r["b"]) for r in touched_rows}
+        merged = current.join(batch_ids, "id", "left_anti").unionByName(post)
+        self._commit(merged, touched=touched, expected_version=base)
+        return n_valid, int(n_total) - n_valid
 
     def partial_update(self, entry_id: str, patch: dict) -> None:
         """S4: patch a subset of fields of one document.

@@ -66,6 +66,19 @@ class IndexedCatalog:
             self.index.upsert(self.catalog.df().where(F.col("id").isin(ids)))
         return created, rejects
 
+    def bulk_upsert_df(self, batch: DataFrame) -> tuple[int, int]:
+        """DataFrame-native bulk load (the streaming foreachBatch lane):
+        catalog merge first, then index the POST-COMMIT rows carrying the
+        batch's ids — same catalog-then-index ordering contract as
+        ``bulk_upsert``, with no driver materialization of the batch.
+        Rejected rows never reach the table, so the semi-join naturally
+        indexes only what merged (an invalid update of an existing id
+        re-indexes that id's current row — an idempotent no-op)."""
+        out = self.catalog.bulk_upsert_df(batch)
+        ids = batch.select(F.col("id").cast("string").alias("id")).distinct()
+        self.index.upsert(self.catalog.df().join(ids, "id", "left_semi"))
+        return out
+
     # -- reads -------------------------------------------------------------
 
     def hits(self, cq: CompiledQuery) -> DataFrame:

@@ -1,0 +1,183 @@
+"""DataFrame-native bulk-upsert lane (catalog.bulk_upsert_df) — the
+streaming foreachBatch write path: column-predicate validation parity with
+schema.validate_entry, counted rejects, last-write-wins, read-your-writes,
+and schema-level errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_catalog_spark.catalog import DatasetsCatalog
+from data_catalog_spark.errors import InvalidEntryError
+from data_catalog_spark.indexed_catalog import IndexedCatalog
+from data_catalog_spark.schema import validate_target_uri
+
+STREAM_SCHEMA = (
+    "id string, title string, category string, dataSample string, "
+    "format string, recordCount bigint, size bigint, sourceUri string, "
+    "targetUri string, isPublic boolean, orgUUID string, creationTime string"
+)
+COLS = [
+    "id", "title", "category", "dataSample", "format", "recordCount",
+    "size", "sourceUri", "targetUri", "isPublic", "orgUUID", "creationTime",
+]
+
+ROW = {
+    "id": "e1",
+    "title": "a great title",
+    "category": "health",
+    "dataSample": "some sample",
+    "format": "csv",
+    "recordCount": 13,
+    "size": 99999,
+    "sourceUri": "some uri",
+    "targetUri": "hdfs://6.6.6.6:8200/borker/hash/9213/00000_1",
+    "isPublic": True,
+    "orgUUID": "org02",
+    "creationTime": "2015-02-13T13:00:00",
+}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in COLS) for r in rows], STREAM_SCHEMA
+    )
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = DatasetsCatalog(spark, str(tmp_path / "datasets"))
+    c.create_if_not_exists()
+    return c
+
+
+def test_merge_and_read_your_writes(spark, cat):
+    n_ok, n_rej = cat.bulk_upsert_df(_df(spark, [ROW, {**ROW, "id": "e2"}]))
+    assert (n_ok, n_rej) == (2, 0)
+    assert cat.count() == 2
+    got = cat.get("e1")
+    assert got["title"] == ROW["title"]
+    assert got["storeType"] is None  # not writable through ingest
+
+
+def test_replaces_existing_whole_row(spark, cat):
+    cat.bulk_upsert_df(_df(spark, [ROW]))
+    n_ok, n_rej = cat.bulk_upsert_df(
+        _df(spark, [{**ROW, "title": "replaced"}])
+    )
+    assert (n_ok, n_rej) == (1, 0)
+    assert cat.count() == 1
+    assert cat.get("e1")["title"] == "replaced"
+
+
+def test_invalid_rows_counted_not_merged(spark, cat):
+    rows = [
+        ROW,
+        {**ROW, "id": "bad1", "title": None},  # missing required
+        {**ROW, "id": "bad2", "targetUri": "some_path"},  # no scheme
+    ]
+    n_ok, n_rej = cat.bulk_upsert_df(_df(spark, rows))
+    assert (n_ok, n_rej) == (1, 2)
+    assert {r["id"] for r in cat.df().select("id").collect()} == {"e1"}
+
+
+def test_last_write_wins_within_batch(spark, cat):
+    rows = [{**ROW, "title": f"v{i}"} for i in range(5)]
+    n_ok, n_rej = cat.bulk_upsert_df(_df(spark, rows))
+    assert (n_ok, n_rej) == (5, 0)  # row counts, like the sequential indexer
+    assert cat.count() == 1
+    assert cat.get("e1")["title"] == "v4"
+
+
+def test_creation_time_defaulted(spark, cat):
+    cat.bulk_upsert_df(
+        _df(spark, [{**ROW, "creationTime": None},
+                    {**ROW, "id": "e2", "creationTime": ""}])
+    )
+    for eid in ("e1", "e2"):
+        ct = cat.get(eid)["creationTime"]
+        assert ct and ct.startswith("20")  # ISO now() stamp
+
+
+def test_unknown_column_rejected(spark, cat):
+    bad = _df(spark, [ROW]).withColumn("nosuchfield", F.lit(1))
+    with pytest.raises(InvalidEntryError, match="unknown field"):
+        cat.bulk_upsert_df(bad)
+
+
+def test_missing_column_rejected(spark, cat):
+    bad = _df(spark, [ROW]).drop("title")
+    with pytest.raises(InvalidEntryError, match="missing required"):
+        cat.bulk_upsert_df(bad)
+
+
+def test_mistyped_column_rejected(spark, cat):
+    bad = _df(spark, [ROW]).withColumn(
+        "recordCount", F.col("recordCount").cast("string")
+    )
+    with pytest.raises(InvalidEntryError, match="recordCount"):
+        cat.bulk_upsert_df(bad)
+
+
+def test_integral_widening_allowed(spark, cat):
+    ok = _df(spark, [ROW]).withColumn(
+        "recordCount", F.col("recordCount").cast("int")
+    )
+    assert cat.bulk_upsert_df(ok) == (1, 0)
+    assert cat.get("e1")["recordCount"] == 13
+
+
+# urlparse-equivalence of the column-predicate targetUri rule: the regex
+# lane must agree with schema.validate_target_uri (the python/Cerberus
+# twin) on every shape the reference's tests exercise plus the parser
+# corner cases found probing urlparse.
+URI_CASES = [
+    "hdfs://6.6.6.6:8200/borker/hash/9213/00000_1",
+    "http://www.catalog.com/a",
+    "//onet.pl/",
+    "hdfs://onet.pl/",
+    "http://",
+    "some_path",
+    "a:b/c",
+    "host:80",
+    "foo:123",
+    "file:relative/path",
+    "hdfs://x/y?q=1#frag",
+    "hdfs://x/?only=query",
+    "s3a://bucket/key",
+    "1http://bad.scheme/x",
+    "sch+me.v2://h/p",
+    ":no-scheme/path",
+    "scheme:/x",
+    "scheme:#frag",
+]
+
+
+def test_uri_predicate_matches_python_validator(spark, cat):
+    rows = [
+        {**ROW, "id": f"u{i}", "targetUri": u} for i, u in enumerate(URI_CASES)
+    ]
+    n_ok, n_rej = cat.bulk_upsert_df(_df(spark, rows))
+    expected_ok = {
+        f"u{i}" for i, u in enumerate(URI_CASES) if validate_target_uri(u)
+    }
+    assert n_ok == len(expected_ok)
+    assert n_rej == len(URI_CASES) - len(expected_ok)
+    got = {r["id"] for r in cat.df().select("id").collect()}
+    assert got == expected_ok
+
+
+def test_indexed_bulk_upsert_df_searchable(spark, cat, tmp_path):
+    ic = IndexedCatalog(cat, str(tmp_path / "index"))
+    ic.resync()
+    marker_row = {**ROW, "title": "zanzibar quarterly report"}
+    n_ok, n_rej = ic.bulk_upsert_df(_df(spark, [marker_row]))
+    assert (n_ok, n_rej) == (1, 0)
+    from data_catalog_spark.query import DataSetFiltering, compile_query
+
+    cq = compile_query(
+        {"query": "zanzibar", "size": 10}, [], DataSetFiltering.ONLY_PUBLIC, False
+    )
+    hits = ic.hits(cq).collect()
+    assert [h["id"] for h in hits] == ["e1"]
