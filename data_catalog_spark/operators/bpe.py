@@ -9,14 +9,19 @@ merge.  Output: the learned merge table (rank, first, second, merged,
 pair count) — the model a tokenizer would ship.
 
 Scale design (100 TB): the corpus is touched EXACTLY ONCE (token explode →
-map-side-combined groupBy → top-V vocab via TakeOrderedAndProject); every
-merge round then runs on the constant-size V-row vocab table, so training
-cost after the single pass is independent of corpus size — the same
-count-once-merge-on-counts structure real BPE trainers use.  The driver
-loop is control-only (one winning pair per round, like
-corpus._connected_components); the vocab sits behind a lazy
-localCheckpoint so round i re-reads materialized rows instead of
-re-running the corpus pass.
+map-side-combined groupBy → top-V vocab via TakeOrderedAndProject); the
+merge rounds then run on the constant ``VOCAB_CAP``-row count table —
+MODEL state, the same class as k-means centroids — driver-side in exact
+integer arithmetic, so training cost after the single distributed pass is
+independent of corpus size.  This count-once-merge-on-counts split is the
+structure real BPE trainers use.  Two rejected alternatives, both
+measured: (a) one Spark statement per merge round pays ~20 job latencies
+on a 1024-row table (2.9-4.4 s of almost pure fixed overhead at sf0.1);
+(b) rendering all rounds as ONE multi-CTE statement (the oracle's shape)
+sends Spark's analyzer superlinear — the 20-round chain exceeds the
+100-iteration resolution fixed point, and with the cap raised analysis
+still ran >120 s, because Spark, unlike DuckDB, has no ``MATERIALIZED``
+CTE barrier to stop scalar-subquery re-expansion.
 
 Cross-engine determinism: word state is a delimiter-framed string
 (``"ab" -> "__a__b__"`` with '_' — impossible in [a-z0-9]+ tokens), so a
@@ -40,17 +45,6 @@ from .text import DUCK_TOKENS, SPARK_TOKENS
 VOCAB_CAP = 1024  # top-V words by (count desc, word) enter training
 N_MERGES = 20
 
-# adjacent symbol pairs of the framed word; guard short words against the
-# sequence(1, 0) descending-range trap
-_PAIRS = """
-if(size(s) > 1,
-   transform(sequence(1, size(s) - 1),
-             j -> struct(element_at(s, j) AS first,
-                         element_at(s, j + 1) AS second)),
-   array())
-"""
-
-
 def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_table(spark, sf_dir, "documents")
@@ -62,42 +56,47 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_rounds(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge loop over the framed (word, count) model table, in plain
+    exact-integer python.  Semantics are the engine-portable definition in
+    the module docstring: pair counts are Σ cnt over adjacent symbols of
+    the '_'-framed word; the winner is (cnt DESC, first, second) — ASCII
+    collation, identical in python / Spark / DuckDB; the merge is
+    left-to-right non-overlapping ``str.replace``, exactly what SQL
+    ``replace`` does.  The DuckDB oracle replays these rounds in SQL, so
+    the gate checks this loop's every round, not just its output shape."""
+    ws = [
+        ("__" + "".join(ch + "__" for ch in word), cnt) for word, cnt in vocab
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, cnt in ws:
+            s = [x for x in w.split("_") if x]
+            for j in range(len(s) - 1):
+                pr = (s[j], s[j + 1])
+                counts[pr] = counts.get(pr, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, c))
+        ws = [
+            (w.replace(f"_{a}__{b}_", f"_{a}{b}_"), cnt) for w, cnt in ws
+        ]
+    return merges
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn N_MERGES BPE merges over the documents vocabulary; one row
-    per merge: (rank, first, second, merged, cnt)."""
-    ws = (
-        _vocab(spark, sf_dir)
-        .select(
-            F.concat(
-                F.lit("__"), F.expr("regexp_replace(word, '(.)', '$1__')")
-            ).alias("w"),
-            "cnt",
-        )
-        .localCheckpoint(eager=False)
-    )
-    merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, N_MERGES + 1):
-        win = (
-            ws.withColumn(
-                "s", F.expr("filter(split(w, '_'), x -> x != '')")
-            )
-            .select(F.explode(F.expr(_PAIRS)).alias("pr"), "cnt")
-            .groupBy("pr.first", "pr.second")
-            .agg(F.sum("cnt").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "first", "second")
-            .limit(1)
-            .collect()
-        )
-        if not win:
-            break
-        a, b, c = win[0].first, win[0].second, int(win[0].cnt)
-        merges.append((rank, a, b, a + b, c))
-        ws = ws.withColumn(
-            "w", F.expr(f"replace(w, '_{a}__{b}_', '_{a}{b}_')")
-        )
-        # note: re-barriering the replace chain every K rounds was
-        # measured SLOWER (5.0-5.5 s vs 4.8 s at sf0.1) — the checkpoint
-        # jobs cost more than the saved lineage re-analysis at N=20
+    per merge: (rank, first, second, merged, cnt).  One distributed
+    corpus pass builds the capped vocab (the model table); the rounds run
+    in ``_merge_rounds`` on that bounded state."""
+    vocab = [(r.word, int(r.cnt)) for r in _vocab(spark, sf_dir).collect()]
+    merges = _merge_rounds(vocab, N_MERGES)
     return spark.createDataFrame(
         merges, "rank int, first string, second string, merged string, cnt bigint"
     )
