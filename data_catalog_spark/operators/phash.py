@@ -173,8 +173,12 @@ def _bands(hashed: DataFrame) -> DataFrame:
 
 
 def near_dup_pairs(hashed: DataFrame) -> DataFrame:
-    """Hamming≤HAM_K pairs via band-equality blocking + verification."""
-    bands = _bands(hashed)
+    """Hamming≤HAM_K pairs via band-equality blocking + verification.
+    The band table is self-joined, so barrier the expensive hash pass
+    (decode attempts + einsum) behind a lazy localCheckpoint — without it
+    each join side re-runs the mapInPandas scan (the incremental matcher
+    checkpoints for the same reason)."""
+    bands = _bands(hashed.localCheckpoint(eager=False))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -200,7 +204,13 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: pHash near-dup pairs over the synthetic media
     table (all-bytes-view corpus, so the integer pipeline is replayable
     end-to-end in DuckDB; the real-decode arm is pinned by round-trip
-    pytest against the same hash function)."""
+    pytest against the same hash function).
+
+    Parity assumptions (pinned by
+    test_gate_corpus_stays_in_the_bytes_view_ascii_arm): the corpus is
+    pure ASCII (the Spark arm hashes utf-8 BYTES, the oracle hashes
+    per-character code points — identical only for ASCII) and no blob is
+    accepted by a real codec (the oracle never decodes)."""
     return near_dup_pairs(phash_images(synth_media(spark, sf_dir)))
 
 

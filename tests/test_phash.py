@@ -165,3 +165,35 @@ def test_phash_incremental_matches_batch_pairs(spark, sf_dir, ddb):
         assert (g[0], g[1]) == (ham, ex)
         assert g[2] == ("exact" if ham == 0 else "near")
     assert_same(inc, ddb, phash._phash_incremental_oracle())
+
+
+def test_gate_corpus_stays_in_the_bytes_view_ascii_arm(spark):
+    """Cross-engine parity of the pHash oracles rests on two assumptions
+    about the synthetic corpus (ADVICE r7): the Spark arm hashes utf-8
+    BYTES of content after attempting real decodes, while the DuckDB
+    oracle hashes per-CHARACTER code points and never decodes.  Both
+    agree iff every oracle-checked image row is (a) pure ASCII (utf-8
+    bytes == code points) and (b) rejected by every real codec
+    (decode_fmt == 'bytes').  Pin both at the gate SFs so a regenerated
+    corpus that breaks either assumption fails HERE, not as a
+    hash-mismatch the driver may or may not sample."""
+    from data_catalog_spark.operators.multimodal import synth_media
+    from data_catalog_spark.operators.phash import phash_images
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        imgs = synth_media(spark, sf).where(F.col("kind") == "image")
+        non_ascii = imgs.where(
+            F.col("content") != F.encode(
+                F.decode(F.col("content"), "US-ASCII"), "US-ASCII"
+            )
+        ).count()
+        assert non_ascii == 0, f"non-ASCII image content at {sf}"
+        fmts = {
+            r.decode_fmt
+            for r in phash_images(synth_media(spark, sf))
+            .select("decode_fmt")
+            .distinct()
+            .collect()
+        }
+        assert fmts == {"bytes"}, f"real-decodable blob at {sf}: {fmts}"
