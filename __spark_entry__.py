@@ -39,12 +39,17 @@ def _never_sampled_first(
     names: list[str], with_oracle: set[str] | None = None
 ) -> list[str]:
     """Order query names so entries the driver has never hash-GREENED come
-    first — if the driver's per-round sample is prefix-biased, coverage of
-    the registry's long tail improves round over round.  Three groups:
+    first.  VERIFIED in r8 (reconstructing the r7 emitted order against
+    CORRECTNESS_r07.json): the driver samples EXACTLY the first 50 of this
+    ordering — r7's four never-checked stream entries sat at positions
+    50-53 of a 54-entry fresh group, just past the cutoff.  So the order
+    is the coverage policy.  Groups:
 
     1. oracle-checkable entries with no hash_match=true row in any committed
        CORRECTNESS_r*.json (includes past error rows, so a fixed query gets
-       re-checked);
+       re-checked) — and within this group, entries NEVER present in any
+       sample at all come before sampled-but-red ones, so a wide fresh
+       group spends its ≤50 slots on zero-evidence entries first;
     2. already-green entries, rotated deterministically by round number
        (count of committed CORRECTNESS files) so old greens get re-verified
        over time instead of never again;
@@ -55,6 +60,7 @@ def _never_sampled_first(
     import json
 
     green: set[str] = set()
+    ever_sampled: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = 0
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
@@ -67,11 +73,15 @@ def _never_sampled_first(
             continue
         rounds += 1
         for n, row in data.items():
+            ever_sampled.add(n)
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green.add(n)
     if with_oracle is None:
         with_oracle = set(names)
-    fresh = [n for n in names if n not in green and n in with_oracle]
+    fresh = sorted(
+        (n for n in names if n not in green and n in with_oracle),
+        key=lambda n: (n in ever_sampled, names.index(n)),
+    )
     seen = [n for n in names if n in green]
     rows_only = [n for n in names if n not in green and n not in with_oracle]
     if seen:
