@@ -1,0 +1,131 @@
+"""Change-data-capture over the versioned catalog as a registered,
+oracle-checked query.
+
+``DatasetsCatalog.diff`` (catalog.py:423) is the Delta-CDF-shaped read —
+full-outer join of two snapshots on id with a whole-row fingerprint —
+but until now it was pinned by pytest only.  This query runs the whole
+lifecycle end to end: copy the cached 512-entry seed, apply one
+DataFrame-native micro-batch (8 genuine updates via an uppercased title,
+1 byte-identical no-op re-upsert, 8 inserts) plus 1 delete, then return
+``diff(v_seed)``.  The no-op row is the sharp edge: it re-commits the
+identical row and must be ABSENT from the diff (fingerprint equality),
+which a naive "everything in the batch is a change" implementation gets
+wrong.
+
+The DuckDB oracle derives the expected change set from the same derived
+``datasets`` corpus, not from literals: an id planted for update appears
+iff uppercasing its title actually changes it (title <> upper(title)),
+exactly the engine's fingerprint semantics for a single-column rewrite.
+
+Scale: the applied batch is bounded (17 rows) by construction; diff
+itself is two snapshot scans + one full-outer join on id — a plain
+distributed plan with no driver materialization (catalog.py:423-438).
+
+Reference parity: the reference has no CDC surface; this is engine
+infrastructure the 100 TB training-data pipeline needs (what changed
+since the last crawl snapshot feeds the incremental dedup arms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import DatasetsCatalog
+from ..datasets_source import DATASETS_FROM_PART_SQL
+from ..schema import COLUMN_ORDER
+from .registry import register
+
+CDC_UPD = [str(i) for i in range(1, 9)]  # planted title rewrite
+CDC_NOOP = "9"  # re-upserted byte-identical — must NOT appear in the diff
+CDC_DEL = "10"
+CDC_INS = [f"cdc-{i:02d}" for i in range(8)]
+
+_BATCH_SCHEMA = (
+    "id string, title string, category string, dataSample string, "
+    "format string, recordCount bigint, size bigint, sourceUri string, "
+    "targetUri string, isPublic boolean, orgUUID string, creationTime string"
+)
+_BATCH_COLS = [c for c in COLUMN_ORDER if c != "storeType"]
+
+
+def _insert_row(i: int) -> dict:
+    return {
+        "id": CDC_INS[i],
+        "title": f"cdc planted insert {i:02d}",
+        "category": "instruments",
+        "dataSample": "id,reading,unit",
+        "format": "csv",
+        "recordCount": 100 + i,
+        "size": 2048 + i,
+        "sourceUri": f"http://www.catalog.com/cdc/{i:02d}",
+        "targetUri": f"hdfs://namenode:8200/warehouse/cdc/{i:02d}/0",
+        "isPublic": i % 2 == 0,
+        "orgUUID": f"org0{i % 3 + 1}",
+        "creationTime": f"2015-05-{i + 1:02d}T00:00:00",
+    }
+
+
+def catalog_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, change) between the seeded snapshot and the post-batch state:
+    8 updates, 8 inserts, 1 delete; the no-op re-upsert stays invisible."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import _PREV_RUN_DIRS, _seed_cache
+
+    while _PREV_RUN_DIRS:
+        shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
+    tbl = tempfile.mkdtemp(prefix="cdc-tbl-")
+    _PREV_RUN_DIRS.append(tbl)
+    shutil.copytree(
+        os.path.join(_seed_cache(spark, sf_dir), "table"),
+        tbl,
+        dirs_exist_ok=True,
+    )
+    cat = DatasetsCatalog(spark, tbl)
+    v0 = cat._latest_version()
+
+    # bounded collect: the 9 touched seed rows (update set + the no-op)
+    seed_rows = {
+        r["id"]: r.asDict()
+        for r in cat.df().where(F.col("id").isin(CDC_UPD + [CDC_NOOP])).collect()
+    }
+    batch = []
+    for rid in CDC_UPD + [CDC_NOOP]:
+        d = dict(seed_rows[rid])
+        if rid in CDC_UPD:
+            d["title"] = d["title"].upper()
+        batch.append(d)
+    batch.extend(_insert_row(i) for i in range(len(CDC_INS)))
+    bdf = spark.createDataFrame(
+        [tuple(d.get(c) for c in _BATCH_COLS) for d in batch], _BATCH_SCHEMA
+    )
+    cat.bulk_upsert_df(bdf)
+    cat.delete(CDC_DEL)
+    return cat.diff(v0)
+
+
+def _cdc_oracle() -> str:
+    from ..streaming.ingest import SEED_N
+
+    upd = ", ".join(f"'{i}'" for i in CDC_UPD)
+    ins = ",\n    ".join(f"('{i}', 'insert')" for i in CDC_INS)
+    seed = f"{DATASETS_FROM_PART_SQL} WHERE p_partkey <= {SEED_N}"
+    return f"""
+WITH datasets AS ({seed}),
+expected AS (
+  SELECT id, 'update' AS change FROM datasets
+  WHERE id IN ({upd}) AND title <> upper(title)
+  UNION ALL
+  SELECT id, 'delete' AS change FROM datasets WHERE id = '{CDC_DEL}'
+  UNION ALL
+  SELECT * FROM (VALUES
+    {ins}) AS t(id, change)
+)
+SELECT id, change FROM expected ORDER BY id
+"""
+
+
+register("catalog_cdc_diff", catalog_cdc_diff, _cdc_oracle())

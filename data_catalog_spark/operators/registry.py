@@ -37,6 +37,7 @@ def _load_all() -> None:
         analytics,
         bloom,
         bpe,
+        cdc,
         corpus,
         dedup,
         dsir,

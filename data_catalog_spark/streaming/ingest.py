@@ -210,3 +210,136 @@ register(
     stream_ingest_indexed_search,
     _ingest_oracle(),
 )
+
+
+# -- ingest with a dirty batch: the reject lane, end to end ---------------------
+#
+# The admin bulk load's skip-invalid contract (elastic_admin.py:54-83)
+# exercised through the STREAMING DataFrame lane: a micro-batch with
+# planted invalid rows (missing required fields, malformed targetUri)
+# flows through foreachBatch → bulk_upsert_df; the registered output is
+# each planted row's observable disposition (merged into the catalog vs
+# rejected by the column-predicate validator).  The oracle replays the
+# same validation rules in DuckDB SQL over the planted literals — the
+# cross-engine pin for the validation predicates themselves; the Spark
+# side additionally proves the rejected rows never reach the committed
+# table (the status is read back from the post-merge catalog, not from
+# the validator).
+
+_DUCK_URI_OK = (
+    "regexp_matches(targetUri, '^[A-Za-z][A-Za-z0-9+.\\-]*:') AND "
+    "length(regexp_extract(targetUri, "
+    "'^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/?#]*)?([^?#]*)', 2)) > 1"
+)
+
+
+def _dirty_rows() -> list[dict]:
+    """BATCH_N planted rows, every other one invalid for a rotating
+    reason (bad targetUri shapes / a NULL required field)."""
+    rows = []
+    for i in range(BATCH_N):
+        row = {
+            "id": f"dirty-{i:02d}",
+            "title": f"ingest reject probe {i:02d}",
+            "category": ["instruments", "health", "transport"][i % 3],
+            "dataSample": "id,reading,unit",
+            "format": "csv" if i % 2 == 0 else "json",
+            "recordCount": 100 + i,
+            "size": 2048 + i,
+            "sourceUri": f"http://www.catalog.com/dirty/{i:02d}",
+            "targetUri": f"hdfs://namenode:8200/warehouse/dirty/{i:02d}/0",
+            "isPublic": i % 2 == 0,
+            "orgUUID": f"org0{i % 3 + 1}",
+            "creationTime": f"2015-04-{i % 28 + 1:02d}T{i % 24:02d}:00:00",
+        }
+        if i % 4 == 1:  # malformed targetUri, rotating shape
+            row["targetUri"] = [
+                "some_path", "http://", "hdfs://onet.pl/", "//host/p"
+            ][(i // 4) % 4]
+        elif i % 4 == 3:  # a required field NULL, rotating field
+            row[["title", "orgUUID", "format", "sourceUri"][(i // 4) % 4]] = None
+        rows.append(row)
+    return rows
+
+
+def stream_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    while _PREV_RUN_DIRS:
+        shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
+    tbl = tempfile.mkdtemp(prefix="ingest-rej-tbl-")
+    idx = tempfile.mkdtemp(prefix="ingest-rej-idx-")
+    src = tempfile.mkdtemp(prefix="ingest-rej-src-")
+    ckpt = tempfile.mkdtemp(prefix="ingest-rej-ckpt-")
+    _PREV_RUN_DIRS.extend([tbl, idx, src, ckpt])
+
+    seeded = _seed_cache(spark, sf_dir)
+    shutil.copytree(os.path.join(seeded, "table"), tbl, dirs_exist_ok=True)
+    shutil.copytree(os.path.join(seeded, "index"), idx, dirs_exist_ok=True)
+    cat = DatasetsCatalog(spark, tbl)
+    ic = IndexedCatalog(cat, idx)
+
+    with open(os.path.join(src, "batch-0.jsonl"), "w") as f:
+        for row in _dirty_rows():
+            f.write(json.dumps(row) + "\n")
+
+    q = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .json(src)
+        .writeStream.foreachBatch(
+            lambda batch_df, batch_id: ic.bulk_upsert_df(batch_df)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    planted = spark.createDataFrame(
+        [(r["id"],) for r in _dirty_rows()], "id string"
+    )
+    merged_ids = cat.df().select("id")
+    return (
+        planted.join(
+            merged_ids.withColumn("__in", F.lit(True)), "id", "left"
+        )
+        .select(
+            "id",
+            F.when(F.col("__in").isNotNull(), F.lit("merged"))
+            .otherwise(F.lit("rejected"))
+            .alias("status"),
+        )
+        .orderBy("id")
+    )
+
+
+def _rejects_oracle() -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    values = ",\n    ".join(
+        "(" + ", ".join(lit(r.get(c)) for c in COLUMN_ORDER) + ")"
+        for r in _dirty_rows()
+    )
+    cols = ", ".join(COLUMN_ORDER)
+    required = [
+        "title", "category", "dataSample", "format", "recordCount",
+        "size", "sourceUri", "targetUri", "isPublic", "orgUUID",
+    ]
+    req = " AND ".join(f"{c} IS NOT NULL" for c in required)
+    return f"""
+WITH planted({cols}) AS (VALUES
+    {values})
+SELECT id,
+       CASE WHEN {req} AND {_DUCK_URI_OK}
+            THEN 'merged' ELSE 'rejected' END AS status
+FROM planted ORDER BY id
+"""
+
+
+register("stream_ingest_rejects", stream_ingest_rejects, _rejects_oracle())
