@@ -96,6 +96,71 @@ FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
 """
 
 
+# -- attribute-filtered vector search ----------------------------------------
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: per query, exact cosine top-k restricted to
+    corpus vectors sharing the query's ``label`` — the metadata-predicate
+    ANN every retrieval stack needs ("neighbors within this category").
+
+    Strategy = PRE-filter: the label equality is the JOIN KEY, so the scan
+    touches only the matching label partition — never all-pairs followed
+    by a filter.  Post-filtering an unfiltered ANN probe is the wrong plan
+    for selective predicates (top-k fills with filtered-out neighbors and
+    recall collapses); with a 10-label corpus the pre-filtered exact scan
+    reads ~10% of the corpus per query, and at 100 TB the same plan rides
+    label partition pruning."""
+    e = _with_norm(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+            "label",
+        )
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    c = e.where(F.col("vec_id") >= N_QUERIES)
+    scored = (
+        F.broadcast(q)
+        .alias("a")
+        .join(c.alias("b"), F.col("a.label") == F.col("b.label"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.label").alias("label"),
+            F.col("b.vec_id").alias("nid"),
+            F.round(_cos(), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "qid", "label", "nid", "cos", F.col("rank").cast("int").alias("rank")
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+ANN_FILTERED_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  label
+           FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT a.vec_id AS qid, b.label AS label, b.vec_id AS nid,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      FROM n a JOIN n b ON a.label = b.label AND b.vec_id >= {N_QUERIES}
+      WHERE a.vec_id < {N_QUERIES}),
+r AS (SELECT qid, label, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM s)
+SELECT qid, label, nid, cos, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+register("ann_filtered_topk", ann_filtered_topk, ANN_FILTERED_ORACLE)
+
+
 # -- cosine near-dup pairs ---------------------------------------------------
 
 
@@ -400,6 +465,139 @@ ORDER BY va, vb
 
 
 register("dedup_embedding_lsh", dedup_embedding_lsh, _pair_lsh_oracle())
+
+
+# -- incremental embedding near-dup: new batch vs corpus -------------------------
+#
+# Completes the incremental-dedup symmetry: text (dedup.dedup_incremental),
+# image (phash.media_phash_incremental), and now embeddings — the arm a
+# crawl pipeline runs per batch ("is this new vector a near-dup of
+# anything already kept?").  Probe side = the NEW slice only, ball-exploded
+# to Hamming-1; the corpus side stays 1 row per band, so the join input is
+# O(|new| · bands · 9) + O(|corpus| · bands) and the work per crawl is
+# proportional to the batch, never the corpus-pair count.  Reuses the
+# memoized code table (the LSH index) — at deployment the index is exactly
+# the thing an incremental probe reads.
+
+EMB_NEW_MOD = 5  # vec_id % 5 == 0 → "new batch" (picked so the slice
+                 # actually bisects the sparse near-dup pair set at every
+                 # test SF — the r7 %7 image-slice lesson)
+
+
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, match_id, cos) for new-batch vectors whose nearest
+    banded-LSH corpus match clears EMB_DUP_THRESHOLD; match_id = lowest
+    matching corpus id (the text arm's deterministic-representative
+    rule), cos = that pair's exact rounded cosine."""
+    e = _pair_coded(spark, sf_dir)
+    masks = [0] + [1 << j for j in range(PAIR_BAND_BITS)]
+    masks_lit = "array(" + ", ".join(f"CAST({m} AS BIGINT)" for m in masks) + ")"
+    new = e.where(F.col("vec_id") % EMB_NEW_MOD == 0)
+    corpus = e.where(F.col("vec_id") % EMB_NEW_MOD != 0)
+    probes = (
+        new.select("vec_id", F.posexplode("codes").alias("band", "bits"))
+        .select(
+            "vec_id",
+            "band",
+            F.explode(F.expr(f"transform({masks_lit}, m -> bits ^ m)")).alias("pb"),
+        )
+    )
+    build = corpus.select("vec_id", F.posexplode("codes").alias("band", "bits"))
+    cand = (
+        probes.alias("a")
+        .join(
+            build.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pb") == F.col("b.bits")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    slim = e.select("vec_id", "v", "nrm")
+    scored = (
+        cand.join(slim.alias("a"), F.col("va") == F.col("a.vec_id"))
+        .join(slim.alias("b"), F.col("vb") == F.col("b.vec_id"))
+        .select("va", "vb", F.round(_cos(), 6).alias("cos"))
+        .where(F.col("cos") >= EMB_DUP_THRESHOLD)
+    )
+    best = scored.groupBy("va").agg(F.min("vb").alias("match_id"))
+    return (
+        best.join(
+            scored,
+            (best.va == scored.va) & (best.match_id == scored.vb),
+        )
+        .select(best.va.alias("vec_id"), "match_id", "cos")
+        .orderBy("vec_id")
+    )
+
+
+def _emb_inc_oracle() -> str:
+    """Same banded pipeline as ``_pair_lsh_oracle`` with the new/corpus
+    split on the probe/build arms and a best-match (min corpus id)
+    aggregation instead of the symmetric pair report."""
+    planes = _pair_planes()
+    dim = planes.shape[1]
+    band_exprs = []
+    for band in range(PAIR_BANDS):
+        terms = " + ".join(
+            "(CASE WHEN list_sum([CAST(floor(v[k] * "
+            f"pm[{band * PAIR_BAND_BITS + j + 1}][k] * {PAIR_Q!r}) AS BIGINT) "
+            f"for k in range(1, {dim + 1})]) > 0 "
+            f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+            for j in range(PAIR_BAND_BITS)
+        )
+        band_exprs.append(f"({terms}) AS b{band}")
+    pm_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row) + "]"
+            for row in planes
+        )
+        + "]"
+    )
+    masks = [0] + [1 << j for j in range(PAIR_BAND_BITS)]
+    probe_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {band} AS band, "
+        f"unnest([{', '.join(f'xor(b{band}, {m})' for m in masks)}]) AS pb "
+        f"FROM sg WHERE vec_id % {EMB_NEW_MOD} = 0"
+        for band in range(PAIR_BANDS)
+    )
+    build_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {band} AS band, b{band} AS bits FROM sg "
+        f"WHERE vec_id % {EMB_NEW_MOD} <> 0"
+        for band in range(PAIR_BANDS)
+    )
+    return f"""
+WITH pm(pm) AS (SELECT {pm_lit}),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sg AS MATERIALIZED (SELECT vec_id, v, nrm, {", ".join(band_exprs)}
+                    FROM n CROSS JOIN pm),
+probes AS (
+  {probe_arms}),
+build AS (
+  {build_arms}),
+cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         FROM probes a JOIN build b
+           ON a.band = b.band AND a.pb = b.bits),
+scored AS (SELECT va, vb,
+                  round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cos
+           FROM cand JOIN sg sa ON va = sa.vec_id JOIN sg sb ON vb = sb.vec_id
+           WHERE round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6)
+                 >= {EMB_DUP_THRESHOLD}),
+best AS (SELECT va, MIN(vb) AS match_id FROM scored GROUP BY va)
+SELECT b.va AS vec_id, b.match_id, s.cos
+FROM best b JOIN scored s ON b.va = s.va AND b.match_id = s.vb
+ORDER BY vec_id
+"""
+
+
+register(
+    "dedup_embedding_incremental",
+    dedup_embedding_incremental,
+    _emb_inc_oracle(),
+)
 
 
 # -- LSH-bucketed top-k (scale path) -----------------------------------------

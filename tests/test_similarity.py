@@ -280,3 +280,55 @@ def test_semantic_dedup_plan_is_cluster_equality_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_topk_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import similarity as sim
+
+    assert_same(
+        sim.ann_filtered_topk(spark, sf_dir), ddb, sim.ANN_FILTERED_ORACLE
+    )
+
+
+def test_filtered_topk_respects_the_predicate(spark, sf_dir):
+    """Every returned neighbor must share its query's label (pre-filter
+    semantics — no post-filter recall leak)."""
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    labels = {
+        r.vec_id: r.label
+        for r in read_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < sim.N_QUERIES)
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in sim.ann_filtered_topk(spark, sf_dir).collect():
+        assert r.label == labels[r.qid]
+
+
+def test_embedding_incremental_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import similarity as sim
+
+    assert_same(
+        sim.dedup_embedding_incremental(spark, sf_dir),
+        ddb,
+        sim._emb_inc_oracle(),
+    )
+
+
+def test_embedding_incremental_is_new_vs_corpus_only(spark, sf_dir):
+    """Matches flow new-batch → corpus only, scores clear the threshold,
+    and the slice actually produces work at this SF (the r7 %7-slice
+    lesson: an incremental arm that matches nothing proves nothing)."""
+    from data_catalog_spark.operators import similarity as sim
+
+    rows = sim.dedup_embedding_incremental(spark, sf_dir).collect()
+    assert rows, "slice produced zero matches — pick a different modulus"
+    for r in rows:
+        assert r.vec_id % sim.EMB_NEW_MOD == 0
+        assert r.match_id % sim.EMB_NEW_MOD != 0
+        assert r.cos >= sim.EMB_DUP_THRESHOLD
