@@ -26,6 +26,14 @@ Scale design (100 TB):
   threshold ≈ (1/16)^(1/4) ≈ 0.5.
 - SimHash: 64-bit fingerprint per doc (map-only), candidates via 4×16-bit
   chunk equality join (Hamming ≤ 3 guarantees a shared chunk by pigeonhole).
+
+Session contract: the two-statement execution form registers FIXED temp
+view names (``__mh_docs``/``__mh_sig``/``__inc_docs``/``__inc_sig``/...)
+because the rendered SQL texts reference them; one dedup query at a time
+per SparkSession.  Each query re-registers its views first, so serial
+invocation (the registry/bench/driver pattern) is always safe; operators
+that can interleave through composition (the kmeans/PQ training family)
+use per-call unique names instead (kmeans._uview).
 """
 
 from __future__ import annotations
