@@ -550,3 +550,95 @@ ORDER BY doc_id
 
 
 register("source_token_budget_mix", source_token_budget_mix, MIX_ORACLE)
+
+
+# -- temperature-scaled mixture weights ------------------------------------------
+#
+# The OTHER standard mixing rule (T5 / multilingual-LM style): sampling
+# share w_i ∝ (token share)^α with α < 1, which upweights small sources
+# relative to their natural share.  Reported per source: the natural and
+# temperature shares, the implied epochs over the source (target tokens /
+# available tokens — >1 means the small source repeats), and how many docs
+# a single-pass deterministic hash-resample at rate min(1, epochs) keeps.
+#
+# Scale shape: one map-side-combined aggregation to the per-source token
+# totals (a handful of rows — model-sized), shares computed over that tiny
+# frame with a window, then ONE map-only pass applies the rate via the
+# portable md5 hash fraction — no shuffle of the corpus itself beyond the
+# source rollup, and the resample decision is reproducible at any
+# parallelism (content hash, not rand()).
+
+MIX_ALPHA = 0.7
+
+
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, nat_share, temp_share, epochs,
+    n_sampled): temperature-α mixture weights over sources plus the
+    deterministic doc-level resample count at rate min(1, epochs)."""
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__tmix_docs")
+    return spark.sql(
+        f"""
+WITH d AS (SELECT doc_id, source,
+                  CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tok,
+                  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)
+                       AS BIGINT) / CAST(4294967296 AS DOUBLE) AS u01
+           FROM __tmix_docs),
+s AS (SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY source),
+n0 AS (SELECT source, n_docs, n_tokens,
+              sum(n_tokens) OVER () AS total_tokens,
+              n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat_share
+       FROM s),
+w AS (SELECT source, n_docs, n_tokens, total_tokens, nat_share,
+             pow(nat_share, {MIX_ALPHA})
+               / sum(pow(nat_share, {MIX_ALPHA})) OVER () AS temp_share
+      FROM n0),
+r AS (SELECT source, n_docs, n_tokens, nat_share, temp_share,
+             temp_share * total_tokens / n_tokens AS epochs
+      FROM w)
+SELECT r.source, r.n_docs, r.n_tokens,
+       round(r.nat_share, 6) AS nat_share,
+       round(r.temp_share, 6) AS temp_share,
+       round(r.epochs, 6) AS epochs,
+       CAST(sum(CASE WHEN d.u01 < least(r.epochs, CAST(1.0 AS DOUBLE))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM r JOIN d ON r.source = d.source
+GROUP BY r.source, r.n_docs, r.n_tokens, r.nat_share, r.temp_share, r.epochs
+ORDER BY r.source
+"""
+    )
+
+
+TEMP_MIX_ORACLE = f"""
+WITH d AS (SELECT doc_id, source,
+                  CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tok,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / CAST(4294967296 AS DOUBLE) AS u01
+           FROM documents),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY source),
+n0 AS (SELECT source, n_docs, n_tokens,
+              sum(n_tokens) OVER () AS total_tokens,
+              n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat_share
+       FROM s),
+w AS (SELECT source, n_docs, n_tokens, total_tokens, nat_share,
+             pow(nat_share, {MIX_ALPHA})
+               / sum(pow(nat_share, {MIX_ALPHA})) OVER () AS temp_share
+      FROM n0),
+r AS (SELECT source, n_docs, n_tokens, nat_share, temp_share,
+             temp_share * total_tokens / n_tokens AS epochs
+      FROM w)
+SELECT r.source, r.n_docs, r.n_tokens,
+       round(r.nat_share, 6) AS nat_share,
+       round(r.temp_share, 6) AS temp_share,
+       round(r.epochs, 6) AS epochs,
+       CAST(sum(CASE WHEN d.u01 < least(r.epochs, CAST(1.0 AS DOUBLE))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM r JOIN d ON r.source = d.source
+GROUP BY r.source, r.n_docs, r.n_tokens, r.nat_share, r.temp_share, r.epochs
+ORDER BY r.source
+"""
+
+register("source_temperature_mix", source_temperature_mix, TEMP_MIX_ORACLE)

@@ -832,3 +832,85 @@ FROM sums
 
 
 register("corpus_zipf_fit", corpus_zipf_fit, ZIPF_ORACLE)
+
+
+# -- significant terms (the ES significant_terms aggregation) -------------------
+#
+# The reference's ES 1.x stack ships `significant_terms`: tokens
+# OVERREPRESENTED in a foreground doc set relative to the whole corpus,
+# scored by JLH = (fg_pct - bg_pct) * (fg_pct / bg_pct).  Re-expressed
+# Spark-first: one distinct (doc, token) explode, one groupBy on the token
+# key counting foreground and background doc frequencies together (the
+# foreground flag aggregates as a conditional sum — no second corpus
+# pass), a broadcast 1-row totals frame, then TakeOrderedAndProject for
+# the top page.  Foreground here = lang='de' docs, whose vocabulary
+# separates sharply from the corpus — the aggregation's whole point.
+
+SIG_TERMS_K = 20
+SIG_MIN_FG_DOCS = 3
+SIG_FG_LANG = "de"
+
+
+def docs_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, fg_docs, bg_docs, fg_pct, bg_pct, jlh): top-K significant
+    terms of the foreground language's documents vs the whole corpus."""
+    _docs(spark, sf_dir).createOrReplaceTempView("__sig_docs")
+    return spark.sql(
+        f"""
+WITH dt AS (SELECT DISTINCT doc_id, lang = '{SIG_FG_LANG}' AS fg, token
+            FROM (SELECT doc_id, lang, explode({SPARK_TOKENS}) AS token
+                  FROM __sig_docs)),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS bg_n,
+               CAST(count(DISTINCT CASE WHEN lang = '{SIG_FG_LANG}'
+                                        THEN doc_id END) AS BIGINT) AS fg_n
+        FROM __sig_docs),
+cnt AS (SELECT token,
+               CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_docs,
+               CAST(count(1) AS BIGINT) AS bg_docs
+        FROM dt GROUP BY token),
+scored AS (SELECT token AS term, fg_docs, bg_docs,
+                  fg_docs / CAST(fg_n AS DOUBLE) AS fg_pct,
+                  bg_docs / CAST(bg_n AS DOUBLE) AS bg_pct
+           FROM cnt CROSS JOIN tot
+           WHERE fg_docs >= {SIG_MIN_FG_DOCS})
+SELECT term, fg_docs, bg_docs,
+       round(fg_pct, 6) AS fg_pct,
+       round(bg_pct, 6) AS bg_pct,
+       round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6) AS jlh
+FROM scored
+WHERE fg_pct > bg_pct
+ORDER BY (fg_pct - bg_pct) * (fg_pct / bg_pct) DESC, term
+LIMIT {SIG_TERMS_K}
+"""
+    )
+
+
+SIG_TERMS_ORACLE = f"""
+WITH dt AS (SELECT DISTINCT doc_id, lang = '{SIG_FG_LANG}' AS fg,
+                   unnest({DUCK_TOKENS}) AS token
+            FROM documents),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS bg_n,
+               CAST(count(DISTINCT CASE WHEN lang = '{SIG_FG_LANG}'
+                                        THEN doc_id END) AS BIGINT) AS fg_n
+        FROM documents),
+cnt AS (SELECT token,
+               CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_docs,
+               CAST(count(*) AS BIGINT) AS bg_docs
+        FROM dt GROUP BY token),
+scored AS (SELECT token AS term, fg_docs, bg_docs,
+                  fg_docs / CAST(fg_n AS DOUBLE) AS fg_pct,
+                  bg_docs / CAST(bg_n AS DOUBLE) AS bg_pct
+           FROM cnt CROSS JOIN tot
+           WHERE fg_docs >= {SIG_MIN_FG_DOCS})
+SELECT term, fg_docs, bg_docs,
+       round(fg_pct, 6) AS fg_pct,
+       round(bg_pct, 6) AS bg_pct,
+       round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6) AS jlh
+FROM scored
+WHERE fg_pct > bg_pct
+ORDER BY (fg_pct - bg_pct) * (fg_pct / bg_pct) DESC, term
+LIMIT {SIG_TERMS_K}
+"""
+
+
+register("docs_significant_terms", docs_significant_terms, SIG_TERMS_ORACLE)

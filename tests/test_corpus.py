@@ -201,3 +201,29 @@ def test_zipf_fit_sanity(spark, sf_dir):
     assert 0 < row.n_terms <= tx.ZIPF_TOP_R
     assert row.slope < 0
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_temperature_mix_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import corpus as c
+
+    assert_same(
+        c.source_temperature_mix(spark, sf_dir), ddb, c.TEMP_MIX_ORACLE
+    )
+
+
+def test_temperature_mix_upweights_small_sources(spark, sf_dir):
+    """α<1 flattens the mixture: shares sum to 1, and a source below the
+    mean token share gets temp_share > nat_share (and vice versa)."""
+    from data_catalog_spark.operators import corpus as c
+
+    rows = c.source_temperature_mix(spark, sf_dir).collect()
+    assert abs(sum(r.nat_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-3
+    mean = 1.0 / len(rows)
+    for r in rows:
+        if r.nat_share < mean - 1e-9:
+            assert r.temp_share > r.nat_share
+        elif r.nat_share > mean + 1e-9:
+            assert r.temp_share < r.nat_share
+        assert r.n_sampled <= r.n_docs

@@ -348,3 +348,25 @@ def test_tokenizer_efficiency_sane(spark, sf_dir):
         assert r.n_docs > 0 and r.n_words > 0 and r.n_subwords > 0
         assert r.fertility >= 1.0
         assert 0 < r.chars_per_subword < 40
+
+
+def test_significant_terms_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import text as t
+
+    assert_same(
+        t.docs_significant_terms(spark, sf_dir), ddb, t.SIG_TERMS_ORACLE
+    )
+
+
+def test_significant_terms_are_overrepresented(spark, sf_dir):
+    """Every reported term must actually be overrepresented in the
+    foreground (jlh > 0 ⇔ fg_pct > bg_pct) and respect min_doc_count."""
+    from data_catalog_spark.operators import text as t
+
+    rows = t.docs_significant_terms(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fg_docs >= t.SIG_MIN_FG_DOCS
+        assert r.fg_pct > r.bg_pct
+        assert r.jlh > 0
