@@ -129,6 +129,15 @@ HEADLINE = [
     "split_leakage_audit",
     "ann_ivf_trained_topk",
     "ann_pq_trained_topk",
+    # round 8 additions (stream_ingest_rejects stays off the headline —
+    # its measured path duplicates stream_ingest_indexed_search's seed +
+    # micro-batch; the validation predicates it adds are trivial and it
+    # remains gate-checked + driver-sampled)
+    "catalog_cdc_diff",
+    "dedup_embedding_incremental",
+    "ann_filtered_topk",
+    "source_temperature_mix",
+    "docs_significant_terms",
 ]
 
 

@@ -268,16 +268,16 @@ def stream_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     while _PREV_RUN_DIRS:
         shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
     tbl = tempfile.mkdtemp(prefix="ingest-rej-tbl-")
-    idx = tempfile.mkdtemp(prefix="ingest-rej-idx-")
     src = tempfile.mkdtemp(prefix="ingest-rej-src-")
     ckpt = tempfile.mkdtemp(prefix="ingest-rej-ckpt-")
-    _PREV_RUN_DIRS.extend([tbl, idx, src, ckpt])
+    _PREV_RUN_DIRS.extend([tbl, src, ckpt])
 
     seeded = _seed_cache(spark, sf_dir)
     shutil.copytree(os.path.join(seeded, "table"), tbl, dirs_exist_ok=True)
-    shutil.copytree(os.path.join(seeded, "index"), idx, dirs_exist_ok=True)
+    # plain catalog, no index: this query's contract is the VALIDATION
+    # lane + merge visibility; the index-in-lockstep write path is the
+    # separately benchmarked stream_ingest_indexed_search
     cat = DatasetsCatalog(spark, tbl)
-    ic = IndexedCatalog(cat, idx)
 
     with open(os.path.join(src, "batch-0.jsonl"), "w") as f:
         for row in _dirty_rows():
@@ -287,7 +287,7 @@ def stream_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_STREAM_SCHEMA)
         .json(src)
         .writeStream.foreachBatch(
-            lambda batch_df, batch_id: ic.bulk_upsert_df(batch_df)
+            lambda batch_df, batch_id: cat.bulk_upsert_df(batch_df)
         )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
