@@ -612,6 +612,14 @@ class DatasetsCatalog:
         if n_valid == 0:
             return 0, int(n_total)
         now_iso = datetime.now().isoformat(timespec="seconds")
+        # creationTime is the one OPTIONAL writable field — a batch may
+        # omit the whole column (transform_entry's missing-key case), not
+        # just carry NULLs in it
+        ct_src = (
+            F.col(CREATION_TIME_FIELD)
+            if CREATION_TIME_FIELD in batch.columns
+            else F.lit(None).cast("string")
+        )
         last_wins = Window.partitionBy("id").orderBy(F.desc("__seq"))
         post = (
             rows.where("__valid")
@@ -622,7 +630,7 @@ class DatasetsCatalog:
                     F.lit(None).cast("string").alias("storeType")
                     if c == "storeType"
                     else F.coalesce(
-                        F.nullif(F.col(c), F.lit("")), F.lit(now_iso)
+                        F.nullif(ct_src, F.lit("")), F.lit(now_iso)
                     ).alias(c)
                     if c == CREATION_TIME_FIELD
                     else F.col(c).cast(want[c]).alias(c)

@@ -100,6 +100,15 @@ def test_creation_time_defaulted(spark, cat):
         assert ct and ct.startswith("20")  # ISO now() stamp
 
 
+def test_creation_time_column_may_be_absent(spark, cat):
+    """creationTime is the one optional writable field — a batch may omit
+    the whole COLUMN, not just carry NULLs (transform_entry's missing-key
+    case)."""
+    assert cat.bulk_upsert_df(_df(spark, [ROW]).drop("creationTime")) == (1, 0)
+    ct = cat.get("e1")["creationTime"]
+    assert ct and ct.startswith("20")
+
+
 def test_unknown_column_rejected(spark, cat):
     bad = _df(spark, [ROW]).withColumn("nosuchfield", F.lit(1))
     with pytest.raises(InvalidEntryError, match="unknown field"):
