@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import DatasetsCatalog
 from ..datasets_source import DATASETS_FROM_PART_SQL
+from ..query import DataSetFiltering, compile_query, sqlgen
 from ..schema import COLUMN_ORDER
 from .registry import register
 
@@ -66,9 +67,12 @@ def _insert_row(i: int) -> dict:
     }
 
 
-def catalog_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id, change) between the seeded snapshot and the post-batch state:
-    8 updates, 8 inserts, 1 delete; the no-op re-upsert stays invisible."""
+def _apply_cdc_batch(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DatasetsCatalog, int]:
+    """Copy the cached seed into scratch, apply the planted batch (8
+    updates, the no-op, 8 inserts) and the delete; return the catalog and
+    the PRE-batch version — shared by the diff and time-travel queries."""
     import os
     import shutil
     import tempfile
@@ -104,6 +108,13 @@ def catalog_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.bulk_upsert_df(bdf)
     cat.delete(CDC_DEL)
+    return cat, v0
+
+
+def catalog_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, change) between the seeded snapshot and the post-batch state:
+    8 updates, 8 inserts, 1 delete; the no-op re-upsert stays invisible."""
+    cat, v0 = _apply_cdc_batch(spark, sf_dir)
     return cat.diff(v0)
 
 
@@ -129,3 +140,49 @@ SELECT id, change FROM expected ORDER BY id
 
 
 register("catalog_cdc_diff", catalog_cdc_diff, _cdc_oracle())
+
+
+# -- time-travel search: snapshot isolation, oracle-checkable --------------------
+#
+# `hits_at` (indexed_catalog.py) has been pytest-pinned since round 5;
+# this registers the semantics through the gate: run the SAME mutating
+# batch as catalog_cdc_diff, then evaluate a match-all ONLY_PUBLIC search
+# AS OF the pre-batch snapshot.  The oracle is the hits page over the
+# pristine seed ONLY — if the engine leaked any post-batch state into the
+# time-travel read, the page would lose the deleted id '10' (public,
+# sorts inside the first rows of the match-all page) and could gain the
+# planted `cdc-*` inserts, and the value hash would miss.  Snapshot reads
+# are plain scans of the version's manifest cells — time travel costs
+# nothing at any scale (catalog.py df(version=)).
+
+
+def _tt_cq():
+    return compile_query(
+        {"size": 100}, [], DataSetFiltering.ONLY_PUBLIC, False
+    )
+
+
+def catalog_time_travel_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import search
+
+    cat, v0 = _apply_cdc_batch(spark, sf_dir)
+    return search.hits(cat.df(version=v0), _tt_cq())
+
+
+def _tt_oracle() -> str:
+    from ..streaming.ingest import SEED_N
+
+    # catalog-RESIDENT rows carry storeType NULL regardless of the derived
+    # fixture (PUT cannot set it; transform_entry defaults it — see
+    # ingest._entry_of): a match-all page surfaces seed rows, so the
+    # oracle's seed must reflect the stored shape, not the raw fixture
+    seed = (
+        f"SELECT * REPLACE (CAST(NULL AS VARCHAR) AS storeType) FROM "
+        f"({DATASETS_FROM_PART_SQL} WHERE p_partkey <= {SEED_N})"
+    )
+    return f"WITH datasets AS ({seed}) {sqlgen.hits_sql(_tt_cq())}"
+
+
+register(
+    "catalog_time_travel_search", catalog_time_travel_search, _tt_oracle()
+)

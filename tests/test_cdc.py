@@ -42,3 +42,22 @@ def test_ingest_rejects_never_reach_the_table(spark, sf_dir):
     assert statuses == {"merged", "rejected"}
     n_rej = sum(r["status"] == "rejected" for r in rows)
     assert n_rej == ingest.BATCH_N // 2  # every other planted row invalid
+
+
+def test_time_travel_search_oracle_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import cdc
+
+    assert_same(
+        cdc.catalog_time_travel_search(spark, sf_dir), ddb, cdc._tt_oracle()
+    )
+
+
+def test_time_travel_page_ignores_the_batch(spark, sf_dir):
+    """The as-of-v0 page must contain the later-deleted id and none of
+    the planted inserts — snapshot isolation observable through search."""
+    from data_catalog_spark.operators import cdc
+
+    ids = [r["id"] for r in cdc.catalog_time_travel_search(spark, sf_dir).collect()]
+    assert cdc.CDC_DEL in ids
+    assert not any(i.startswith("cdc-") for i in ids)
