@@ -534,16 +534,29 @@ class DatasetsCatalog:
     _URI_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)?([^?#]*)"
 
     @classmethod
+    def _uri_ok_expr(cls, col: str = "targetUri") -> F.Column:
+        """``validate_target_uri``'s urlparse semantics as a column
+        predicate — pinned against the python validator by the case
+        matrix AND a 500-string seeded fuzz in test_catalog_df_lane.
+        Python 3's urlsplit applies the WHATWG cleanup first (drop
+        tab/newline/CR anywhere, strip C0-control/space from both ends) —
+        replicate it or a leading space flips the lanes apart (found by
+        the fuzz)."""
+        cleaned = F.regexp_replace(
+            F.regexp_replace(F.col(col), "[\\t\\n\\r]", ""),
+            "^[\\x00-\\x20]+|[\\x00-\\x20]+$",
+            "",
+        )
+        return cleaned.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:") & (
+            F.length(F.regexp_extract(cleaned, cls._URI_PATH_RE, 2)) > 1
+        )
+
+    @classmethod
     def _valid_row_expr(cls) -> F.Column:
         """Column-predicate twin of ``schema.validate_entry`` for typed
-        batches: required fields non-null + the targetUri scheme/path rule
-        (``validate_target_uri``'s urlparse semantics re-expressed as a
-        regex — pinned against the python validator by
-        test_catalog_df_lane).  NULL-safe: a NULL anywhere means invalid."""
-        uri_ok = F.col("targetUri").rlike(
-            r"^[A-Za-z][A-Za-z0-9+.\-]*:"
-        ) & (F.length(F.regexp_extract("targetUri", cls._URI_PATH_RE, 2)) > 1)
-        out = uri_ok
+        batches: required fields non-null + the targetUri scheme/path
+        rule.  NULL-safe: a NULL anywhere means invalid."""
+        out = cls._uri_ok_expr()
         for name in sorted(REQUIRED_FIELDS):
             out = out & F.col(name).isNotNull()
         return F.coalesce(out, F.lit(False))

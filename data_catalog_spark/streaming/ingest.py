@@ -226,9 +226,14 @@ register(
 # table (the status is read back from the post-merge catalog, not from
 # the validator).
 
+# the WHATWG cleanup first, matching catalog._uri_ok_expr / py3 urlsplit
+_DUCK_URI_CLEAN = (
+    "regexp_replace(regexp_replace(targetUri, '[\\t\\n\\r]', '', 'g'), "
+    "'^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
+)
 _DUCK_URI_OK = (
-    "regexp_matches(targetUri, '^[A-Za-z][A-Za-z0-9+.\\-]*:') AND "
-    "length(regexp_extract(targetUri, "
+    f"regexp_matches({_DUCK_URI_CLEAN}, '^[A-Za-z][A-Za-z0-9+.\\-]*:') AND "
+    f"length(regexp_extract({_DUCK_URI_CLEAN}, "
     "'^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/?#]*)?([^?#]*)', 2)) > 1"
 )
 

@@ -190,3 +190,38 @@ def test_indexed_bulk_upsert_df_searchable(spark, cat, tmp_path):
     )
     hits = ic.hits(cq).collect()
     assert [h["id"] for h in hits] == ["e1"]
+
+
+def test_uri_predicate_fuzz_matches_python_validator(spark):
+    """500 seeded pseudo-random URI-ish strings through BOTH lanes in one
+    batch: the column predicate must agree with schema.validate_target_uri
+    on every one.  Alphabet excludes '[' / ']' — urlparse raises ValueError
+    on malformed IPv6 brackets (so does the reference's py2 urlparse:
+    metadata_entry.py:82-86 would 500 the same way), which is outside the
+    validator's boolean contract on both sides."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    alphabet = "abcXZ019:/?#.+-_~%@ "
+    uris = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(460)
+    ] + [
+        "h:" + "".join(rng.choice("/ax?#") for _ in range(rng.randint(0, 6)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(uris)], "i int, targetUri string"
+    )
+    got = {
+        r["i"]: bool(r["ok"])
+        for r in df.select(
+            "i", DatasetsCatalog._uri_ok_expr().alias("ok")
+        ).collect()
+    }
+    for i, u in enumerate(uris):
+        assert got[i] == validate_target_uri(u), (
+            f"lane disagreement on {u!r}: spark={got[i]}"
+        )
