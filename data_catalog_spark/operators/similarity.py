@@ -484,16 +484,14 @@ EMB_NEW_MOD = 5  # vec_id % 5 == 0 → "new batch" (picked so the slice
                  # test SF — the r7 %7 image-slice lesson)
 
 
-def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, match_id, cos) for new-batch vectors whose nearest
-    banded-LSH corpus match clears EMB_DUP_THRESHOLD; match_id = lowest
-    matching corpus id (the text arm's deterministic-representative
-    rule), cos = that pair's exact rounded cosine."""
-    e = _pair_coded(spark, sf_dir)
+def _probe_new_against_corpus(new: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(vec_id, match_id, cos): each NEW coded vector's lowest-id corpus
+    match above EMB_DUP_THRESHOLD — the shared probe of the batch
+    incremental arm and its streaming twin.  Both sides carry the
+    ``_band_bits`` frame shape (vec_id, v, nrm, codes); only the new side
+    ball-explodes."""
     masks = [0] + [1 << j for j in range(PAIR_BAND_BITS)]
     masks_lit = "array(" + ", ".join(f"CAST({m} AS BIGINT)" for m in masks) + ")"
-    new = e.where(F.col("vec_id") % EMB_NEW_MOD == 0)
-    corpus = e.where(F.col("vec_id") % EMB_NEW_MOD != 0)
     probes = (
         new.select("vec_id", F.posexplode("codes").alias("band", "bits"))
         .select(
@@ -513,22 +511,35 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
-    slim = e.select("vec_id", "v", "nrm")
     scored = (
-        cand.join(slim.alias("a"), F.col("va") == F.col("a.vec_id"))
-        .join(slim.alias("b"), F.col("vb") == F.col("b.vec_id"))
+        cand.join(
+            new.select("vec_id", "v", "nrm").alias("a"),
+            F.col("va") == F.col("a.vec_id"),
+        )
+        .join(
+            corpus.select("vec_id", "v", "nrm").alias("b"),
+            F.col("vb") == F.col("b.vec_id"),
+        )
         .select("va", "vb", F.round(_cos(), 6).alias("cos"))
         .where(F.col("cos") >= EMB_DUP_THRESHOLD)
     )
     best = scored.groupBy("va").agg(F.min("vb").alias("match_id"))
-    return (
-        best.join(
-            scored,
-            (best.va == scored.va) & (best.match_id == scored.vb),
-        )
-        .select(best.va.alias("vec_id"), "match_id", "cos")
-        .orderBy("vec_id")
-    )
+    return best.join(
+        scored,
+        (best.va == scored.va) & (best.match_id == scored.vb),
+    ).select(best.va.alias("vec_id"), "match_id", "cos")
+
+
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, match_id, cos) for new-batch vectors whose nearest
+    banded-LSH corpus match clears EMB_DUP_THRESHOLD; match_id = lowest
+    matching corpus id (the text arm's deterministic-representative
+    rule), cos = that pair's exact rounded cosine."""
+    e = _pair_coded(spark, sf_dir)
+    return _probe_new_against_corpus(
+        e.where(F.col("vec_id") % EMB_NEW_MOD == 0),
+        e.where(F.col("vec_id") % EMB_NEW_MOD != 0),
+    ).orderBy("vec_id")
 
 
 def _emb_inc_oracle() -> str:

@@ -80,3 +80,99 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 register("stream_dedup_type_stats", stream_dedup_type_stats, STREAM_DEDUP_ORACLE)
+
+
+# -- streaming embedding near-dup: arriving vectors vs the corpus index ---------
+#
+# The Structured-Streaming twin of operators/similarity.py's
+# dedup_embedding_incremental: new vectors land as files, each micro-batch
+# is sign-coded (the same Arrow-batched fixed-point pass) and probed
+# against the MEMOIZED corpus code table — the deployment shape where the
+# LSH index is long-lived state and each crawl batch pays only its own
+# probe.  End state is batching-invariant, so the oracle is the batch
+# arm's oracle verbatim; the driver entry splits the new slice across TWO
+# micro-batches (maxFilesPerTrigger=1) to prove it.
+
+_EMB_STREAM_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..io import read_table
+    from ..operators.similarity import (
+        EMB_NEW_MOD,
+        _band_bits,
+        _emb,
+        _pair_coded,
+        _pair_planes,
+        _probe_new_against_corpus,
+        _with_norm,
+    )
+    from .ingest import _PREV_RUN_DIRS
+
+    while _PREV_RUN_DIRS:
+        shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
+    stage = tempfile.mkdtemp(prefix="emb-stream-src-")
+    out = tempfile.mkdtemp(prefix="emb-stream-out-")
+    ckpt = tempfile.mkdtemp(prefix="emb-stream-ckpt-")
+    _PREV_RUN_DIRS.extend([stage, out, ckpt])
+
+    corpus = _pair_coded(spark, sf_dir).where(
+        F.col("vec_id") % EMB_NEW_MOD != 0
+    )
+    new = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % EMB_NEW_MOD == 0
+    )
+    # two staged files → two micro-batches (maxFilesPerTrigger=1)
+    for i, half in enumerate(
+        (new.where(F.col("vec_id") % (2 * EMB_NEW_MOD) == 0),
+         new.where(F.col("vec_id") % (2 * EMB_NEW_MOD) != 0))
+    ):
+        tmp = os.path.join(stage, f"_b{i}")
+        half.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f), os.path.join(stage, f"batch-{i}.parquet")
+                )
+        shutil.rmtree(tmp)
+
+    out_schema = "vec_id bigint, match_id bigint, cos double"
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        coded = _band_bits(
+            _with_norm(
+                batch_df.select(
+                    "vec_id",
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+                )
+            ),
+            _pair_planes(),
+        ).localCheckpoint(eager=False)
+        (
+            _probe_new_against_corpus(coded, corpus)
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(_EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(out_schema).parquet(out).orderBy("vec_id")
+
+
+def _emb_stream_oracle() -> str:
+    from ..operators.similarity import _emb_inc_oracle
+
+    return _emb_inc_oracle()
+
+
+register("stream_embedding_dedup", stream_embedding_dedup, _emb_stream_oracle())

@@ -77,3 +77,18 @@ def test_scd2_history_invariants(spark, sf_dir, ddb):
         closed = [v for v in versions if not v.is_current]
         for c in closed:
             assert c.valid_to == scd2.CHANGE_TS  # every closed row is bounded
+
+
+def test_stream_embedding_dedup_matches_batch_arm(spark, sf_dir):
+    """Batching-invariance: the two-micro-batch streamed probe must land
+    exactly the batch incremental arm's matches."""
+    from data_catalog_spark.operators.similarity import (
+        dedup_embedding_incremental,
+    )
+    from data_catalog_spark.streaming.dedup import stream_embedding_dedup
+
+    got = [tuple(r) for r in stream_embedding_dedup(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in dedup_embedding_incremental(spark, sf_dir).collect()
+    ]
+    assert got == want and got
