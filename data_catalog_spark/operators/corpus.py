@@ -642,3 +642,63 @@ ORDER BY r.source
 """
 
 register("source_temperature_mix", source_temperature_mix, TEMP_MIX_ORACLE)
+
+
+# -- dedup report: cluster-size histogram + corpus dup rate ----------------------
+#
+# The per-snapshot number a dedup pipeline actually publishes: how
+# duplicated is the corpus?  One row per near-dup cluster SIZE with the
+# cluster count, members, and the docs a keep-one resolution would drop,
+# plus each size bucket's share of the whole corpus.  Reads the memoized
+# cluster labels (dup_clusters), so the report costs one aggregation over
+# the (tiny) cluster frame plus one corpus count — the label propagation
+# is paid once per corpus, not per report.
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, n_dropped, pct_of_corpus) per
+    near-dup cluster size, ordered by size."""
+    labels = dup_clusters(spark, sf_dir)
+    total = read_table(spark, sf_dir, "documents").count()  # 1 scalar
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_dropped"
+            ),
+            F.round(
+                F.col("cluster_size")
+                * F.col("n_clusters")
+                / F.lit(float(total)),
+                6,
+            ).alias("pct_of_corpus"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DUP_HISTOGRAM_ORACLE = f"""
+WITH RECURSIVE {DUP_CLUSTERS_CTES},
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM clusters GROUP BY cluster_id),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped,
+       round(cluster_size * count(*) / total.n, 6) AS pct_of_corpus
+FROM sizes CROSS JOIN total
+GROUP BY cluster_size, total.n
+ORDER BY cluster_size
+"""
+
+register(
+    "dedup_cluster_histogram", dedup_cluster_histogram, DUP_HISTOGRAM_ORACLE
+)

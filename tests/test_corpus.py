@@ -227,3 +227,26 @@ def test_temperature_mix_upweights_small_sources(spark, sf_dir):
         elif r.nat_share > mean + 1e-9:
             assert r.temp_share < r.nat_share
         assert r.n_sampled <= r.n_docs
+
+
+def test_dedup_cluster_histogram_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import corpus as c
+
+    assert_same(
+        c.dedup_cluster_histogram(spark, sf_dir), ddb, c.DUP_HISTOGRAM_ORACLE
+    )
+
+
+def test_dedup_cluster_histogram_accounts_for_every_clustered_doc(spark, sf_dir):
+    """Σ n_docs over the histogram == |dup_clusters| rows, every cluster
+    has ≥ 2 members (singletons never enter the pair graph), and dropping
+    keeps exactly one doc per cluster."""
+    from data_catalog_spark.operators import corpus as c
+
+    hist = c.dedup_cluster_histogram(spark, sf_dir).collect()
+    n_labels = c.dup_clusters(spark, sf_dir).count()
+    assert sum(r.n_docs for r in hist) == n_labels
+    for r in hist:
+        assert r.cluster_size >= 2
+        assert r.n_dropped == r.n_docs - r.n_clusters
