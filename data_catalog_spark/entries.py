@@ -394,6 +394,12 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cat_facet_text_categories"] = _facet_query(
         CATALOG_CASES["cat_text_search"], "categories"
     )
+
+    def _significant_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cq = compile_query(*CATALOG_CASES["cat_text_search"])
+        return search.significant_categories(datasets_df(spark, sf_dir), cq)
+
+    out["cat_significant_categories"] = _significant_categories
     out["cat_count"] = _total_query(CATALOG_CASES["cat_match_all"])
     out["cat_count_only_public"] = _total_query(CATALOG_CASES["cat_only_public"])
     out["cat_partitioned_only_public"] = _partitioned_only_public
@@ -420,6 +426,12 @@ def catalog_oracles() -> dict[str, str]:
     out["cat_facet_formats"] = f"{ORACLE_DATASETS_CTE} {sqlgen.formats_facet_sql(cq_term)}"
     out["cat_facet_text_categories"] = (
         f"{ORACLE_DATASETS_CTE} {sqlgen.categories_facet_sql(cq_text)}"
+    )
+    out["cat_significant_categories"] = (
+        ORACLE_DATASETS_CTE
+        + sqlgen.significant_categories_sql(
+            cq_text, search.SIGNIFICANT_FACET_SIZE
+        )
     )
     out["cat_count"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_all)}"
     out["cat_count_only_public"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_pub)}"

@@ -171,6 +171,34 @@ def formats_facet_sql(cq: CompiledQuery, relation: str = "datasets") -> str:
     return facet_sql(cq, "format", FORMATS_FACET_SIZE, relation)
 
 
+def significant_categories_sql(
+    cq: CompiledQuery, size: int, relation: str = "datasets"
+) -> str:
+    """DuckDB twin of search.significant_categories (ES significant_terms
+    on the category field, JLH-scored, positively significant only).
+    Emitted as a WITH-chain CONTINUATION (leading comma): composes after
+    an already-open CTE list such as ORACLE_DATASETS_CTE."""
+    return f""",
+per AS (
+  SELECT category AS value,
+         CAST(SUM(CASE WHEN {query_where_sql(cq)} THEN 1 ELSE 0 END)
+              AS BIGINT) AS fg_docs,
+         CAST(COUNT(*) AS BIGINT) AS bg_docs
+  FROM {relation} GROUP BY category),
+tot AS (SELECT CAST(SUM(fg_docs) AS DOUBLE) AS fg_n,
+               CAST(SUM(bg_docs) AS DOUBLE) AS bg_n FROM per),
+scored AS (
+  SELECT value, fg_docs, bg_docs,
+         fg_docs / fg_n AS fg_pct, bg_docs / bg_n AS bg_pct
+  FROM per CROSS JOIN tot WHERE fg_docs > 0)
+SELECT value, fg_docs, bg_docs,
+       round(fg_pct, 6) AS fg_pct, round(bg_pct, 6) AS bg_pct,
+       round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6) AS jlh
+FROM scored WHERE fg_pct > bg_pct
+ORDER BY jlh DESC, value LIMIT {size}
+"""
+
+
 def total_sql(cq: CompiledQuery, relation: str = "datasets") -> str:
     """hits.total: post-filter applied, pagination not (search.py:123,133)."""
     return (

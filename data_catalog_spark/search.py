@@ -185,6 +185,58 @@ def formats_facet(df: DataFrame, cq: CompiledQuery) -> DataFrame:
     return facet(df, cq, "format", FORMATS_FACET_SIZE)
 
 
+SIGNIFICANT_FACET_SIZE = 10
+
+
+def significant_categories(df: DataFrame, cq: CompiledQuery) -> DataFrame:
+    """ES's ``significant_terms`` aggregation on the category field: the
+    buckets OVERREPRESENTED in the query's foreground (the query-filtered
+    set, same base as the terms facets) relative to the index-wide
+    background, scored by JLH = (fg_pct - bg_pct)·(fg_pct / bg_pct) and
+    truncated to the positively significant top-k.  One scan, one
+    shuffle: the foreground flag aggregates as a conditional sum inside
+    the same groupBy that counts the background; the totals are a single
+    broadcast row."""
+    flagged = df.withColumn(
+        "_fg", F.when(query_predicate(cq), 1).otherwise(0)
+    )
+    per = flagged.groupBy(F.col("category").alias("value")).agg(
+        F.sum("_fg").cast("long").alias("fg_docs"),
+        F.count(F.lit(1)).cast("long").alias("bg_docs"),
+    )
+    tot = per.agg(
+        F.sum("fg_docs").cast("double").alias("fg_n"),
+        F.sum("bg_docs").cast("double").alias("bg_n"),
+    )
+    scored = (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("fg_docs") > 0)
+        .select(
+            "value",
+            "fg_docs",
+            "bg_docs",
+            (F.col("fg_docs") / F.col("fg_n")).alias("fg_pct"),
+            (F.col("bg_docs") / F.col("bg_n")).alias("bg_pct"),
+        )
+    )
+    jlh = (F.col("fg_pct") - F.col("bg_pct")) * (
+        F.col("fg_pct") / F.col("bg_pct")
+    )
+    return (
+        scored.where(F.col("fg_pct") > F.col("bg_pct"))
+        .select(
+            "value",
+            "fg_docs",
+            "bg_docs",
+            F.round("fg_pct", 6).alias("fg_pct"),
+            F.round("bg_pct", 6).alias("bg_pct"),
+            F.round(jlh, 6).alias("jlh"),
+        )
+        .orderBy(F.col("jlh").desc(), "value")
+        .limit(SIGNIFICANT_FACET_SIZE)
+    )
+
+
 def total(df: DataFrame, cq: CompiledQuery) -> DataFrame:
     """hits.total as a 1-row DataFrame (post-filter applied, pagination not)."""
     return (

@@ -337,3 +337,29 @@ def test_search_after_cursor_id_is_sql_escaped():
                 "t(id, title, category, dataSample, format, recordCount, size, "
                 "sourceUri, targetUri, storeType, isPublic, orgUUID, creationTime)")
     con.execute(sql)  # parses and runs — no injection break
+
+
+def test_significant_categories_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert_same(
+        qs["cat_significant_categories"](spark, sf_dir),
+        ddb,
+        os_["cat_significant_categories"],
+    )
+
+
+def test_significant_categories_are_overrepresented(spark, sf_dir):
+    """Every bucket must be positively significant (fg share > bg share)
+    and carry at least one foreground doc — ES significant_terms
+    semantics, not a plain terms facet."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["cat_significant_categories"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fg_docs >= 1
+        assert r.fg_pct > r.bg_pct
+        assert r.jlh > 0
