@@ -188,6 +188,81 @@ ORDER BY CAST(id AS BIGINT)
 """
 
 
+MLT_SEED_ID = "42"
+MLT_K = 10
+
+
+def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this`` re-expressed: given a seed document, rank the
+    rest of the corpus by the idf-weighted overlap of their analyzed
+    title+dataSample term sets with the seed's.  Term weight is the exact
+    integer ``(1e6·N) div df_t`` — a fixed-point idf (rarer terms weigh
+    more) whose integer division and sum are bit-identical across engines
+    (the microunit recipe; ln()-based idf can differ in the last ulp
+    between java.lang.Math and libm).  One explode + one df aggregation +
+    a broadcast seed-term join — the same blocking shape as the dedup
+    family, never all-pairs.  The reference's ES 1.x ships the MLT query;
+    its REST layer doesn't expose it, so this is analyzer-level parity."""
+    from pyspark.sql import functions as F
+
+    from . import analyzers
+
+    ds = datasets_df(spark, sf_dir)
+    toks = ds.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "filter(split(lower(concat(title, ' ', dataSample)), "
+                    f"'{analyzers.STANDARD_SPLIT}'), x -> x != '')"
+                )
+            )
+        ).alias("term"),
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    tot = ds.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    seed = toks.where(F.col("id") == MLT_SEED_ID).select("term")
+    cand = toks.join(F.broadcast(seed), "term").where(
+        F.col("id") != MLT_SEED_ID
+    )
+    scored = (
+        cand.join(dfreq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.expr("(1000000 * n) div df_t")).cast("long").alias("score"),
+        )
+    )
+    return (
+        scored.join(ds.select("id", "title"), "id")
+        .select("id", "title", "n_shared", "score")
+        .orderBy(F.col("score").desc(), F.col("id").cast("bigint"))
+        .limit(MLT_K)
+    )
+
+
+MLT_ORACLE = f"""{ORACLE_DATASETS_CTE},
+toks AS (SELECT id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(title || ' ' || dataSample), '[^a-z0-9]+'),
+           x -> x <> ''))) AS term
+         FROM datasets),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM toks GROUP BY term),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM datasets),
+seed AS (SELECT term FROM toks WHERE id = '{MLT_SEED_ID}'),
+cand AS (SELECT t.id, t.term FROM toks t JOIN seed USING (term)
+         WHERE t.id <> '{MLT_SEED_ID}'),
+scored AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shared,
+                  CAST(sum((1000000 * n) // df_t) AS BIGINT) AS score
+           FROM cand JOIN dfreq USING (term) CROSS JOIN tot GROUP BY id)
+SELECT s.id, d.title, s.n_shared, s.score
+FROM scored s JOIN datasets d ON s.id = d.id
+ORDER BY score DESC, CAST(s.id AS BIGINT) LIMIT {MLT_K}
+"""
+
+
 STEM_PROBE = "widgets rings"  # plural probe: raw token equality would MISS
 
 
@@ -400,6 +475,7 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search.significant_categories(datasets_df(spark, sf_dir), cq)
 
     out["cat_significant_categories"] = _significant_categories
+    out["cat_more_like_this"] = _more_like_this
     out["cat_count"] = _total_query(CATALOG_CASES["cat_match_all"])
     out["cat_count_only_public"] = _total_query(CATALOG_CASES["cat_only_public"])
     out["cat_partitioned_only_public"] = _partitioned_only_public
@@ -433,6 +509,7 @@ def catalog_oracles() -> dict[str, str]:
             cq_text, search.SIGNIFICANT_FACET_SIZE
         )
     )
+    out["cat_more_like_this"] = MLT_ORACLE
     out["cat_count"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_all)}"
     out["cat_count_only_public"] = f"{ORACLE_DATASETS_CTE} {sqlgen.total_sql(cq_pub)}"
     # same oracle as cat_only_public: the partitioned layout changes the

@@ -363,3 +363,24 @@ def test_significant_categories_are_overrepresented(spark, sf_dir):
         assert r.fg_docs >= 1
         assert r.fg_pct > r.bg_pct
         assert r.jlh > 0
+
+
+def test_more_like_this_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert_same(
+        qs["cat_more_like_this"](spark, sf_dir), ddb, os_["cat_more_like_this"]
+    )
+
+
+def test_more_like_this_excludes_seed_and_requires_overlap(spark, sf_dir):
+    from data_catalog_spark.entries import MLT_SEED_ID, _more_like_this
+
+    rows = _more_like_this(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.id != MLT_SEED_ID
+        assert r.n_shared >= 1
+        assert r.score > 0
