@@ -138,6 +138,9 @@ HEADLINE = [
     "ann_filtered_topk",
     "source_temperature_mix",
     "docs_significant_terms",
+    "dedup_cluster_histogram",
+    "cat_significant_categories",
+    "cat_more_like_this",
 ]
 
 
