@@ -24,7 +24,7 @@ No reference counterpart (north-star extension; SURVEY §2.6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table
@@ -156,19 +156,41 @@ def ppl_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     document count, bigram volume, and the rounded perplexity range.
 
     The LM is the corpus add-one bigram model above (oracle-shared); the
-    tercile cut is ``ntile(3)`` over (ppl, doc_id) — the doc_id tiebreak
-    makes the boundary deterministic on both engines.  Scale: ntile is
-    one global sort of the per-DOC score table (tiny next to the token
-    stream); everything upstream is the perplexity pipeline's linear
-    shape."""
-    scored = bigram_lm_perplexity(spark, sf_dir)
-    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
-    bucketed = scored.withColumn("tercile", F.ntile(3).over(w)).withColumn(
+    tercile cut is the engine's eq-depth boundary pattern
+    (``events_value_deciles_eqdepth``): compute the exact boundary
+    perplexities at the ntile cut ranks k1 = |head|, k2 = |head|+|middle|
+    with ONE tiny aggregate, broadcast the two scalars back, and assign
+    buckets by comparison — NO global window, so the per-doc score table
+    never funnels through a single partition (``ntile(3) OVER ()`` would
+    move every scored doc to one task at 100 TB).
+
+    Boundary determinism without a per-row tiebreak: ppl is rounded to
+    4dp, so realized values sit on a 1e-4 grid; ``percentile(ppl, p)``
+    at the mid-rank p = (k - 0.5)/(n - 1) interpolates STRICTLY between
+    the k-th and (k+1)-th order statistics (fraction ≈ 0.5), hence
+    ``ppl <= bound`` selects exactly the k lowest rows — and when the
+    boundary value ties across docs, ALL tied docs fall in the lower
+    bucket (ties-to-lower; CCNet cuts by perplexity value, so equal-ppl
+    docs land in the same bucket by construction).  The oracle computes
+    the identical membership from the explicit rank-k order statistic."""
+    scored = bigram_lm_perplexity(spark, sf_dir).localCheckpoint(eager=False)
+    n = scored.count()  # scalar; scored is checkpointed so this is one pass
+    q, r = divmod(n, 3)
+    k1 = q + (1 if r >= 1 else 0)
+    k2 = k1 + q + (1 if r >= 2 else 0)
+
+    def _p(k: int) -> float:
+        return 1.0 if n <= 1 or k >= n else (k - 0.5) / (n - 1)
+
+    bounds = scored.agg(
+        F.expr(f"percentile(ppl, {_p(k1)!r})").alias("b1"),
+        F.expr(f"percentile(ppl, {_p(k2)!r})").alias("b2"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket",
-        F.expr(
-            "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
-            "ELSE 'tail' END"
-        ),
+        F.when(F.col("ppl") <= F.col("b1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
     )
     return (
         bucketed.groupBy("bucket")
@@ -202,10 +224,31 @@ scored AS (
   FROM bg JOIN model USING (w1, w2)
   GROUP BY doc_id
 ),
-bucketed AS (
-  SELECT *, CASE ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC)
-            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+params AS (
+  SELECT count(*) AS n,
+         count(*) // 3
+           + CASE WHEN count(*) % 3 >= 1 THEN 1 ELSE 0 END AS k1,
+         (count(*) // 3) * 2
+           + CASE WHEN count(*) % 3 >= 1 THEN 1 ELSE 0 END
+           + CASE WHEN count(*) % 3 >= 2 THEN 1 ELSE 0 END AS k2
   FROM scored
+),
+ranked AS (
+  SELECT ppl, row_number() OVER (ORDER BY ppl, doc_id) AS rn FROM scored
+),
+-- boundary order statistics at the ntile cut ranks; assignment is
+-- ppl <= boundary, so equal-ppl docs all land in the lower bucket
+-- (ties-to-lower), matching the Spark side's mid-rank percentile bound
+bounds AS (
+  SELECT max(CASE WHEN rn <= k1 THEN ppl END) AS b1,
+         max(CASE WHEN rn <= k2 THEN ppl END) AS b2
+  FROM ranked CROSS JOIN params
+),
+bucketed AS (
+  SELECT s.*, CASE WHEN s.ppl <= b.b1 THEN 'head'
+                   WHEN s.ppl <= b.b2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+  FROM scored s CROSS JOIN bounds b
 )
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,

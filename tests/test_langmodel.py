@@ -57,13 +57,24 @@ def test_ppl_bucket_parity(spark, sf_dir, ddb):
 
 
 def test_ppl_buckets_partition_the_corpus_in_order(spark, sf_dir):
-    """Terciles cover every scored doc once, sizes differ by at most one,
-    and the ppl ranges are disjoint and ascending head < middle < tail."""
+    """Terciles cover every scored doc once, boundaries sit at the ntile
+    cut ranks up to ties-to-lower drift (equal-ppl docs never split across
+    buckets), and the ppl ranges are disjoint ascending head<middle<tail."""
     rows = {r.bucket: r for r in lm.ppl_bucket_profile(spark, sf_dir).collect()}
     assert set(rows) == {"head", "middle", "tail"}
-    sizes = [rows[b].n_docs for b in ("head", "middle", "tail")]
-    assert max(sizes) - min(sizes) <= 1
     assert rows["head"].max_ppl <= rows["middle"].min_ppl
     assert rows["middle"].max_ppl <= rows["tail"].min_ppl
-    scored = lm.bigram_lm_perplexity(spark, sf_dir).count()
-    assert sum(sizes) == scored
+    ppls = sorted(
+        r.ppl for r in lm.bigram_lm_perplexity(spark, sf_dir).collect()
+    )
+    n = len(ppls)
+    q, r3 = divmod(n, 3)
+    k1 = q + (1 if r3 >= 1 else 0)
+    k2 = k1 + q + (1 if r3 >= 2 else 0)
+    # |head| = #{ppl <= v_k1}, |head|+|middle| = #{ppl <= v_k2}: exact
+    # tercile cuts with boundary ties pulled into the lower bucket
+    assert rows["head"].n_docs == sum(1 for p in ppls if p <= ppls[k1 - 1])
+    assert rows["head"].n_docs + rows["middle"].n_docs == sum(
+        1 for p in ppls if p <= ppls[k2 - 1]
+    )
+    assert sum(rows[b].n_docs for b in rows) == n
