@@ -8,9 +8,14 @@ where column algebra genuinely can't express the computation per group.
 - ``user_event_zscore_sql``        — pure window/aggregate algebra with
                                      decimal-exact moments, oracle-checked.
 
-pytest asserts the two agree to 1e-9, which pins the pandas path to the
-SQL-checked semantics without exposing float-summation-order noise to the
-hash-based driver check (the pandas path registers rows-only).
+BOTH register the same value-hash oracle: the pandas body computes the
+group moments with Python ``Decimal`` arithmetic that replicates the SQL
+side bit-for-bit — ``Decimal(repr(v)).quantize(1e-10, HALF_UP)`` is
+exactly Spark's double→DECIMAL(28,10) cast (BigDecimal.valueOf uses the
+same shortest-decimal representation as Python's repr), the exact decimal
+sums are order-independent, and the final 6dp rounding is HALF_UP on the
+shortest repr — exactly Spark's ``round(double, 6)``.  pytest additionally
+asserts the two twins agree exactly.
 
 Scale note: applyInPandas shuffles once on the grouping key and streams one
 Arrow batch per group through a worker — memory is bounded by the largest
@@ -39,19 +44,62 @@ ZSCORE_SCHEMA = T.StructType(
 
 
 def user_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user z-score of event values via applyInPandas."""
+    """Per-user z-score of event values via applyInPandas, with moments
+    computed in exact decimal arithmetic that reproduces the SQL twin
+    (and hence the shared DuckDB oracle) bit-for-bit:
+
+    - per-value DECIMAL(28,10) quantization = Spark's double→decimal cast
+      (HALF_UP on the shortest decimal repr; Python ``repr`` and Java
+      ``BigDecimal.valueOf`` produce the same shortest string);
+    - moments from exact integer-valued decimal sums (order-free) divided
+      at 50 sig digits, then collapsed to double — the same correctly-
+      rounded double both engines reach through their decimal quotients;
+    - z itself in plain IEEE double ops (identical to the engines'), then
+      6dp HALF_UP rounding on the shortest repr = Spark ``round(z, 6)``.
+    """
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=0)
-        mean = pdf["value"].mean()
-        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        import decimal
+        import math
+        from decimal import Decimal
+
+        q10 = Decimal("1e-10")
+        vals = pdf["value"].tolist()
+        n = len(vals)
+        d1 = sum(
+            Decimal(repr(v)).quantize(q10, decimal.ROUND_HALF_UP) for v in vals
+        )
+        d2 = sum(
+            Decimal(repr(v * v)).quantize(q10, decimal.ROUND_HALF_UP)
+            for v in vals
+        )
+        with decimal.localcontext() as ctx:
+            ctx.prec = 50
+            mean = float(d1 / n)
+            m2 = float(d2 / n)
+        var = m2 - mean * mean
+        sd = math.sqrt(var) if var >= 0.0 else float("nan")
+
+        def z_of(v: float) -> float:
+            num = v - mean
+            if sd == 0.0:  # IEEE double semantics, as both engines compute
+                return (
+                    float("nan") if num == 0.0 else math.copysign(float("inf"), num)
+                )
+            z = num / sd
+            if not math.isfinite(z):
+                return z
+            return float(
+                Decimal(repr(z)).quantize(Decimal("1e-6"), decimal.ROUND_HALF_UP)
+            )
+
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
                 "value": pdf["value"],
-                "z": z,
+                "z": [z_of(v) for v in vals],
             }
         )
 
@@ -103,7 +151,7 @@ ORDER BY event_id
 """
 
 
-register("user_event_zscore_pandas", user_event_zscore, None)  # rows-only
+register("user_event_zscore_pandas", user_event_zscore, ZSCORE_SQL_ORACLE)
 register("user_event_zscore_sql", user_event_zscore_sql, ZSCORE_SQL_ORACLE)
 
 

