@@ -532,31 +532,64 @@ class DatasetsCatalog:
     # urlparse-equivalent dissection for the DataFrame validation lane:
     # group 1 = optional //netloc, group 2 = path up to '?' / '#'.
     _URI_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)?([^?#]*)"
+    # Schemes for which urlparse splits ';params' off the LAST path
+    # segment (urllib.parse.uses_params minus the '' relative entry) —
+    # frozen here so the column predicate is a stable literal, pinned
+    # against the live stdlib list by test_catalog_df_lane.
+    _USES_PARAMS = (
+        "ftp", "hdl", "prospero", "http", "imap", "https", "shttp",
+        "rtsp", "rtsps", "rtspu", "sip", "sips", "mms", "sftp", "tel",
+    )
 
     @classmethod
     def _uri_ok_expr(cls, col: str = "targetUri") -> F.Column:
         """``validate_target_uri``'s urlparse semantics as a column
         predicate — pinned against the python validator by the case
         matrix AND a 500-string seeded fuzz in test_catalog_df_lane.
-        Python 3's urlsplit applies the WHATWG cleanup first (drop
-        tab/newline/CR anywhere, strip C0-control/space from both ends) —
-        replicate it or a leading space flips the lanes apart (found by
-        the fuzz)."""
+        Two stdlib behaviors must be replicated exactly or the lanes
+        drift apart (both fuzz-found): (1) the WHATWG cleanup urlsplit
+        applies first (drop tab/newline/CR anywhere, strip
+        C0-control/space from both ends); (2) urlparse's params split —
+        for ``uses_params`` schemes the first ';' in the last path
+        segment and everything after it leave the path, so
+        ``http://h/;a`` has path '/' (invalid) while the same URI under
+        ``hdfs`` keeps '/;a' (valid)."""
         cleaned = F.regexp_replace(
             F.regexp_replace(F.col(col), "[\\t\\n\\r]", ""),
             "^[\\x00-\\x20]+|[\\x00-\\x20]+$",
             "",
         )
-        return cleaned.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:") & (
-            F.length(F.regexp_extract(cleaned, cls._URI_PATH_RE, 2)) > 1
+        scheme = F.lower(
+            F.regexp_extract(cleaned, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+        )
+        raw_path = F.regexp_extract(cleaned, cls._URI_PATH_RE, 2)
+        # ';[^/]*$' anchors at the first ';' of the final segment (the
+        # leftmost position from which no '/' follows) — urlparse's
+        # _splitparams: find(';', rfind('/')).
+        path = F.when(
+            scheme.isin(*cls._USES_PARAMS),
+            F.regexp_replace(raw_path, ";[^/]*$", ""),
+        ).otherwise(raw_path)
+        return (
+            cleaned.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+            & (path != F.lit(""))
+            & (path != F.lit("/"))
         )
 
     @classmethod
     def _valid_row_expr(cls) -> F.Column:
         """Column-predicate twin of ``schema.validate_entry`` for typed
         batches: required fields non-null + the targetUri scheme/path
-        rule.  NULL-safe: a NULL anywhere means invalid."""
-        out = cls._uri_ok_expr()
+        rule.  NULL-safe: a NULL anywhere means invalid.
+
+        ``id`` is checked explicitly even though it is not in
+        REQUIRED_FIELDS: the list lane stamps ``str(entry_id)`` so an id
+        is structurally present there, but a streaming JSONL record can
+        simply omit it — and a committed NULL-id row would be
+        unreachable (id equality / anti-joins never match NULL) and
+        undeletable, surfacing as a phantom insert+delete pair in every
+        diff().  Such rows are rejects, not merges."""
+        out = cls._uri_ok_expr() & F.col("id").isNotNull()
         for name in sorted(REQUIRED_FIELDS):
             out = out & F.col(name).isNotNull()
         return F.coalesce(out, F.lit(False))

@@ -590,13 +590,21 @@ n0 AS (SELECT source, n_docs, n_tokens,
               sum(n_tokens) OVER () AS total_tokens,
               n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat_share
        FROM s),
+-- pow() is the one non-correctly-rounded op here (JVM Math.pow vs libm
+-- can differ in the last ulp); pin it to DECIMAL(20,12) BEFORE the
+-- window sum and the u01 threshold so every downstream double op is
+-- correctly rounded over bit-identical inputs on both engines (the
+-- bigram-LM ln() discipline)
 w AS (SELECT source, n_docs, n_tokens, total_tokens, nat_share,
-             pow(nat_share, {MIX_ALPHA})
-               / sum(pow(nat_share, {MIX_ALPHA})) OVER () AS temp_share
+             CAST(pow(nat_share, {MIX_ALPHA}) AS DECIMAL(20,12)) AS pw
       FROM n0),
+w2 AS (SELECT source, n_docs, n_tokens, total_tokens, nat_share,
+              CAST(pw AS DOUBLE)
+                / CAST(sum(pw) OVER () AS DOUBLE) AS temp_share
+       FROM w),
 r AS (SELECT source, n_docs, n_tokens, nat_share, temp_share,
              temp_share * total_tokens / n_tokens AS epochs
-      FROM w)
+      FROM w2)
 SELECT r.source, r.n_docs, r.n_tokens,
        round(r.nat_share, 6) AS nat_share,
        round(r.temp_share, 6) AS temp_share,
@@ -624,12 +632,15 @@ n0 AS (SELECT source, n_docs, n_tokens,
               n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat_share
        FROM s),
 w AS (SELECT source, n_docs, n_tokens, total_tokens, nat_share,
-             pow(nat_share, {MIX_ALPHA})
-               / sum(pow(nat_share, {MIX_ALPHA})) OVER () AS temp_share
+             CAST(pow(nat_share, {MIX_ALPHA}) AS DECIMAL(20,12)) AS pw
       FROM n0),
+w2 AS (SELECT source, n_docs, n_tokens, total_tokens, nat_share,
+              CAST(pw AS DOUBLE)
+                / CAST(sum(pw) OVER () AS DOUBLE) AS temp_share
+       FROM w),
 r AS (SELECT source, n_docs, n_tokens, nat_share, temp_share,
              temp_share * total_tokens / n_tokens AS epochs
-      FROM w)
+      FROM w2)
 SELECT r.source, r.n_docs, r.n_tokens,
        round(r.nat_share, 6) AS nat_share,
        round(r.temp_share, 6) AS temp_share,

@@ -87,8 +87,18 @@ def _corpus_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
 
 def _shared_emb(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """The (vec_id, v) embeddings frame behind one lazy localCheckpoint,
-    plus its registered view name — shared by the training surfaces."""
-    key = _corpus_key(spark, sf_dir, "emb")
+    plus its registered view name — shared by the training surfaces.
+
+    Keyed on the SESSION too, not just the application: temp views live
+    in a session's catalog, so a sibling ``spark.newSession()`` of the
+    same app must build (and register) its own entry or every consumer
+    of the cached view name hits TABLE_OR_VIEW_NOT_FOUND.  ``id(spark)``
+    cannot alias a dead session here because the cached DataFrame keeps
+    a strong reference to its session for the life of the entry.  The
+    trained-model caches (plain python floats) stay app-keyed — floats
+    are session-free, and on a miss they train through this
+    session-scoped view."""
+    key = _corpus_key(spark, sf_dir, "emb") + (id(spark),)
     if key not in _MODEL_CACHE:
         e = _emb(spark, sf_dir).localCheckpoint(eager=False)
         _MODEL_CACHE[key] = (e, _uview(e, "__km_e"))

@@ -343,8 +343,12 @@ def _pair_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    # keyed on the SESSION as well as the app: the cached plan is bound
+    # to its session (kmeans._shared_emb rationale); id(spark) cannot
+    # alias a dead session while the cached DataFrame pins it alive
     key = (
         spark.sparkContext.applicationId,
+        id(spark),
         os.path.abspath(sf_dir),
         st.st_mtime_ns,
         st.st_size,

@@ -77,14 +77,19 @@ COLUMN_ORDER = [f.name for f in DATASETS_SCHEMA.fields]
 def validate_target_uri(uri: object) -> bool:
     """targetUri must have a scheme and a non-trivial path.
 
-    Reference: data_catalog/metadata_entry.py:82-86.  Rejects e.g.
-    ``//onet.pl/``, ``hdfs://onet.pl/``, ``http://``, ``some_path``
-    (tests/test_metadata_entries.py:321-333).
+    Reference: data_catalog/metadata_entry.py:82-86 — the exact condition
+    is ``scheme and path and path != '/'`` over ``urlparse`` (NOT
+    urlsplit: for ``uses_params`` schemes urlparse strips ``;params``
+    from the last path segment first, so ``http://host/;a`` has path
+    ``'/'`` and is rejected while ``hdfs://host/;a`` keeps ``'/;a'`` and
+    passes).  Rejects e.g. ``//onet.pl/``, ``hdfs://onet.pl/``,
+    ``http://``, ``some_path`` (tests/test_metadata_entries.py:321-333);
+    accepts single-char paths like ``mailto:a`` (path truthy, not '/').
     """
     if not isinstance(uri, str):
         return False
     parsed = urlparse(uri)
-    return bool(parsed.scheme) and len(parsed.path) > 1
+    return bool(parsed.scheme) and bool(parsed.path) and parsed.path != "/"
 
 
 def validate_entry(entry: dict, *, partial: bool = False) -> list[str]:

@@ -231,10 +231,29 @@ _DUCK_URI_CLEAN = (
     "regexp_replace(regexp_replace(targetUri, '[\\t\\n\\r]', '', 'g'), "
     "'^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
 )
+# urlparse's params split, replicated like catalog._uri_ok_expr: for
+# uses_params schemes, ';...' leaves the LAST path segment before the
+# reference's path-truthiness check (metadata_entry.py:82-86).
+_DUCK_URI_SCHEME = (
+    f"lower(regexp_extract({_DUCK_URI_CLEAN}, "
+    "'^([A-Za-z][A-Za-z0-9+.\\-]*):', 1))"
+)
+_DUCK_URI_RAWPATH = (
+    f"regexp_extract({_DUCK_URI_CLEAN}, "
+    "'^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/?#]*)?([^?#]*)', 2)"
+)
+_DUCK_USES_PARAMS = (
+    "('ftp','hdl','prospero','http','imap','https','shttp','rtsp',"
+    "'rtsps','rtspu','sip','sips','mms','sftp','tel')"
+)
+_DUCK_URI_PATH = (
+    f"CASE WHEN {_DUCK_URI_SCHEME} IN {_DUCK_USES_PARAMS} "
+    f"THEN regexp_replace({_DUCK_URI_RAWPATH}, ';[^/]*$', '') "
+    f"ELSE {_DUCK_URI_RAWPATH} END"
+)
 _DUCK_URI_OK = (
     f"regexp_matches({_DUCK_URI_CLEAN}, '^[A-Za-z][A-Za-z0-9+.\\-]*:') AND "
-    f"length(regexp_extract({_DUCK_URI_CLEAN}, "
-    "'^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/?#]*)?([^?#]*)', 2)) > 1"
+    f"{_DUCK_URI_PATH} <> '' AND {_DUCK_URI_PATH} <> '/'"
 )
 
 
@@ -263,6 +282,22 @@ def _dirty_rows() -> list[dict]:
             ][(i // 4) % 4]
         elif i % 4 == 3:  # a required field NULL, rotating field
             row[["title", "orgUUID", "format", "sourceUri"][(i // 4) % 4]] = None
+        rows.append(row)
+    # urlparse edge pins — params split is scheme-conditional, and a
+    # missing id is a reject (not an unreachable NULL-id phantom row):
+    base = dict(rows[0])
+    for suffix, overrides in [
+        ("id-null", {"id": None}),  # rejected: id required in the DF lane
+        # rejected: http is uses_params, ';a' leaves the last segment → '/'
+        ("params-http", {"targetUri": "http://host/;a"}),
+        # merged: hdfs is NOT uses_params, path stays '/;a'
+        ("params-hdfs", {"targetUri": "hdfs://host/;a"}),
+        # merged: single-char path is truthy and != '/'
+        ("short-path", {"targetUri": "mailto:a"}),
+    ]:
+        row = dict(base, **overrides)
+        if row.get("id") is not None:
+            row["id"] = f"dirty-{suffix}"
         rows.append(row)
     return rows
 
@@ -333,6 +368,7 @@ def _rejects_oracle() -> str:
     )
     cols = ", ".join(COLUMN_ORDER)
     required = [
+        "id",  # DF-lane extra: a NULL id would be an unreachable row
         "title", "category", "dataSample", "format", "recordCount",
         "size", "sourceUri", "targetUri", "isPublic", "orgUUID",
     ]

@@ -160,6 +160,16 @@ URI_CASES = [
     ":no-scheme/path",
     "scheme:/x",
     "scheme:#frag",
+    # urlparse params split: uses_params schemes drop ';...' from the
+    # LAST path segment before the path check; others keep it
+    "http://host/;a",  # path '/' after split → invalid
+    "HTTP://host/;a",  # scheme lowercased before the uses_params lookup
+    "hdfs://host/;a",  # hdfs not in uses_params → path '/;a' → valid
+    "http://host/a;p/b",  # ';' not in last segment → untouched, valid
+    "http://host/x;p",  # split leaves '/x' → still valid
+    "sip:x;y",  # no '/', split from first ';' → path 'x' → valid
+    "mailto:a",  # single-char path: truthy and != '/' → valid
+    "tel:;ext=1",  # split leaves '' → invalid
 ]
 
 
@@ -204,13 +214,18 @@ def test_uri_predicate_fuzz_matches_python_validator(spark):
     from pyspark.sql import functions as F
 
     rng = random.Random(20260815)
-    alphabet = "abcXZ019:/?#.+-_~%@ "
+    alphabet = "abcXZ019:/?#.+-_~%@; "
     uris = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
-        for _ in range(460)
+        for _ in range(420)
     ] + [
         "h:" + "".join(rng.choice("/ax?#") for _ in range(rng.randint(0, 6)))
         for _ in range(40)
+    ] + [
+        # concentrated params-split pressure: uses_params and not
+        scheme + "".join(rng.choice("/a;x") for _ in range(rng.randint(0, 8)))
+        for scheme in ("http:", "hdfs:", "sip:", "tel:", "s3a:")
+        for _ in range(8)
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(uris)], "i int, targetUri string"
@@ -225,3 +240,12 @@ def test_uri_predicate_fuzz_matches_python_validator(spark):
         assert got[i] == validate_target_uri(u), (
             f"lane disagreement on {u!r}: spark={got[i]}"
         )
+
+
+def test_uses_params_list_pinned_to_stdlib():
+    """The frozen scheme list in the column predicate must track the
+    stdlib list urlparse actually consults (minus the '' relative
+    entry); a Python upgrade that changes uses_params fails here."""
+    from urllib.parse import uses_params
+
+    assert set(DatasetsCatalog._USES_PARAMS) == set(uses_params) - {""}

@@ -41,7 +41,8 @@ def test_ingest_rejects_never_reach_the_table(spark, sf_dir):
     statuses = {r["status"] for r in rows}
     assert statuses == {"merged", "rejected"}
     n_rej = sum(r["status"] == "rejected" for r in rows)
-    assert n_rej == ingest.BATCH_N // 2  # every other planted row invalid
+    # every other rotating-reason row + the NULL-id and http-params pins
+    assert n_rej == ingest.BATCH_N // 2 + 2
 
 
 def test_time_travel_search_oracle_parity(spark, sf_dir, ddb):

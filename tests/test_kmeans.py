@@ -116,3 +116,25 @@ def test_trained_pq_parity_and_recall(spark, sf_dir, ddb):
     }
     approx = {(r.qid, r.nid) for r in got.collect()}
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_trained_surfaces_work_from_a_sibling_session(spark, sf_dir):
+    """A spark.newSession() sibling shares the app-keyed float models but
+    must NOT inherit the session-scoped embeddings view: before the
+    session-aware cache key, a warm _MODEL_CACHE made the sibling resolve
+    a temp view registered only in the first session's catalog
+    (TABLE_OR_VIEW_NOT_FOUND)."""
+    from data_catalog_spark.operators import kmeans as km
+
+    km.kmeans_train(spark, sf_dir).collect()  # warm the caches
+    sibling = spark.newSession()
+    try:
+        rows = km.kmeans_train(sibling, sf_dir).collect()
+        assert len(rows) > 0
+        rows = km.ann_pq_trained_topk(sibling, sf_dir).limit(5).collect()
+        assert len(rows) > 0
+    finally:
+        # drop the sibling's cache entries so later tests in this process
+        # never resolve a plan against the discarded session
+        for key in [k for k in km._MODEL_CACHE if id(sibling) in k]:
+            del km._MODEL_CACHE[key]
