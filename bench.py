@@ -141,6 +141,8 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "cat_significant_categories",
     "cat_more_like_this",
+    "dedup_canonical_url",
+    "url_dedup_savings",
 ]
 
 

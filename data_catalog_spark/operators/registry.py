@@ -39,6 +39,7 @@ def _load_all() -> None:
         bpe,
         cdc,
         corpus,
+        crossmodal,
         dedup,
         dsir,
         events_analytics,
@@ -66,6 +67,7 @@ def _load_all() -> None:
         tpch_final,
         traindata,
         udtf_ops,
+        urls,
         windows,
     )
     from ..streaming import cms as streaming_cms  # noqa: F401

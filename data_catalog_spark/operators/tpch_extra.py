@@ -346,8 +346,14 @@ WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
 
 def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) whose quarterly revenue equals the global max — aggregate
-    FIRST (100 rows @ SF1 per supplier), then a window max over the tiny
-    aggregate; the scalar subquery never touches the fact table twice."""
+    FIRST, then compare against the broadcast 1-row global max (the q22
+    scalar pattern).  NOT a window max over the per-supplier frame: that
+    frame scales with |supplier| (SF×10k — ~1e9 rows at the 100 TB SF),
+    and an unpartitioned window would sort all of it in one task; the
+    global max is a partial-aggregated 1-row frame instead, and the
+    per-supplier rows are filtered in place, fully parallel.  The
+    per-supplier aggregate is localCheckpointed so the two consumers
+    (max + filter) share one shuffle instead of re-reading lineitem."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -355,10 +361,10 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(_rev()).cast("double").alias("total_revenue")
-    )
-    w = Window.partitionBy()
+    ).localCheckpoint(eager=False)
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        per_supp.withColumn("max_rev", F.max("total_revenue").over(w))
+        per_supp.crossJoin(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

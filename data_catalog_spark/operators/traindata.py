@@ -225,7 +225,8 @@ register("docs_decontaminate", docs_decontaminate, DECONTAMINATE_ORACLE)
 # -- greedy token-budget shard packing ---------------------------------------
 
 SHARD_TOKEN_BUDGET = 2000  # tokens per output shard
-PACK_BUCKET = 64  # doc_ids per prefix-sum bucket
+PACK_BUCKET = 64  # doc_ids per prefix-sum bucket (floor; widens with corpus)
+PACK_MAX_BUCKETS = 4096  # cap on the phase-2 totals frame, any corpus size
 
 
 def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,21 +239,31 @@ def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     a naive `sum() OVER (ORDER BY doc_id)` moves the whole table to one
     partition (the WindowExec single-partition trap):
       1. within-bucket running sums, window PARTITIONED by bucket
-         (doc_id div 64 — range-aligned, parallel);
-      2. per-bucket totals (tiny: n_docs/64 rows), cumulated with a window
-         over that aggregated frame only;
+         (doc_id div width — range-aligned, parallel);
+      2. per-bucket totals, cumulated with a window over that aggregated
+         frame only — and the bucket WIDTH adapts to the corpus
+         (max(64, ceil(max_id/4096))) so this frame is ≤4096 rows at ANY
+         scale; a constant width would leave corpus/64 rows in the one
+         phase-2 task at 100 TB, the same single-partition trap one
+         level up;
       3. broadcast the bucket offsets back and add.
-    The oracle states the SEMANTICS with the naive global window — result
-    equality is the proof the distributed decomposition is exact."""
+    The decomposition is exact for every width, so the adaptive width
+    never changes results — the oracle states the SEMANTICS with the
+    naive global window, and equality is the proof."""
     from .text import SPARK_TOKENS
 
     docs = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
+    # one column-pruned pass over doc_id stats to size the buckets; at the
+    # test SFs this keeps the historical width (64), so plans and bench
+    # are unchanged below ~262k docs
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
+    width = max(PACK_BUCKET, -(-int(max_id + 1) // PACK_MAX_BUCKETS))
     sized = docs.select(
         "doc_id",
         F.size(F.expr(SPARK_TOKENS)).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+        (F.col("doc_id") / width).cast("long").alias("bucket"),
     )
     w_in = (
         Window.partitionBy("bucket")

@@ -1,0 +1,222 @@
+"""Crawl-URL canonical dedup — the web-pipeline counterpart of the text
+near-dup family: the same page is crawled under many raw URL spellings
+(host/scheme case, default ports, tracking query params, param order,
+trailing slashes, fragments), and training-corpus dedup by exact text
+hash misses none of them only AFTER a canonical-URL pass has collapsed
+the fetch list.  Canonicalization here follows the common crawler rules
+(cf. the RFC 3986 §6 normalization ladder and what Nutch/Heritrix apply
+by default):
+
+- scheme and host lowercased
+- default port stripped (``:80`` for http, ``:443`` for https; any other
+  port is identity-bearing and kept)
+- fragment dropped
+- tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``),
+  remaining params sorted so order never splits a cluster
+- trailing slashes stripped from the path (root path stays ``/``)
+
+The URL corpus is derived deterministically from ``documents.doc_id`` in
+portable SQL (the ``datasets_source`` recipe: one generation text both
+engines evaluate bit-identically), planting every noise class above so
+the oracle checks each canonicalization rule, not just the happy path.
+
+Scale shape (100 TB): generation + canonicalization are map-only column
+expressions (regex + array ops inside whole-stage codegen — no UDFs, no
+driver round-trips); the cluster report is ONE hash aggregation keyed on
+the canonical URL with map-side partial aggregation.  Nothing shuffles
+except the (canonical_url → stats) rollup, and the published page is a
+TakeOrderedAndProject top-k.
+
+No reference counterpart (north-star extension; SURVEY §2.6 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import read_table
+from .registry import register
+
+# -- deterministic messy-URL corpus (portable: Spark SQL == DuckDB) ----------
+#
+# 7 hosts × 11 paths (lcm 77) → real collision clusters even at the
+# 500-doc SFs; the noise classes rotate on co-prime moduli so most
+# combinations occur.  Scheme is a HOST property (even hosts http, odd
+# https) so case/port noise never changes identity; ':8080'
+# (doc_id % 17 = 3) is a real non-default port and must survive
+# canonicalization as its own cluster key.
+RAW_URLS_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 19 = 0
+             THEN upper(CASE WHEN doc_id % 7 % 2 = 0 THEN 'http' ELSE 'https' END)
+             ELSE CASE WHEN doc_id % 7 % 2 = 0 THEN 'http' ELSE 'https' END END)
+       || '://'
+       || (CASE WHEN doc_id % 5 = 2
+                THEN upper('www.site' || CAST(doc_id % 7 AS STRING) || '.com')
+                ELSE 'www.site' || CAST(doc_id % 7 AS STRING) || '.com' END)
+       || (CASE WHEN doc_id % 17 = 3 THEN ':8080'
+                WHEN doc_id % 4 = 1
+                THEN CASE WHEN doc_id % 7 % 2 = 0 THEN ':80' ELSE ':443' END
+                ELSE '' END)
+       || '/p/' || CAST(doc_id % 11 AS STRING)
+       || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+       || (CASE doc_id % 6 WHEN 1 THEN '?a=1&b=2'
+                           WHEN 2 THEN '?b=2&a=1'
+                           WHEN 3 THEN '?utm_source=news&a=1&b=2'
+                           WHEN 4 THEN '?a=1'
+                           WHEN 5 THEN '?utm_campaign=x'
+                           ELSE '' END)
+       || (CASE WHEN doc_id % 8 = 2 THEN '#sec' || CAST(doc_id % 4 AS STRING)
+                ELSE '' END)
+       AS url
+FROM {docs}
+"""
+
+# Canonicalization twins.  The regexes are backslash-free ([?] instead of
+# \\?) so the pattern text survives both engines' string-literal rules
+# unchanged; only the array-function NAMES differ (split/filter/
+# array_sort/array_join vs string_split/list_filter/list_sort/
+# array_to_string).
+_TRACKING = "x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%'"
+
+SPARK_CANON_SQL = f"""
+SELECT doc_id, url,
+       scheme || '://' || host || path
+       || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+FROM (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+         array_join(array_sort(filter(split(query, '&'),
+                    x -> x != '' AND NOT ({_TRACKING}))), '&') AS qs
+  FROM (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+           regexp_extract(url, '[?]([^#]*)', 1) AS query
+    FROM raw_urls
+  )
+)
+"""
+
+# DuckDB NULL-vs-'' divergences from Spark, each coalesced below:
+# regexp_extract returns NULL (not '') when the pattern misses, and
+# array_to_string([]) is NULL where Spark's array_join([]) is '' — a
+# query-less URL would otherwise NULL its whole canonical string.
+DUCK_CANON_SQL = f"""
+SELECT doc_id, url,
+       scheme || '://' || host || path
+       || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+FROM (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+         coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                  x -> x != '' AND NOT ({_TRACKING}))), '&'), '') AS qs
+  FROM (
+    SELECT doc_id, url,
+           coalesce(lower(regexp_extract(url, '^([^:]+)://', 1)), '') AS scheme,
+           coalesce(lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)), '')
+             AS hostport,
+           coalesce(regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1), '')
+             AS rawpath,
+           coalesce(regexp_extract(url, '[?]([^#]*)', 1), '') AS query
+    FROM raw_urls
+  )
+)
+"""
+
+TOP_K = 100
+
+
+def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 canonical-URL clusters: (canonical_url, n_urls,
+    n_raw_spellings, keeper_doc_id) ordered by cluster size desc then
+    canonical URL — the crawl frontier's 'fetch once' collapse report.
+    keeper is the lowest doc_id (first-crawled wins, the usual rule)."""
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__url_docs")
+    raw = RAW_URLS_SQL.format(docs="__url_docs")
+    return spark.sql(
+        f"""
+WITH raw_urls AS ({raw}),
+canon AS ({SPARK_CANON_SQL})
+SELECT canonical_url,
+       CAST(count(1) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_spellings,
+       min(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY n_urls DESC, canonical_url
+LIMIT {TOP_K}
+"""
+    )
+
+
+CANONICAL_URL_ORACLE = f"""
+WITH raw_urls AS ({RAW_URLS_SQL.format(docs="documents")}),
+canon AS ({DUCK_CANON_SQL})
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_spellings,
+       min(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY n_urls DESC, canonical_url
+LIMIT {TOP_K}
+"""
+
+register("dedup_canonical_url", dedup_canonical_url, CANONICAL_URL_ORACLE)
+
+
+# -- the frontier's other half: how much fetch volume does dedup save? -------
+
+
+def url_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per noise bucket (cluster size), with the fetches a
+    canonical-first frontier skips — the publishable 'crawler saved N%'
+    summary over the same canonical clusters."""
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__url_docs")
+    raw = RAW_URLS_SQL.format(docs="__url_docs")
+    return spark.sql(
+        f"""
+WITH raw_urls AS ({raw}),
+canon AS ({SPARK_CANON_SQL}),
+clusters AS (
+  SELECT canonical_url, CAST(count(1) AS BIGINT) AS sz
+  FROM canon GROUP BY canonical_url
+)
+SELECT sz AS cluster_size,
+       CAST(count(1) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_urls,
+       CAST(sum(sz) - count(1) AS BIGINT) AS n_skipped_fetches
+FROM clusters
+GROUP BY sz
+ORDER BY sz
+"""
+    )
+
+
+URL_SAVINGS_ORACLE = f"""
+WITH raw_urls AS ({RAW_URLS_SQL.format(docs="documents")}),
+canon AS ({DUCK_CANON_SQL}),
+clusters AS (
+  SELECT canonical_url, CAST(count(*) AS BIGINT) AS sz
+  FROM canon GROUP BY canonical_url
+)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_urls,
+       CAST(sum(sz) - count(*) AS BIGINT) AS n_skipped_fetches
+FROM clusters
+GROUP BY sz
+ORDER BY sz
+"""
+
+register("url_dedup_savings", url_dedup_savings, URL_SAVINGS_ORACLE)

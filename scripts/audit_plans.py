@@ -1,0 +1,247 @@
+"""Registry-wide physical-plan lint — the generalization of audit_joins.py
+the r8 verdict asked for: green value hashes can hide plans that die at
+100× (the ppl_bucket_profile ntile(3) OVER () was exactly that), so scan
+every registered query's executed plan for the scale anti-patterns:
+
+- ``cartesian``      CartesianProduct / BroadcastNestedLoopJoin (the
+                     audit_joins.py check, folded in)
+- ``global-window``  WindowExec with an EMPTY partitionSpec whose input
+                     subtree has no limit — Spark moves the entire input
+                     to one task for such a window
+- ``single-partition-shuffle``  ShuffleExchange to SinglePartition that
+                     is neither the final leg of a global aggregate
+                     (partial agg directly below) nor over limited input
+- ``coalesce-1``     CoalesceExec to 1 partition over unlimited input
+
+Every hit must be adjudicated in ALLOWED below (the audit_joins
+discipline: broadcast scalar/query-set, declared ground-truth baseline,
+model-sized frame) — pytest (tests/test_plan_audit.py) fails on ANY hit
+not listed there, so reintroducing a global ntile is a suite failure,
+and on ALLOWED entries that no longer hit (stale adjudications rot).
+
+Usage: python scripts/audit_plans.py [sf_dir]   (default sf0.001 — plan
+shape only for batch entries; stream-backed entries do run their
+micro-batches to produce a plannable result, as in audit_joins)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Nodes that bound the rows reaching a downstream single-task stage.
+_LIMIT_NODES = (
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "WindowGroupLimitExec",  # rank-filter pushdown: caps rows per partition
+)
+_AGG_NODES = ("HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec")
+
+
+# name -> {category: reason}.  A query may hit several categories; every
+# (query, category) pair must be justified here or the audit fails.
+_SCALAR_BCAST = (
+    "scalar-broadcast pattern: crossJoin(F.broadcast(·)) of a 1-row "
+    "(or few-row bounds) aggregate into the fact scan (ARCHITECTURE.md "
+    "join-audit table)"
+)
+_QUERY_SET_BCAST = (
+    "broadcast QUERY/seed SET × partitioned corpus scan — the scanned "
+    "side is never duplicated (ARCHITECTURE.md join-audit table)"
+)
+_SMALL_AGG_WINDOW = (
+    "window over a grouped-aggregate frame whose key cardinality is "
+    "bounded by the schema (|nation|≤25 / |month|≤84 / |source|≈20), "
+    "not by the data volume — model-sized at any SF"
+)
+ALLOWED: dict[str, dict[str, str]] = {
+    # ---- declared ground-truth baselines (the all-pairs exact twins the
+    # banded/bucketed operators are measured against; audit_joins carries
+    # the same adjudication) ----
+    "embedding_cluster_quality": {
+        "cartesian": "labeled ground-truth |labels|^2 Davies-Bouldin matrix",
+    },
+    "dedup_embedding_cosine": {
+        "cartesian": "declared O(n^2) ground truth; scale path is dedup_embedding_lsh",
+    },
+    "range_band_join_quantity": {
+        "cartesian": "inherently non-equi band predicate over a constant-size "
+        "broadcast band dim; equi-key rewrite noted in its docstring",
+    },
+    # ---- broadcast query/seed sets against a partitioned corpus scan ----
+    "ann_bruteforce_topk": {"cartesian": _QUERY_SET_BCAST},
+    "ann_pq_topk": {"cartesian": _QUERY_SET_BCAST},
+    "ann_pq_trained_topk": {"cartesian": _QUERY_SET_BCAST},
+    "ann_int8_topk": {"cartesian": _QUERY_SET_BCAST},
+    "hybrid_search_rrf": {"cartesian": _QUERY_SET_BCAST},
+    "hybrid_search_rrf_bm25": {"cartesian": _QUERY_SET_BCAST},
+    "hard_negative_mining": {"cartesian": _QUERY_SET_BCAST},
+    # ---- broadcast 1-row totals / scalar thresholds ----
+    "bigram_lm_perplexity": {"cartesian": _SCALAR_BCAST},
+    "ppl_bucket_profile": {"cartesian": _SCALAR_BCAST},
+    "cat_more_like_this": {"cartesian": _SCALAR_BCAST},
+    "cat_significant_categories": {"cartesian": _SCALAR_BCAST},
+    "docs_significant_terms": {"cartesian": _SCALAR_BCAST},
+    "dsir_select_topk": {"cartesian": _SCALAR_BCAST},
+    "events_rolling_wau": {"cartesian": _SCALAR_BCAST},
+    "events_value_deciles_eqdepth": {"cartesian": _SCALAR_BCAST},
+    "orders_dow_seasonality": {"cartesian": _SCALAR_BCAST},
+    "q11_important_part_share": {"cartesian": _SCALAR_BCAST},
+    "q22_idle_rich_customers": {"cartesian": _SCALAR_BCAST},
+    "users_hll_mergeable": {"cartesian": _SCALAR_BCAST},
+    # ---- unpartitioned windows over bounded aggregate frames ----
+    "nation_revenue_share": {
+        "global-window": _SMALL_AGG_WINDOW,
+        "single-partition-shuffle": _SMALL_AGG_WINDOW,
+    },
+    "orders_monthly_growth": {
+        "global-window": _SMALL_AGG_WINDOW,
+        "single-partition-shuffle": _SMALL_AGG_WINDOW,
+    },
+    "source_temperature_mix": {
+        "global-window": _SMALL_AGG_WINDOW,
+        "single-partition-shuffle": _SMALL_AGG_WINDOW,
+    },
+    "docs_pack_shards": {
+        "global-window": "phase 2 of the two-phase prefix sum: the window "
+        "runs over per-bucket totals only, and the adaptive bucket width "
+        "caps that frame at PACK_MAX_BUCKETS=4096 rows at any corpus size",
+        "single-partition-shuffle": "same phase-2 totals frame (<=4096 rows)",
+    },
+}
+
+
+def _walk(node, fn, depth=0):
+    fn(node, depth)
+    ch = node.children()
+    for i in range(ch.length()):
+        _walk(ch.apply(i), fn, depth + 1)
+
+
+def _subtree_has(node, names: tuple[str, ...]) -> bool:
+    found = []
+
+    def probe(n, _d):
+        if n.getClass().getSimpleName() in names:
+            found.append(True)
+
+    _walk(node, probe)
+    return bool(found)
+
+
+def _is_partial_global_agg(node) -> bool:
+    cn = node.getClass().getSimpleName()
+    if cn not in _AGG_NODES:
+        return False
+    try:
+        return node.groupingExpressions().isEmpty()
+    except Exception:
+        return False
+
+
+def audit_plan(plan) -> list[tuple[str, str]]:
+    """(category, detail) hits for one executed SparkPlan (AQE-unwrapped)."""
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    hits: list[tuple[str, str]] = []
+
+    def check(n, _depth):
+        cn = n.getClass().getSimpleName()
+        if cn in ("CartesianProductExec", "BroadcastNestedLoopJoinExec"):
+            hits.append(("cartesian", cn))
+            return
+        if cn == "WindowExec" and n.partitionSpec().isEmpty():
+            if not _subtree_has(n, _LIMIT_NODES):
+                hits.append(("global-window", "unpartitioned WindowExec"))
+            return
+        if cn == "ShuffleExchangeExec":
+            part = n.outputPartitioning().toString()
+            if part == "SinglePartition":
+                ch = n.children()
+                child = ch.apply(0) if ch.length() else None
+                if child is not None and _is_partial_global_agg(child):
+                    return  # final leg of a global aggregate: 1 row/task in
+                if not _subtree_has(n, _LIMIT_NODES):
+                    hits.append(
+                        ("single-partition-shuffle", "exchange to 1 partition")
+                    )
+            return
+        if cn == "CoalesceExec":
+            try:
+                npart = n.numPartitions()
+            except Exception:
+                return
+            if npart == 1 and not _subtree_has(n, _LIMIT_NODES):
+                hits.append(("coalesce-1", "coalesce to 1 partition"))
+
+    _walk(plan, check)
+    # de-dup repeated nodes of the same category (one adjudication per kind)
+    seen, out = set(), []
+    for cat, detail in hits:
+        if cat not in seen:
+            seen.add(cat)
+            out.append((cat, detail))
+    return out
+
+
+def audit_registry(spark, sf_dir: str, queries: dict) -> tuple[dict, dict]:
+    """Run the lint over every registered query.
+
+    Returns (hits, errors): hits maps name -> {category: detail} for
+    queries with ≥1 anti-pattern; errors maps name -> first error line.
+    """
+    hits: dict[str, dict[str, str]] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(queries):
+        try:
+            plan = queries[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
+            found = audit_plan(plan)
+        except Exception as ex:
+            errors[name] = str(ex).splitlines()[0][:120]
+            continue
+        if found:
+            hits[name] = dict(found)
+    return hits, errors
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import __spark_entry__ as e
+    from data_catalog_spark.session import get_spark
+
+    spark = get_spark(app_name="audit-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    hits, errors = audit_registry(spark, sf_dir, e.queries())
+    n_bad = 0
+    for name, cats in sorted(hits.items()):
+        for cat, detail in sorted(cats.items()):
+            ok = cat in ALLOWED.get(name, {})
+            if not ok:
+                n_bad += 1
+            tag = "ALLOWED" if ok else "HIT"
+            why = f" [{ALLOWED[name][cat]}]" if ok else ""
+            print(f"{tag}  {name}: {cat} ({detail}){why}")
+    stale = [
+        (name, cat)
+        for name, cats in ALLOWED.items()
+        for cat in cats
+        if cat not in hits.get(name, {})
+    ]
+    for name, cat in stale:
+        print(f"STALE allowlist entry: {name}: {cat}")
+    for name, err in sorted(errors.items()):
+        print(f"SKIP {name}: {err}")
+    print(
+        f"\n{len(hits)} queries with hits, {n_bad} unadjudicated, "
+        f"{len(stale)} stale allowlist rows, {len(errors)} skipped"
+    )
+    spark.stop()
+    sys.exit(1 if (n_bad or stale) else 0)
+
+
+if __name__ == "__main__":
+    main()
