@@ -143,6 +143,7 @@ HEADLINE = [
     "cat_more_like_this",
     "dedup_canonical_url",
     "url_dedup_savings",
+    "crossmodal_pair_audit",
 ]
 
 

@@ -519,10 +519,14 @@ def docs_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail is tiny relative to the gram universe).  Output is scan-shaped,
     one row per doc — the gate you'd filter on before training."""
     docs = _docs(spark, sf_dir)
+    # inst feeds BOTH the gram-frequency aggregation and the marking join —
+    # materialize the exploded gram stream once instead of tokenizing and
+    # shingling the corpus twice (the bigram_lm "write the postings once"
+    # rule; at 100 TB the tokenize+explode map is the dominant stage).
     inst = (
         docs.withColumn("t", F.expr(SPARK_TOKENS))
         .select("doc_id", F.explode(F.expr(SPARK_SHINGLES_ALL)).alias("g"))
-    )
+    ).localCheckpoint(eager=False)
     freq = (
         inst.select("doc_id", "g")
         .distinct()
