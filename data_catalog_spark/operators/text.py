@@ -240,7 +240,8 @@ def source_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.select("source", pred.alias("lang"))
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+    ).localCheckpoint(eager=False)  # feeds totals AND the share join: one
+    # classify pass over the corpus, not two (|source|×|lang| rows kept)
     totals = counts.groupBy("source").agg(F.sum("n_docs").alias("total"))
     return (
         counts.join(totals, "source")

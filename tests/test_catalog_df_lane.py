@@ -129,6 +129,16 @@ def test_mistyped_column_rejected(spark, cat):
         cat.bulk_upsert_df(bad)
 
 
+def test_null_id_row_is_rejected_not_merged(spark, cat):
+    """A record missing its id is a REJECT: a committed NULL-id row would
+    be unreachable (id joins never match NULL) and undeletable, and would
+    surface as a phantom insert+delete pair in every diff()."""
+    null_id = {**ROW, "id": None}
+    assert cat.bulk_upsert_df(_df(spark, [ROW, null_id])) == (1, 1)
+    ids = [r["id"] for r in cat.df().select("id").collect()]
+    assert ids == ["e1"]  # the NULL-id row never reached the table
+
+
 def test_integral_widening_allowed(spark, cat):
     ok = _df(spark, [ROW]).withColumn(
         "recordCount", F.col("recordCount").cast("int")
