@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_canonical_url",
     "url_dedup_savings",
     "crossmodal_pair_audit",
+    "stream_url_frontier_dedup",
 ]
 
 

@@ -72,7 +72,11 @@ SELECT doc_id,
 FROM {docs}
 """
 
-# Canonicalization twins.  The regexes are backslash-free ([?] instead of
+# Canonicalization twins.  The query is extracted from the DEFRAGGED
+# string: '[?]([^#]*)' over the raw URL matches a '?' INSIDE the
+# fragment ('/p#a?c' would grow a query 'c') — found by the urllib
+# reference fuzz in test_urls, invisible to the oracle gate because both
+# engine texts shared the regex.  The regexes are backslash-free ([?] instead of
 # \\?) so the pattern text survives both engines' string-literal rules
 # unchanged; only the array-function NAMES differ (split/filter/
 # array_sort/array_join vs string_split/list_filter/list_sort/
@@ -97,7 +101,8 @@ FROM (
            lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
            lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
            regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-           regexp_extract(url, '[?]([^#]*)', 1) AS query
+           regexp_extract(regexp_replace(url, '#.*$', ''),
+                          '[?](.*)', 1) AS query
     FROM raw_urls
   )
 )
@@ -127,11 +132,42 @@ FROM (
              AS hostport,
            coalesce(regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1), '')
              AS rawpath,
-           coalesce(regexp_extract(url, '[?]([^#]*)', 1), '') AS query
+           coalesce(regexp_extract(regexp_replace(url, '#.*$', '', 'g'),
+                                   '[?](.*)', 1), '') AS query
     FROM raw_urls
   )
 )
 """
+
+def spark_canon_expr(url_col: str) -> str:
+    """The canonicalization as ONE scalar SQL expression over ``url_col``
+    — the streaming form (a stream cannot route through the named-
+    subquery text above).  Built from the same regexes and _TRACKING
+    filter; test_urls pins it output-equal to SPARK_CANON_SQL on the
+    planted corpus AND on the urllib fuzz set."""
+    u = url_col
+    scheme = f"lower(regexp_extract({u}, '^([^:]+)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[^:]+://([^/?#]*)', 1))"
+    rawpath = f"regexp_extract({u}, '^[^:]+://[^/?#]*([^?#]*)', 1)"
+    query = f"regexp_extract(regexp_replace({u}, '#.*$', ''), '[?](.*)', 1)"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    qs = (
+        f"array_join(array_sort(filter(split({query}, '&'), "
+        f"x -> x != '' AND NOT ({_TRACKING}))), '&')"
+    )
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qs} = '' THEN '' ELSE concat('?', {qs}) END)"
+    )
+
 
 TOP_K = 100
 

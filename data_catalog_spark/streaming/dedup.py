@@ -176,3 +176,113 @@ def _emb_stream_oracle() -> str:
 
 
 register("stream_embedding_dedup", stream_embedding_dedup, _emb_stream_oracle())
+
+
+# -- streaming URL-frontier dedup: canonical-URL admission across batches --------
+#
+# The crawl-frontier shape: discovered URLs arrive in micro-batches, each
+# is canonicalized (map-only scalar expression — urls.spark_canon_expr,
+# pinned output-equal to the batch lane), and admission is keyed on the
+# CANONICAL form with dropDuplicatesWithinWatermark, so a re-discovery
+# under any raw spelling (case, default port, tracking params, param
+# order, slash/fragment noise) never re-enters the frontier.  State is
+# bounded by the watermark horizon — at deployment the re-discovery
+# window — the same 100 TB-safe property as dedup_events_stream.
+#
+# The driver entry stages the planted messy-URL corpus TWICE (the second
+# copy spelling-shuffled: every URL re-discovered with different noise)
+# split across micro-batches; the registered output counts ADMITTED rows
+# per host, which equals the batch lane's DISTINCT canonical count per
+# host iff cross-batch, cross-spelling dedup held exactly.
+
+FRONTIER_WATERMARK = "40 days"
+
+
+def stream_url_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..io import read_table
+    from ..operators.urls import RAW_URLS_SQL, spark_canon_expr
+    from .ingest import _PREV_RUN_DIRS
+
+    while _PREV_RUN_DIRS:
+        shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
+    stage = tempfile.mkdtemp(prefix="url-frontier-src-")
+    ckpt = tempfile.mkdtemp(prefix="url-frontier-ckpt-")
+    _PREV_RUN_DIRS.extend([stage, ckpt])
+
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__uf_docs")
+    # discovery event time: one minute per doc_id from a fixed epoch —
+    # only dedup-state bounding, never part of the output
+    raw = spark.sql(RAW_URLS_SQL.format(docs="__uf_docs")).selectExpr(
+        "doc_id",
+        "url",
+        "timestamp'2015-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(doc_id % 1440 AS INT),0) AS ts",
+    )
+    # re-discovery copy: the SAME canonical identities under different
+    # spellings — the shift is lcm of the IDENTITY moduli (7 host,
+    # 11 path, 6 query class, 17 the kept :8080 port) = 7854, which is
+    # nonzero mod every pure-noise modulus (4 default port, 5 host case,
+    # 8 fragment, 19 scheme case), so each URL returns with its identity
+    # intact and its spelling changed
+    redisc = spark.sql(
+        RAW_URLS_SQL.format(docs="(SELECT doc_id + 7854 AS doc_id FROM __uf_docs)")
+    ).selectExpr(
+        "doc_id - 7854 AS doc_id",
+        "url",
+        "timestamp'2015-01-01 00:00:00' + make_interval(0,0,0,0,1,CAST(doc_id % 1440 AS INT),0) AS ts",
+    )
+    for i, half in enumerate((raw, redisc)):
+        tmp = os.path.join(stage, f"_b{i}")
+        half.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f), os.path.join(stage, f"batch-{i}.parquet")
+                )
+        shutil.rmtree(tmp)
+
+    admitted = (
+        spark.readStream.schema("doc_id bigint, url string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .selectExpr("ts", spark_canon_expr("url") + " AS canonical_url")
+        .withWatermark("ts", FRONTIER_WATERMARK)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("url_frontier_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("url_frontier_q")
+        .selectExpr(
+            "regexp_extract(canonical_url, '^[^:]+://([^/?#:]*)', 1) AS host"
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_frontier_urls"))
+        .orderBy("host")
+    )
+
+
+def _frontier_oracle() -> str:
+    from ..operators.urls import DUCK_CANON_SQL, RAW_URLS_SQL
+
+    # admitted rows per host == DISTINCT canonicals per host iff the
+    # frontier admitted each canonical exactly once across batches and
+    # spellings (the re-discovery copy adds NO new canonical identities
+    # by construction, so the single-copy batch distinct is the truth)
+    return f"""
+WITH raw_urls AS ({RAW_URLS_SQL.format(docs="documents")}),
+canon AS ({DUCK_CANON_SQL})
+SELECT regexp_extract(canonical_url, '^[^:]+://([^/?#:]*)', 1) AS host,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_frontier_urls
+FROM canon GROUP BY 1 ORDER BY host
+"""
+
+
+register("stream_url_frontier_dedup", stream_url_frontier_dedup, _frontier_oracle())

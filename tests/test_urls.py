@@ -57,6 +57,71 @@ def test_canonicalization_rules(spark, raw, canonical):
     assert got == canonical, f"{raw!r} -> {got!r}, want {canonical!r}"
 
 
+def _canonicalize_py(url: str) -> str:
+    """Independent REFERENCE canonicalizer built on urllib.parse — the
+    Spark and DuckDB lanes share their regex texts, so a shared
+    misconception would pass the oracle gate; this third implementation
+    derives the same spec (lowercase scheme+host, strip default port,
+    drop fragment, drop tracking params and sort the rest, strip trailing
+    slashes with bare root staying '/') from stdlib parsing instead."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    scheme = p.scheme.lower()
+    host = p.netloc.lower()
+    default = {"http": ":80", "https": ":443"}.get(scheme)
+    if default and host.endswith(default):
+        host = host[: -len(default)]
+    path = p.path.rstrip("/") or "/"
+    params = [
+        kv
+        for kv in p.query.split("&")
+        if kv
+        and not kv.startswith("utm_")
+        and not kv.startswith("fbclid=")
+        and not kv.startswith("gclid=")
+    ]
+    qs = "&".join(sorted(params))
+    return f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
+
+
+def test_canonicalizer_fuzz_matches_python_reference(spark):
+    """600 seeded well-formed URLs assembled from hostile component
+    choices, through the registered Spark canonicalization SQL and the
+    urllib-based reference above — every output must agree."""
+    import random
+
+    from data_catalog_spark.operators import urls
+
+    rng = random.Random(20260816)
+    schemes = ["http", "HTTP", "https", "HTTPS", "Http"]
+    hosts = ["a.com", "WWW.B.COM", "x-y.z9.org", "H.COM"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/p", "/p/", "/p/q", "/p//", "/p;x", "/a/b/c///",
+             "/UP/case", "/p.q-r_s"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=n", "?a=1&utm_x=2&b=2",
+               "?gclid=9", "?fbclid=8&z=0", "?a=1&a=0", "?&a=1&", "?=x"]
+    frags = ["", "#f", "#a/b?c"]
+    cases = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(600)
+    ]
+    spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id long, url string"
+    ).createOrReplaceTempView("raw_urls")
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in spark.sql(
+            f"SELECT doc_id, canonical_url FROM ({urls.SPARK_CANON_SQL})"
+        ).collect()
+    }
+    for i, u in enumerate(cases):
+        assert got[i] == _canonicalize_py(u), (
+            f"{u!r}: spark={got[i]!r} py={_canonicalize_py(u)!r}"
+        )
+
+
 def test_clusters_actually_collapse(spark, sf_dir):
     """The planted corpus must exercise the collapse: at every SF there is
     at least one cluster with >1 URL, and keeper is its min doc_id."""
@@ -74,3 +139,58 @@ def test_clusters_actually_collapse(spark, sf_dir):
         F.sum("n_clusters").alias("c"),
     ).first()
     assert sav["sk"] == sav["u"] - sav["c"] > 0
+
+
+def test_scalar_canon_expr_matches_subquery_form(spark):
+    """The streaming scalar expression and the batch subquery text must
+    canonicalize identically — run both over the fuzz component matrix."""
+    import random
+
+    from data_catalog_spark.operators import urls
+
+    rng = random.Random(20260817)
+    cases = [
+        rng.choice(["http", "HTTPS", "Http"]) + "://"
+        + rng.choice(["a.com", "WWW.B.COM:80", "h.io:8080", "x.org:443"])
+        + rng.choice(["", "/", "/p/q/", "/p;x", "/a//"])
+        + rng.choice(["", "?b=2&a=1", "?utm_a=1&z=9", "?gclid=1"])
+        + rng.choice(["", "#f?fake=q"])
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id long, url string"
+    )
+    df.createOrReplaceTempView("raw_urls")
+    via_sql = {
+        r["doc_id"]: r["canonical_url"]
+        for r in spark.sql(
+            f"SELECT doc_id, canonical_url FROM ({urls.SPARK_CANON_SQL})"
+        ).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["c"]
+        for r in df.selectExpr(
+            "doc_id", urls.spark_canon_expr("url") + " AS c"
+        ).collect()
+    }
+    assert via_sql == via_expr
+
+
+def test_stream_frontier_admits_each_canonical_once(spark, sf_dir):
+    """Cross-batch, cross-spelling admission: the re-discovery batch must
+    admit NOTHING (it re-spells existing identities), so total admitted
+    rows equal the single-copy distinct canonical count."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.operators import urls
+    from data_catalog_spark.streaming import dedup as sdedup
+
+    out = sdedup.stream_url_frontier_dedup(spark, sf_dir)
+    admitted_total = out.agg(F.sum("n_frontier_urls")).first()[0]
+    # __uf_docs is registered by the run above
+    raw = urls.RAW_URLS_SQL.format(docs="__uf_docs")
+    truth = spark.sql(
+        f"WITH raw_urls AS ({raw}), canon AS ({urls.SPARK_CANON_SQL}) "
+        "SELECT count(DISTINCT canonical_url) FROM canon"
+    ).first()[0]
+    assert admitted_total == truth
