@@ -145,6 +145,7 @@ HEADLINE = [
     "url_dedup_savings",
     "crossmodal_pair_audit",
     "stream_url_frontier_dedup",
+    "host_quality_profile",
 ]
 
 

@@ -45,8 +45,10 @@ from .registry import register
 # https) so case/port noise never changes identity; ':8080'
 # (doc_id % 17 = 3) is a real non-default port and must survive
 # canonicalization as its own cluster key.
-RAW_URLS_SQL = """
-SELECT doc_id,
+# the raw-URL construction as a standalone scalar expression over doc_id,
+# so single-pass consumers (host_quality_profile) can inline it next to
+# other per-doc columns without a self-join on doc_id
+URL_EXPR_SQL = """
        (CASE WHEN doc_id % 19 = 0
              THEN upper(CASE WHEN doc_id % 7 % 2 = 0 THEN 'http' ELSE 'https' END)
              ELSE CASE WHEN doc_id % 7 % 2 = 0 THEN 'http' ELSE 'https' END END)
@@ -68,8 +70,11 @@ SELECT doc_id,
                            ELSE '' END)
        || (CASE WHEN doc_id % 8 = 2 THEN '#sec' || CAST(doc_id % 4 AS STRING)
                 ELSE '' END)
-       AS url
-FROM {docs}
+"""
+
+RAW_URLS_SQL = f"""
+SELECT doc_id, {URL_EXPR_SQL} AS url
+FROM {{docs}}
 """
 
 # Canonicalization twins.  The query is extracted from the DEFRAGGED
@@ -256,3 +261,95 @@ ORDER BY sz
 """
 
 register("url_dedup_savings", url_dedup_savings, URL_SAVINGS_ORACLE)
+
+
+# -- domain-level filtering: per-host quality rollup ---------------------------
+#
+# The C4/RefinedWeb blocklist stage: document-level quality gates are
+# noisy one doc at a time, but hosts are consistent — a domain whose docs
+# mostly fail the keep gate is blocklisted wholesale (and conversely a
+# good host rescues borderline docs).  This is the report that decides
+# the list.
+#
+# Scale shape: ONE corpus pass (the URL expression and the quality gates
+# are columns over the same documents scan — zero joins), then one hash
+# aggregation keyed on host (map-side partial agg; |hosts| rows out).
+
+HOST_BLOCK_KEEP_RATE = 0.5  # blocklist a host when under half its docs pass
+
+
+def _host_profile_sql() -> str:
+    """The profile SQL over the ``__hq_docs`` view — a module function so
+    tests can drive the same text over planted frames (the synthetic
+    corpus passes the keep gate host-wide, so the blocklist branch needs
+    its own fixture)."""
+    from .text import SPARK_TOKENS, _STOPWORDS, spark_stop_count
+
+    stops = spark_stop_count(_STOPWORDS)
+    return f"""
+WITH scanned AS (
+  SELECT lower(regexp_extract({URL_EXPR_SQL.strip()}, '^[^:]+://([^/?#:]*)', 1))
+           AS host,
+         {SPARK_TOKENS} AS t,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)
+           / length(text) AS alpha_ratio
+  FROM __hq_docs),
+gated AS (
+  SELECT host, alpha_ratio,
+         (size(t) >= 5 AND alpha_ratio >= 0.6
+          AND CAST({stops} AS DOUBLE) / size(t) <= 0.5) AS keep
+  FROM scanned)
+SELECT host,
+       CAST(count(1) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(1), 6)
+         AS keep_rate,
+       round(avg(alpha_ratio), 6) AS avg_alpha_ratio,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(1)
+         < {HOST_BLOCK_KEEP_RATE} AS blocklisted
+FROM gated
+GROUP BY host
+ORDER BY host
+"""
+
+
+def host_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_docs, n_kept, keep_rate, avg_alpha_ratio, blocklisted)
+    per canonical host, ordered by host — the domain-filter decision
+    table over the text_quality keep gate."""
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__hq_docs")
+    return spark.sql(_host_profile_sql())
+
+
+def _host_quality_oracle() -> str:
+    from .text import DUCK_TOKENS, _STOPWORDS, duck_stop_count
+
+    stops = duck_stop_count(_STOPWORDS)
+    return f"""
+WITH scanned AS (
+  SELECT lower(regexp_extract({URL_EXPR_SQL.strip()}, '^[^:]+://([^/?#:]*)', 1))
+           AS host,
+         {DUCK_TOKENS} AS t,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+           AS alpha_ratio
+  FROM documents),
+gated AS (
+  SELECT host, alpha_ratio,
+         (len(t) >= 5 AND alpha_ratio >= 0.6
+          AND {stops} * 1.0 / len(t) <= 0.5) AS keep
+  FROM scanned)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS keep_rate,
+       round(avg(alpha_ratio), 6) AS avg_alpha_ratio,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*)
+         < {HOST_BLOCK_KEEP_RATE} AS blocklisted
+FROM gated
+GROUP BY host
+ORDER BY host
+"""
+
+
+register("host_quality_profile", host_quality_profile, _host_quality_oracle())

@@ -194,3 +194,33 @@ def test_stream_frontier_admits_each_canonical_once(spark, sf_dir):
         "SELECT count(DISTINCT canonical_url) FROM canon"
     ).first()[0]
     assert admitted_total == truth
+
+
+def test_host_quality_oracle_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import urls
+
+    assert_same(
+        urls.host_quality_profile(spark, sf_dir), ddb, urls._host_quality_oracle()
+    )
+
+
+def test_host_blocklist_branch_fires_on_a_junk_host(spark):
+    """The synthetic corpus passes the keep gate host-wide (blocklisted is
+    all-False there), so the blocklist branch gets its own fixture: every
+    doc of host www.site1.com (doc_id % 7 == 1) carries non-alphabetic
+    junk and must blocklist the host; the others stay clean."""
+    from data_catalog_spark.operators import urls
+
+    rows = [
+        (i, "!!!! 1234 ????" if i % 7 == 1 else
+         "the quick brown fox jumps over a lazy dog again and again",
+         "en", "src0", 58)
+        for i in range(70)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("__hq_docs")
+    out = {r["host"]: r["blocklisted"] for r in spark.sql(urls._host_profile_sql()).collect()}
+    assert out["www.site1.com"] is True
+    assert sum(out.values()) == 1  # only the junk host
