@@ -146,6 +146,7 @@ HEADLINE = [
     "crossmodal_pair_audit",
     "stream_url_frontier_dedup",
     "host_quality_profile",
+    "web_corpus_funnel",
 ]
 
 

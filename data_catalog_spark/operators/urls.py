@@ -353,3 +353,88 @@ ORDER BY host
 
 
 register("host_quality_profile", host_quality_profile, _host_quality_oracle())
+
+
+# -- the whole web pipeline as one funnel report --------------------------------
+#
+# Composition capstone: every curation stage above, chained in the order
+# a web corpus actually runs them, with the survivor count after each —
+# the one-page report a pipeline owner reads before a training run.
+#
+#   discovered → canonical-URL dedup (keeper = min doc_id per canonical)
+#              → host blocklist (host_quality_profile verdict)
+#              → per-doc quality gate (text_quality thresholds)
+#              → exact text dedup (md5 over the token stream, keep min id)
+#
+# Scale shape: the doc-level columns are ONE corpus scan; each dedup
+# stage is one hash aggregation on its key (canonical_url / host / text
+# fingerprint); the report is five counts over the surviving frames —
+# no joins wider than doc-keyed semi-filters, nothing quadratic.
+
+
+def _funnel_sql(dialect: str) -> str:
+    from .text import DUCK_TOKENS, SPARK_TOKENS, _STOPWORDS, duck_stop_count, spark_stop_count
+
+    spark = dialect == "spark"
+    toks = SPARK_TOKENS if spark else DUCK_TOKENS
+    nt = "size(t)" if spark else "len(t)"
+    stops = spark_stop_count(_STOPWORDS) if spark else duck_stop_count(_STOPWORDS)
+    alpha = (
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE) / length(text)"
+        if spark
+        else "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)"
+    )
+    fp = "md5(concat_ws(' ', t))" if spark else "md5(array_to_string(t, ' '))"
+    docs = "__wf_docs" if spark else "documents"
+    canon = SPARK_CANON_SQL if spark else DUCK_CANON_SQL
+    cnt = "count(1)" if spark else "count(*)"
+    keep_rate = (
+        f"CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / {cnt}"
+        if spark
+        else f"sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / {cnt}"
+    )
+    return f"""
+WITH scanned AS (
+  SELECT doc_id, {URL_EXPR_SQL.strip()} AS url,
+         {toks} AS t, {alpha} AS alpha_ratio
+  FROM {docs}),
+raw_urls AS (SELECT doc_id, url FROM scanned),
+canon AS ({canon}),
+keepers AS (
+  SELECT min(doc_id) AS doc_id, canonical_url
+  FROM canon GROUP BY canonical_url),
+gated AS (
+  SELECT s.doc_id, k.canonical_url,
+         lower(regexp_extract(k.canonical_url, '^[^:]+://([^/?#:]*)', 1)) AS host,
+         ({nt} >= 5 AND alpha_ratio >= 0.6
+          AND CAST({stops} AS DOUBLE) / {nt} <= 0.5) AS keep,
+         {fp} AS fp
+  FROM scanned s JOIN keepers k ON s.doc_id = k.doc_id),
+good_hosts AS (
+  SELECT host FROM gated GROUP BY host
+  HAVING {keep_rate} >= {HOST_BLOCK_KEEP_RATE}),
+hosted AS (SELECT g.* FROM gated g JOIN good_hosts USING (host)),
+quality AS (SELECT * FROM hosted WHERE keep),
+deduped AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp)
+SELECT stage, n_docs FROM (
+  SELECT 1 AS ord, 'discovered' AS stage, CAST({cnt} AS BIGINT) AS n_docs FROM scanned
+  UNION ALL
+  SELECT 2, 'url_deduped', CAST({cnt} AS BIGINT) FROM keepers
+  UNION ALL
+  SELECT 3, 'host_filtered', CAST({cnt} AS BIGINT) FROM hosted
+  UNION ALL
+  SELECT 4, 'quality_kept', CAST({cnt} AS BIGINT) FROM quality
+  UNION ALL
+  SELECT 5, 'text_deduped', CAST({cnt} AS BIGINT) FROM deduped
+) ORDER BY ord
+"""
+
+
+def web_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs) survivor counts through the five web-curation
+    stages, in pipeline order."""
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__wf_docs")
+    return spark.sql(_funnel_sql("spark"))
+
+
+register("web_corpus_funnel", web_corpus_funnel, _funnel_sql("duck"))

@@ -224,3 +224,31 @@ def test_host_blocklist_branch_fires_on_a_junk_host(spark):
     out = {r["host"]: r["blocklisted"] for r in spark.sql(urls._host_profile_sql()).collect()}
     assert out["www.site1.com"] is True
     assert sum(out.values()) == 1  # only the junk host
+
+
+def test_funnel_oracle_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import urls
+
+    assert_same(urls.web_corpus_funnel(spark, sf_dir), ddb, urls._funnel_sql("duck"))
+
+
+def test_funnel_is_monotone_and_consistent_with_stages(spark, sf_dir):
+    """Each stage can only shrink the corpus, and the first two counts
+    must equal the standalone operators' numbers (documents count; the
+    canonical-URL cluster count from url_dedup_savings)."""
+    from pyspark.sql import functions as F
+
+    from data_catalog_spark.io import read_table
+    from data_catalog_spark.operators import urls
+
+    rows = {r["stage"]: r["n_docs"] for r in urls.web_corpus_funnel(spark, sf_dir).collect()}
+    order = ["discovered", "url_deduped", "host_filtered", "quality_kept", "text_deduped"]
+    vals = [rows[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[0] == read_table(spark, sf_dir, "documents").count()
+    n_clusters = urls.url_dedup_savings(spark, sf_dir).agg(
+        F.sum("n_clusters")
+    ).first()[0]
+    assert vals[1] == n_clusters
+    assert vals[-1] > 0
