@@ -198,49 +198,70 @@ register("stream_embedding_dedup", stream_embedding_dedup, _emb_stream_oracle())
 FRONTIER_WATERMARK = "40 days"
 
 
+def _frontier_stage_cache(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the discovery + re-spelled-re-discovery batches ONCE per
+    documents.parquet content (io.materialization_path) — each query
+    invocation streams the cached files with a FRESH checkpoint, so the
+    benchmarked cost is the canonicalize+dedup stream, not two staging
+    parquet writes per run (the ingest _seed_cache discipline)."""
+    import shutil
+
+    from ..io import materialization_path, ensure_materialized, read_table
+    from ..operators.urls import RAW_URLS_SQL
+
+    path = materialization_path(sf_dir, "url-frontier-stage", "documents.parquet")
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        read_table(spark, sf_dir, "documents").createOrReplaceTempView("__uf_docs")
+        # discovery event time: one minute per doc_id from a fixed epoch —
+        # only dedup-state bounding, never part of the output
+        raw = spark.sql(RAW_URLS_SQL.format(docs="__uf_docs")).selectExpr(
+            "doc_id",
+            "url",
+            "timestamp'2015-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(doc_id % 1440 AS INT),0) AS ts",
+        )
+        # re-discovery copy: the SAME canonical identities under different
+        # spellings — the shift is lcm of the IDENTITY moduli (7 host,
+        # 11 path, 6 query class, 17 the kept :8080 port) = 7854, which is
+        # nonzero mod every pure-noise modulus (4 default port, 5 host case,
+        # 8 fragment, 19 scheme case), so each URL returns with its identity
+        # intact and its spelling changed
+        redisc = spark.sql(
+            RAW_URLS_SQL.format(docs="(SELECT doc_id + 7854 AS doc_id FROM __uf_docs)")
+        ).selectExpr(
+            "doc_id - 7854 AS doc_id",
+            "url",
+            "timestamp'2015-01-01 00:00:00' + make_interval(0,0,0,0,1,CAST(doc_id % 1440 AS INT),0) AS ts",
+        )
+        for i, half in enumerate((raw, redisc)):
+            part = os.path.join(tmp, f"_b{i}")
+            half.coalesce(1).write.parquet(part)
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(part, f), os.path.join(tmp, f"batch-{i}.parquet")
+                    )
+            shutil.rmtree(part)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_materialized(path, build)
+
+
 def stream_url_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..io import read_table
-    from ..operators.urls import RAW_URLS_SQL, spark_canon_expr
+    from ..operators.urls import spark_canon_expr
     from .ingest import _PREV_RUN_DIRS
 
     while _PREV_RUN_DIRS:
         shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
-    stage = tempfile.mkdtemp(prefix="url-frontier-src-")
     ckpt = tempfile.mkdtemp(prefix="url-frontier-ckpt-")
-    _PREV_RUN_DIRS.extend([stage, ckpt])
-
+    _PREV_RUN_DIRS.append(ckpt)
+    stage = _frontier_stage_cache(spark, sf_dir)
+    # the frontier test reads the single-copy truth through this view
     read_table(spark, sf_dir, "documents").createOrReplaceTempView("__uf_docs")
-    # discovery event time: one minute per doc_id from a fixed epoch —
-    # only dedup-state bounding, never part of the output
-    raw = spark.sql(RAW_URLS_SQL.format(docs="__uf_docs")).selectExpr(
-        "doc_id",
-        "url",
-        "timestamp'2015-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(doc_id % 1440 AS INT),0) AS ts",
-    )
-    # re-discovery copy: the SAME canonical identities under different
-    # spellings — the shift is lcm of the IDENTITY moduli (7 host,
-    # 11 path, 6 query class, 17 the kept :8080 port) = 7854, which is
-    # nonzero mod every pure-noise modulus (4 default port, 5 host case,
-    # 8 fragment, 19 scheme case), so each URL returns with its identity
-    # intact and its spelling changed
-    redisc = spark.sql(
-        RAW_URLS_SQL.format(docs="(SELECT doc_id + 7854 AS doc_id FROM __uf_docs)")
-    ).selectExpr(
-        "doc_id - 7854 AS doc_id",
-        "url",
-        "timestamp'2015-01-01 00:00:00' + make_interval(0,0,0,0,1,CAST(doc_id % 1440 AS INT),0) AS ts",
-    )
-    for i, half in enumerate((raw, redisc)):
-        tmp = os.path.join(stage, f"_b{i}")
-        half.coalesce(1).write.parquet(tmp)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, f), os.path.join(stage, f"batch-{i}.parquet")
-                )
-        shutil.rmtree(tmp)
 
     admitted = (
         spark.readStream.schema("doc_id bigint, url string, ts timestamp")
