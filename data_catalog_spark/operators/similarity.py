@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..io import read_table
 from .registry import register
@@ -1234,20 +1235,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _with_norm(_emb(spark, sf_dir))
     a = _assign_clusters(e, centroids)
-    pairs = (
-        a.alias("a")
-        .join(
-            a.alias("b"),
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("b.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("lower_id"),
-            F.round(_cos(), 6).alias("cos"),
-        )
-        .where(F.col("cos") >= SEMDEDUP_TAU)
+    pairs = _semantic_pairs_pandas(
+        a.select("vec_id", "cluster", "v", "nrm"), SEMDEDUP_TAU
     )
     return (
         pairs.groupBy("vec_id", "cluster")
@@ -1256,6 +1245,97 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lower_id").alias("keeper"),
         )
         .orderBy("vec_id")
+    )
+
+
+_RERANK_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("lower_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
+
+
+def _semantic_pairs_pandas(assigned: DataFrame, tau: float) -> DataFrame:
+    """Per-cluster all-pairs cosine via applyInPandas — the true SemDeDup
+    layout: each vector crosses the wire ONCE (its cluster's group), and
+    the Σ|cluster|² pair arithmetic runs vectorized inside the group.
+    Replaces the self-join + interpreted HOF dot, which (a) shipped both
+    vectors per PAIR (~132 MB at sf0.1 vs ~2 MB here) and (b) evaluated
+    the fold at ~18 µs/pair in the interpreter (measured 2.3 s for 129k
+    pairs — >4× the join itself).  Bit-parity with the old plan and the
+    DuckDB oracle is by construction:
+
+    - pair dot = per-row ``cumsum[:, -1]`` over elementwise products —
+      the same left-to-right float64 fold as the SQL
+      ``aggregate(.., 0.0, (acc,x) -> acc+x)`` (0.0+x0 == x0 exactly);
+      NOT a BLAS gemm, whose reduction order is unspecified;
+    - division/multiplication order matches ``_cos`` exactly;
+    - 6dp rounding is ``Decimal(repr(x)).quantize(HALF_UP)`` — Spark's
+      ``round(double, 6)`` (the pandas_ops recipe) — applied only inside
+      a generous tau margin (1e-6 > the half-up window), so the Decimal
+      cost is survivors-sized.
+
+    Parallelism is cluster-count-bounded (16 here; SemDeDup deployments
+    use ~100k clusters, so group skew is the knob, same as the join)."""
+    import numpy as np
+    import pandas as pd
+
+    CHUNK = 1 << 18  # pairs per product block: bounds the m×dim buffer
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "cluster": [], "lower_id": [], "cos": []}
+            ).astype({"vec_id": "int64", "cluster": "int32",
+                      "lower_id": "int64", "cos": "float64"})
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        ai, bi = np.triu_indices(n, 1)  # ids[ai] < ids[bi] (sorted)
+        outs = []
+        for lo in range(0, len(ai), CHUNK):
+            a_idx, b_idx = ai[lo : lo + CHUNK], bi[lo : lo + CHUNK]
+            raw = np.cumsum(V[a_idx] * V[b_idx], axis=1)[:, -1] / (
+                nrm[a_idx] * nrm[b_idx]
+            )
+            near = raw >= tau - 1e-6
+            if not near.any():
+                continue
+            cos = np.array(
+                [
+                    float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+                    for x in raw[near]
+                ]
+            )
+            keep = cos >= tau
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids[b_idx[near]][keep],
+                            "cluster": pdf["cluster"].iloc[0],
+                            "lower_id": ids[a_idx[near]][keep],
+                            "cos": cos[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_id": [], "cluster": [], "lower_id": [], "cos": []}
+            ).astype({"vec_id": "int64", "cluster": "int32",
+                      "lower_id": "int64", "cos": "float64"})
+        return pd.concat(outs, ignore_index=True)
+
+    return assigned.groupBy("cluster").applyInPandas(
+        per_cluster, schema=_RERANK_SCHEMA
     )
 
 
