@@ -536,6 +536,12 @@ class DatasetsCatalog:
     # segment (urllib.parse.uses_params minus the '' relative entry) —
     # frozen here so the column predicate is a stable literal, pinned
     # against the live stdlib list by test_catalog_df_lane.
+    # Fidelity note (r9 ADVICE): this list is the HOST Python 3 stdlib's;
+    # the reference validator ran under Python 2 urlparse, whose
+    # uses_params lacks 'rtsps' — so 'rtsps://host/;a' was valid there
+    # but is rejected here.  Deliberate pin to the local stdlib (the
+    # test would flag any drift), recorded so the one-scheme divergence
+    # is documented rather than rediscovered.
     _USES_PARAMS = (
         "ftp", "hdl", "prospero", "http", "imap", "https", "shttp",
         "rtsp", "rtsps", "rtspu", "sip", "sips", "mms", "sftp", "tel",

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
+from .session_cache import SessionLRU
 from .similarity import _emb
 
 K_TRAIN = 8
@@ -52,16 +53,20 @@ TRAIN_ITERS = 4
 _DIM = 64
 _Q = 1_000_000.0  # microunit fixed-point quantum
 
-# Trained model state (coarse centroids, PQ codebooks, the shared
-# embeddings checkpoint) memoized per (Spark application, corpus content
-# stat) — the driver-side twin of io.materialization_path.  kmeans_train,
-# ann_ivf_trained_topk and ann_pq_trained_topk all consume the embeddings
-# corpus: within one process each model trains ONCE and every consumer
-# (and every bench re-run) reuses it; a regenerated embeddings.parquet
-# (new mtime/size) retrains.  Models are plain python floats, so a cache
-# hit never resurrects executor state from a stopped session — only the
-# checkpoint entry is session-scoped, which the applicationId key pins.
+# Trained model state (coarse centroids, PQ codebooks) memoized per
+# (Spark application, corpus content stat) — the driver-side twin of
+# io.materialization_path.  kmeans_train, ann_ivf_trained_topk and
+# ann_pq_trained_topk all consume the embeddings corpus: within one
+# process each model trains ONCE and every consumer (and every bench
+# re-run) reuses it; a regenerated embeddings.parquet (new mtime/size)
+# retrains.  Models are plain python floats, so a cache hit never
+# resurrects executor state from a stopped session and the dict can stay
+# unbounded.  The shared embeddings CHECKPOINT is different — its
+# DataFrame pins its session — so it lives in a session-LRU store
+# (session_cache.SessionLRU) that releases discarded newSession()
+# siblings instead of leaking them (r9 ADVICE).
 _MODEL_CACHE: dict[tuple, object] = {}
+_EMB_CACHE = SessionLRU()
 _VIEW_SEQ = itertools.count()
 
 
@@ -98,11 +103,13 @@ def _shared_emb(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     trained-model caches (plain python floats) stay app-keyed — floats
     are session-free, and on a miss they train through this
     session-scoped view."""
-    key = _corpus_key(spark, sf_dir, "emb") + (id(spark),)
-    if key not in _MODEL_CACHE:
+    key = _corpus_key(spark, sf_dir, "emb")
+    hit = _EMB_CACHE.get(id(spark), key)
+    if hit is None:
         e = _emb(spark, sf_dir).localCheckpoint(eager=False)
-        _MODEL_CACHE[key] = (e, _uview(e, "__km_e"))
-    return _MODEL_CACHE[key]  # type: ignore[return-value]
+        hit = (e, _uview(e, "__km_e"))
+        _EMB_CACHE.put(id(spark), key, hit)
+    return hit
 
 
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:

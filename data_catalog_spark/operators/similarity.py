@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from ..io import read_table
 from .registry import register
+from .session_cache import SessionLRU
 
 TOP_K = 10
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -337,7 +338,10 @@ def _band_bits(df: DataFrame, planes: np.ndarray) -> DataFrame:
 # and the content-keyed text index.  The first invocation still builds it
 # (the gate's one-shot run measures build+probe); repeat runs measure the
 # probe path, which is what an LSH index deployment pays per batch.
-_CODED_CACHE: dict[tuple, DataFrame] = {}
+# Session-LRU, not a plain dict: each cached plan pins its session, so
+# session churn must evict, not accumulate (r9 ADVICE; kmeans._EMB_CACHE
+# rationale).
+_CODED_CACHE = SessionLRU()
 
 
 def _pair_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,12 +353,12 @@ def _pair_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alias a dead session while the cached DataFrame pins it alive
     key = (
         spark.sparkContext.applicationId,
-        id(spark),
         os.path.abspath(sf_dir),
         st.st_mtime_ns,
         st.st_size,
     )
-    if key not in _CODED_CACHE:
+    hit = _CODED_CACHE.get(id(spark), key)
+    if hit is None:
         # the embeddings file is a single row group ⇒ a 1-task scan would
         # serialize all 128 plane dots per vector; spread vectors across
         # the executor threads first (a no-op on a properly partitioned
@@ -362,10 +366,11 @@ def _pair_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _emb(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism, "vec_id"
         )
-        _CODED_CACHE[key] = _band_bits(
-            _with_norm(emb), _pair_planes()
-        ).localCheckpoint(eager=False)
-    return _CODED_CACHE[key]
+        hit = _band_bits(_with_norm(emb), _pair_planes()).localCheckpoint(
+            eager=False
+        )
+        _CODED_CACHE.put(id(spark), key, hit)
+    return hit
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,6 +1290,29 @@ def _semantic_pairs_pandas(assigned: DataFrame, tau: float) -> DataFrame:
 
     CHUNK = 1 << 18  # pairs per product block: bounds the m×dim buffer
 
+    def pair_chunks(n: int):
+        """Upper-triangle index pairs in blocks of ≈CHUNK, generated
+        LAZILY per anchor-row run — materializing the full triu_indices
+        up front is O(n²) int64 before any chunking (r9 ADVICE: a 100k-
+        vector cluster would allocate ~160 GB of indices and OOM the
+        worker where the old self-join merely spilled).  Each block is
+        at most CHUNK + n pairs."""
+        i = 0
+        while i < n - 1:
+            rows, total = [], 0
+            while i < n - 1 and total < CHUNK:
+                rows.append(i)
+                total += n - 1 - i
+                i += 1
+            ai = np.repeat(
+                np.asarray(rows, dtype=np.int64),
+                [n - 1 - r for r in rows],
+            )
+            bi = np.concatenate(
+                [np.arange(r + 1, n, dtype=np.int64) for r in rows]
+            )
+            yield ai, bi
+
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         from decimal import ROUND_HALF_UP, Decimal
 
@@ -1299,19 +1327,20 @@ def _semantic_pairs_pandas(assigned: DataFrame, tau: float) -> DataFrame:
         V = np.stack(pdf["v"].to_numpy())
         nrm = pdf["nrm"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
-        ai, bi = np.triu_indices(n, 1)  # ids[ai] < ids[bi] (sorted)
         outs = []
-        for lo in range(0, len(ai), CHUNK):
-            a_idx, b_idx = ai[lo : lo + CHUNK], bi[lo : lo + CHUNK]
+        for a_idx, b_idx in pair_chunks(n):  # ids[a] < ids[b] (sorted)
             raw = np.cumsum(V[a_idx] * V[b_idx], axis=1)[:, -1] / (
                 nrm[a_idx] * nrm[b_idx]
             )
             near = raw >= tau - 1e-6
             if not near.any():
                 continue
+            # repr(float(x)) not repr(x): numpy>=2 reprs scalars as
+            # 'np.float64(…)', which Decimal rejects (r9 ADVICE); float()
+            # keeps the shortest-repr round-trip bit-exactly.
             cos = np.array(
                 [
-                    float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+                    float(Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP))
                     for x in raw[near]
                 ]
             )

@@ -12,12 +12,22 @@ every registered query's executed plan for the scale anti-patterns:
                      is neither the final leg of a global aggregate
                      (partial agg directly below) nor over limited input
 - ``coalesce-1``     CoalesceExec to 1 partition over unlimited input
+- ``repeated-scan``  the same file relation scanned more than
+                     _SCAN_REPEAT_MAX times in one executed plan with no
+                     exchange reuse — the r9 web_corpus_funnel defect (28
+                     parquet scans of documents behind a green hash);
+                     a redundant-scan plan is a constant-factor killer at
+                     100 TB even when no single task funnels
 
 Every hit must be adjudicated in ALLOWED below (the audit_joins
 discipline: broadcast scalar/query-set, declared ground-truth baseline,
 model-sized frame) — pytest (tests/test_plan_audit.py) fails on ANY hit
 not listed there, so reintroducing a global ntile is a suite failure,
 and on ALLOWED entries that no longer hit (stale adjudications rot).
+Adjudications carry the MAX allowed instance count per category (r9
+ADVICE: a query already adjudicated for one cartesian must not silently
+gain a second, unrelated one), so a NEW instance of an allowed category
+still fails the suite.
 
 Usage: python scripts/audit_plans.py [sf_dir]   (default sf0.001 — plan
 shape only for batch entries; stream-backed entries do run their
@@ -41,9 +51,15 @@ _LIMIT_NODES = (
 )
 _AGG_NODES = ("HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec")
 
+# A plan may legitimately read a relation a handful of times (both sides
+# of a self-join, a totals leg); more than this many scans of the SAME
+# files in one plan means a CTE chain is being re-derived per consumer.
+_SCAN_REPEAT_MAX = 4
 
-# name -> {category: reason}.  A query may hit several categories; every
-# (query, category) pair must be justified here or the audit fails.
+
+# name -> {category: (max_count, reason)}.  A query may hit several
+# categories; every (query, category) pair must be justified here — with
+# the number of node instances it is allowed — or the audit fails.
 _SCALAR_BCAST = (
     "scalar-broadcast pattern: crossJoin(F.broadcast(·)) of a 1-row "
     "(or few-row bounds) aggregate into the fact scan (ARCHITECTURE.md "
@@ -58,59 +74,59 @@ _SMALL_AGG_WINDOW = (
     "bounded by the schema (|nation|≤25 / |month|≤84 / |source|≈20), "
     "not by the data volume — model-sized at any SF"
 )
-ALLOWED: dict[str, dict[str, str]] = {
+ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     # ---- declared ground-truth baselines (the all-pairs exact twins the
     # banded/bucketed operators are measured against; audit_joins carries
     # the same adjudication) ----
     "embedding_cluster_quality": {
-        "cartesian": "labeled ground-truth |labels|^2 Davies-Bouldin matrix",
+        "cartesian": (1, "labeled ground-truth |labels|^2 Davies-Bouldin matrix"),
     },
     "dedup_embedding_cosine": {
-        "cartesian": "declared O(n^2) ground truth; scale path is dedup_embedding_lsh",
+        "cartesian": (1, "declared O(n^2) ground truth; scale path is dedup_embedding_lsh"),
     },
     "range_band_join_quantity": {
-        "cartesian": "inherently non-equi band predicate over a constant-size "
-        "broadcast band dim; equi-key rewrite noted in its docstring",
+        "cartesian": (1, "inherently non-equi band predicate over a constant-size "
+        "broadcast band dim; equi-key rewrite noted in its docstring"),
     },
     # ---- broadcast query/seed sets against a partitioned corpus scan ----
-    "ann_bruteforce_topk": {"cartesian": _QUERY_SET_BCAST},
-    "ann_pq_topk": {"cartesian": _QUERY_SET_BCAST},
-    "ann_pq_trained_topk": {"cartesian": _QUERY_SET_BCAST},
-    "ann_int8_topk": {"cartesian": _QUERY_SET_BCAST},
-    "hybrid_search_rrf": {"cartesian": _QUERY_SET_BCAST},
-    "hybrid_search_rrf_bm25": {"cartesian": _QUERY_SET_BCAST},
-    "hard_negative_mining": {"cartesian": _QUERY_SET_BCAST},
+    "ann_bruteforce_topk": {"cartesian": (1, _QUERY_SET_BCAST)},
+    "ann_pq_topk": {"cartesian": (1, _QUERY_SET_BCAST)},
+    "ann_pq_trained_topk": {"cartesian": (1, _QUERY_SET_BCAST)},
+    "ann_int8_topk": {"cartesian": (1, _QUERY_SET_BCAST)},
+    "hybrid_search_rrf": {"cartesian": (1, _QUERY_SET_BCAST)},
+    "hybrid_search_rrf_bm25": {"cartesian": (1, _QUERY_SET_BCAST)},
+    "hard_negative_mining": {"cartesian": (1, _QUERY_SET_BCAST)},
     # ---- broadcast 1-row totals / scalar thresholds ----
-    "bigram_lm_perplexity": {"cartesian": _SCALAR_BCAST},
-    "ppl_bucket_profile": {"cartesian": _SCALAR_BCAST},
-    "cat_more_like_this": {"cartesian": _SCALAR_BCAST},
-    "cat_significant_categories": {"cartesian": _SCALAR_BCAST},
-    "docs_significant_terms": {"cartesian": _SCALAR_BCAST},
-    "dsir_select_topk": {"cartesian": _SCALAR_BCAST},
-    "events_rolling_wau": {"cartesian": _SCALAR_BCAST},
-    "events_value_deciles_eqdepth": {"cartesian": _SCALAR_BCAST},
-    "orders_dow_seasonality": {"cartesian": _SCALAR_BCAST},
-    "q11_important_part_share": {"cartesian": _SCALAR_BCAST},
-    "q22_idle_rich_customers": {"cartesian": _SCALAR_BCAST},
-    "users_hll_mergeable": {"cartesian": _SCALAR_BCAST},
+    "bigram_lm_perplexity": {"cartesian": (1, _SCALAR_BCAST)},
+    "ppl_bucket_profile": {"cartesian": (1, _SCALAR_BCAST)},
+    "cat_more_like_this": {"cartesian": (1, _SCALAR_BCAST)},
+    "cat_significant_categories": {"cartesian": (1, _SCALAR_BCAST)},
+    "docs_significant_terms": {"cartesian": (1, _SCALAR_BCAST)},
+    "dsir_select_topk": {"cartesian": (1, _SCALAR_BCAST)},
+    "events_rolling_wau": {"cartesian": (1, _SCALAR_BCAST)},
+    "events_value_deciles_eqdepth": {"cartesian": (1, _SCALAR_BCAST)},
+    "orders_dow_seasonality": {"cartesian": (1, _SCALAR_BCAST)},
+    "q11_important_part_share": {"cartesian": (1, _SCALAR_BCAST)},
+    "q22_idle_rich_customers": {"cartesian": (1, _SCALAR_BCAST)},
+    "users_hll_mergeable": {"cartesian": (1, _SCALAR_BCAST)},
     # ---- unpartitioned windows over bounded aggregate frames ----
     "nation_revenue_share": {
-        "global-window": _SMALL_AGG_WINDOW,
-        "single-partition-shuffle": _SMALL_AGG_WINDOW,
+        "global-window": (1, _SMALL_AGG_WINDOW),
+        "single-partition-shuffle": (1, _SMALL_AGG_WINDOW),
     },
     "orders_monthly_growth": {
-        "global-window": _SMALL_AGG_WINDOW,
-        "single-partition-shuffle": _SMALL_AGG_WINDOW,
+        "global-window": (1, _SMALL_AGG_WINDOW),
+        "single-partition-shuffle": (1, _SMALL_AGG_WINDOW),
     },
     "source_temperature_mix": {
-        "global-window": _SMALL_AGG_WINDOW,
-        "single-partition-shuffle": _SMALL_AGG_WINDOW,
+        "global-window": (1, _SMALL_AGG_WINDOW),
+        "single-partition-shuffle": (1, _SMALL_AGG_WINDOW),
     },
     "docs_pack_shards": {
-        "global-window": "phase 2 of the two-phase prefix sum: the window "
+        "global-window": (1, "phase 2 of the two-phase prefix sum: the window "
         "runs over per-bucket totals only, and the adaptive bucket width "
-        "caps that frame at PACK_MAX_BUCKETS=4096 rows at any corpus size",
-        "single-partition-shuffle": "same phase-2 totals frame (<=4096 rows)",
+        "caps that frame at PACK_MAX_BUCKETS=4096 rows at any corpus size"),
+        "single-partition-shuffle": (1, "same phase-2 totals frame (<=4096 rows)"),
     },
 }
 
@@ -143,14 +159,39 @@ def _is_partial_global_agg(node) -> bool:
         return False
 
 
-def audit_plan(plan) -> list[tuple[str, str]]:
-    """(category, detail) hits for one executed SparkPlan (AQE-unwrapped)."""
+def _scan_key(n) -> str | None:
+    """Stable identity for a file-relation scan node, None for non-file
+    scans (in-memory / RDD / local relations are cheap to re-read)."""
+    cn = n.getClass().getSimpleName()
+    if cn == "FileSourceScanExec":
+        try:
+            return "file:" + n.relation().location().rootPaths().mkString(",")
+        except Exception:
+            return "file:" + n.nodeName()
+    if cn == "BatchScanExec":  # DSv2 twin of the same defect class
+        try:
+            return "v2:" + n.table().name()
+        except Exception:
+            return "v2:" + n.nodeName()
+    return None
+
+
+def audit_plan(plan) -> dict[str, tuple[int, str]]:
+    """category -> (instance_count, example detail) for one executed
+    SparkPlan (AQE-unwrapped).  Counts are per NODE INSTANCE so an
+    adjudicated query cannot silently gain a second instance of the same
+    anti-pattern (r9 ADVICE)."""
     if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
         plan = plan.initialPlan()
     hits: list[tuple[str, str]] = []
+    scans: dict[str, int] = {}
 
     def check(n, _depth):
         cn = n.getClass().getSimpleName()
+        key = _scan_key(n)
+        if key is not None:
+            scans[key] = scans.get(key, 0) + 1
+            return
         if cn in ("CartesianProductExec", "BroadcastNestedLoopJoinExec"):
             hits.append(("cartesian", cn))
             return
@@ -179,22 +220,24 @@ def audit_plan(plan) -> list[tuple[str, str]]:
                 hits.append(("coalesce-1", "coalesce to 1 partition"))
 
     _walk(plan, check)
-    # de-dup repeated nodes of the same category (one adjudication per kind)
-    seen, out = set(), []
+    for key, cnt in sorted(scans.items()):
+        if cnt > _SCAN_REPEAT_MAX:
+            rel = key.split("/")[-1].rstrip(",)") or key
+            hits.append(("repeated-scan", f"{rel} scanned {cnt}x, no reuse"))
+    out: dict[str, tuple[int, str]] = {}
     for cat, detail in hits:
-        if cat not in seen:
-            seen.add(cat)
-            out.append((cat, detail))
+        n, first = out.get(cat, (0, detail))
+        out[cat] = (n + 1, first)
     return out
 
 
 def audit_registry(spark, sf_dir: str, queries: dict) -> tuple[dict, dict]:
     """Run the lint over every registered query.
 
-    Returns (hits, errors): hits maps name -> {category: detail} for
-    queries with ≥1 anti-pattern; errors maps name -> first error line.
+    Returns (hits, errors): hits maps name -> {category: (count, detail)}
+    for queries with ≥1 anti-pattern; errors maps name -> first error line.
     """
-    hits: dict[str, dict[str, str]] = {}
+    hits: dict[str, dict[str, tuple[int, str]]] = {}
     errors: dict[str, str] = {}
     for name in sorted(queries):
         try:
@@ -204,8 +247,24 @@ def audit_registry(spark, sf_dir: str, queries: dict) -> tuple[dict, dict]:
             errors[name] = str(ex).splitlines()[0][:120]
             continue
         if found:
-            hits[name] = dict(found)
+            hits[name] = found
     return hits, errors
+
+
+def adjudicate(hits: dict) -> tuple[list, list]:
+    """Split registry hits into (allowed, bad) rows given ALLOWED.  A hit
+    is adjudicated only when its category is listed AND its instance
+    count does not exceed the allowed max — a second cartesian on a
+    1-cartesian adjudication is a failure, not a free ride."""
+    allowed_rows, bad_rows = [], []
+    for name, cats in sorted(hits.items()):
+        for cat, (cnt, detail) in sorted(cats.items()):
+            exp = ALLOWED.get(name, {}).get(cat)
+            if exp is not None and cnt <= exp[0]:
+                allowed_rows.append((name, cat, cnt, detail, exp[1]))
+            else:
+                bad_rows.append((name, cat, cnt, detail, exp))
+    return allowed_rows, bad_rows
 
 
 def main() -> None:
@@ -216,15 +275,13 @@ def main() -> None:
     spark = get_spark(app_name="audit-plans")
     spark.sparkContext.setLogLevel("ERROR")
     hits, errors = audit_registry(spark, sf_dir, e.queries())
-    n_bad = 0
-    for name, cats in sorted(hits.items()):
-        for cat, detail in sorted(cats.items()):
-            ok = cat in ALLOWED.get(name, {})
-            if not ok:
-                n_bad += 1
-            tag = "ALLOWED" if ok else "HIT"
-            why = f" [{ALLOWED[name][cat]}]" if ok else ""
-            print(f"{tag}  {name}: {cat} ({detail}){why}")
+    allowed_rows, bad_rows = adjudicate(hits)
+    for name, cat, cnt, detail, why in allowed_rows:
+        print(f"ALLOWED  {name}: {cat} x{cnt} ({detail}) [{why}]")
+    for name, cat, cnt, detail, exp in bad_rows:
+        over = f" — exceeds allowed max {exp[0]}" if exp is not None else ""
+        print(f"HIT  {name}: {cat} x{cnt} ({detail}){over}")
+    n_bad = len(bad_rows)
     stale = [
         (name, cat)
         for name, cats in ALLOWED.items()

@@ -136,5 +136,22 @@ def test_trained_surfaces_work_from_a_sibling_session(spark, sf_dir):
     finally:
         # drop the sibling's cache entries so later tests in this process
         # never resolve a plan against the discarded session
-        for key in [k for k in km._MODEL_CACHE if id(sibling) in k]:
-            del km._MODEL_CACHE[key]
+        km._EMB_CACHE.drop_session(id(sibling))
+
+
+def test_session_cache_is_bounded():
+    """The session-scoped stores evict whole sessions LRU-wise — an app
+    churning newSession() siblings must not pin every one of them via
+    cached plans (r9 ADVICE)."""
+    from data_catalog_spark.operators.session_cache import SessionLRU
+
+    lru = SessionLRU(max_sessions=2)
+    lru.put(1, "k", "a")
+    lru.put(2, "k", "b")
+    assert lru.get(1, "k") == "a"  # touch: 1 becomes MRU
+    lru.put(3, "k", "c")  # evicts session 2, the LRU
+    assert lru.sessions() == [1, 3]
+    assert lru.get(2, "k") is None
+    assert lru.get(1, "k") == "a" and lru.get(3, "k") == "c"
+    lru.drop_session(1)
+    assert lru.get(1, "k") is None

@@ -16,11 +16,15 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
 )
 
-from audit_plans import ALLOWED, audit_plan, audit_registry  # noqa: E402
+from audit_plans import ALLOWED, adjudicate, audit_plan, audit_registry  # noqa: E402
+
+
+def _hits(df):
+    return audit_plan(df._jdf.queryExecution().executedPlan())
 
 
 def _cats(df):
-    return {c for c, _ in audit_plan(df._jdf.queryExecution().executedPlan())}
+    return set(_hits(df))
 
 
 @pytest.fixture(scope="module")
@@ -66,20 +70,50 @@ def test_cartesian_is_flagged(base, spark):
     assert "cartesian" in _cats(base.crossJoin(other))
 
 
+def test_hit_counts_are_per_instance(base, spark):
+    """Two separate cartesians in one plan must count as 2, not dedup to
+    1 — the r9 ADVICE hole where an adjudicated query silently gained a
+    second instance of its allowed category."""
+    a = spark.range(3).select(F.col("id").alias("a"))
+    b = spark.range(3).select(F.col("id").alias("b"))
+    double = base.crossJoin(a).crossJoin(b)
+    cnt, _detail = _hits(double)["cartesian"]
+    assert cnt == 2
+
+
+def test_adjudication_rejects_count_overrun():
+    allowed_rows, bad_rows = adjudicate(
+        {"ann_pq_topk": {"cartesian": (2, "CartesianProductExec")}}
+    )
+    assert not allowed_rows and len(bad_rows) == 1  # allowed max is 1
+
+
+def test_repeated_scan_is_flagged(spark, sf_dir):
+    """>4 scans of the same parquet relation in one plan is the r9
+    web_corpus_funnel defect class; ≤4 (self-joins, totals legs) is fine."""
+    import functools
+
+    reads = [
+        spark.read.parquet(f"{sf_dir}/region.parquet").select("r_regionkey")
+        for _ in range(5)
+    ]
+    bad = functools.reduce(lambda x, y: x.unionAll(y), reads)
+    assert "repeated-scan" in _cats(bad)
+    ok = functools.reduce(lambda x, y: x.unionAll(y), reads[:4])
+    assert "repeated-scan" not in _cats(ok)
+
+
 def test_registry_has_no_unadjudicated_plan_hits(spark, sf_dir):
-    """Every registered query's plan is free of the four anti-patterns,
-    or carries an explicit adjudication in audit_plans.ALLOWED — and no
-    allowlist row is stale (the plan it excuses no longer exists)."""
+    """Every registered query's plan is free of the five anti-patterns,
+    or carries an explicit adjudication (with an instance-count cap) in
+    audit_plans.ALLOWED — and no allowlist row is stale (the plan it
+    excuses no longer exists)."""
     import __spark_entry__ as e
 
     hits, errors = audit_registry(spark, sf_dir, e.queries())
     assert not errors, f"queries failed to plan: {errors}"
-    unadjudicated = {
-        name: {c: d for c, d in cats.items() if c not in ALLOWED.get(name, {})}
-        for name, cats in hits.items()
-    }
-    unadjudicated = {n: c for n, c in unadjudicated.items() if c}
-    assert not unadjudicated, f"unadjudicated plan anti-patterns: {unadjudicated}"
+    _allowed, bad = adjudicate(hits)
+    assert not bad, f"unadjudicated plan anti-patterns: {bad}"
     stale = [
         (name, cat)
         for name, cats in ALLOWED.items()
