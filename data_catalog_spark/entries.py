@@ -208,6 +208,10 @@ def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import analyzers
 
     ds = datasets_df(spark, sf_dir)
+    # the exploded term frame feeds dfreq, the seed AND the candidate
+    # join — un-checkpointed, each consumer re-ran the analyze+explode
+    # and the plan scanned the backing parquet 5x (r10 repeated-scan
+    # lint); with the barrier the analyze pass runs once
     toks = ds.select(
         "id",
         F.explode(
@@ -218,7 +222,7 @@ def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("term"),
-    )
+    ).localCheckpoint(eager=False)
     dfreq = toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
     )

@@ -246,9 +246,21 @@ def docs_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceptAll→distinct): each is one shuffle on doc_id; the three 1-row
     aggregates union into a single result frame.  (SURVEY §2.6 notes the
     reference has none of these — north-star breadth.)"""
-    docs = read_table(spark, sf_dir, "documents")
-    a = docs.where(F.col("lang") == "en").select("doc_id")
-    b = docs.where(F.col("source") == "src0").select("doc_id")
+    # one corpus scan: membership flags per doc, checkpointed — the three
+    # set operators each referenced a AND b, which inlined SIX parquet
+    # scans of documents into one plan (r10 repeated-scan lint)
+    flags = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("in_a"),
+            (F.col("source") == "src0").alias("in_b"),
+        )
+        .where(F.col("in_a") | F.col("in_b"))
+        .localCheckpoint(eager=False)
+    )
+    a = flags.where("in_a").select("doc_id")
+    b = flags.where("in_b").select("doc_id")
     rows = [
         a.union(b).distinct().groupBy().agg(
             F.lit("union").alias("op"), F.count(F.lit(1)).alias("n")

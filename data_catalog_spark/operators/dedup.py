@@ -680,12 +680,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
     _docs(spark, sf_dir).createOrReplaceTempView("__inc_docs")
     # signatures materialized once (checkpoint) — the banding pass and the
-    # two estimate-joins reuse the computed table; two analyzed statements
-    # total (the dedup_minhash execution form)
+    # two estimate-joins reuse the computed table; three analyzed
+    # statements total (the dedup_minhash execution form)
     sig = spark.sql(
         f"WITH {_sig_ctes('spark', '__inc_docs', hint)} SELECT * FROM sig"
     ).localCheckpoint(eager=False)
     sig.createOrReplaceTempView("__inc_sig")
+    # the exact-arm fingerprints too: fps appears as BOTH sides of the
+    # exact self-join and again under near's NOT IN — un-checkpointed,
+    # the tokenize+md5 pass inlined EIGHT documents scans into the plan
+    # (r10 repeated-scan lint)
+    d = _mh_dialect("spark")
+    fps = spark.sql(
+        f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
+        f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __inc_docs)"
+    ).localCheckpoint(eager=False)
+    fps.createOrReplaceTempView("__inc_fps")
     return spark.sql(_incremental_pairs_sql("spark"))
 
 
@@ -706,8 +716,7 @@ def _incremental_pairs_sql(dialect: str, k: int = MINHASH_K) -> str:
     # yields DOUBLE; its oracle text keeps the proven `{k}.0` spelling.
     kdiv = f"CAST({k} AS DOUBLE)" if spark else f"{k}.0"
     if spark:
-        prelude = f"""WITH toks AS (SELECT doc_id, {d['tokens']} AS t FROM __inc_docs),
-fps AS (SELECT doc_id, {fp_expr} AS fp FROM toks),
+        prelude = """WITH fps AS (SELECT * FROM __inc_fps),
 sig AS (SELECT * FROM __inc_sig),"""
     else:
         prelude = f"""WITH {_sig_ctes('duck', k=k)},

@@ -41,8 +41,15 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the previous stage's ts — per-user conditional aggregations,
     cascaded; a user advances only in event-time order."""
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
+    # each stage aggregate is checkpointed: the cascade re-derived v
+    # inside c and (v, c) inside p, inlining SIX events scans into the
+    # union plan (r10 repeated-scan lint) — with the barriers the plan
+    # is exactly three filter-pushed scans, one per stage's event type
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -50,6 +57,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

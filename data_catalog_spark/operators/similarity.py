@@ -871,6 +871,18 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame) -> list[list[list[float]]]:
     return books
 
 
+# The coded corpus IS the PQ index — same contract as the sign-LSH
+# _CODED_CACHE above: frozen (or content-memoized trained) codebooks over
+# fixed content give a deterministic code table, built once per (app,
+# session, corpus content, codebook kind) and reused by every probe.
+# Before r10 every invocation re-ran the K×M-centroid coding fold over
+# the corpus (~2 s of the 2.4-2.8 s steady-state at sf0.1 — the r9
+# ann_pq_topk watch item; the code path itself was byte-identical to r8,
+# the isolated A/B showed no regression, but the rebuild made every run
+# pay index-build cost a deployment pays once).
+_PQ_CORPUS_CACHE = SessionLRU()
+
+
 def _pq_parts(
     spark: SparkSession, sf_dir: str, books=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -880,8 +892,13 @@ def _pq_parts(
     can pin the pool's plan independently of the exact re-rank stage.
     ``books`` defaults to the frozen pretrained codebooks; the trained-
     in-run variant (ann_pq_trained_topk) passes its own."""
+    kind = "pq-frozen"
     if books is None:
         from .ann_models import PQ_CODEBOOKS as books
+    else:
+        # trained books are themselves memoized per corpus content
+        # (kmeans._MODEL_CACHE), so the kind tag is a stable cache key
+        kind = "pq-trained"
 
     sub = _DIM // PQ_M
     # normalize first: on unit vectors L2² = 2 − 2·cos, so compressed-domain
@@ -914,13 +931,26 @@ def _pq_parts(
     # test parquet is a single row group → a 1-task scan that would compute
     # every code on one core (no-op at deployment scale, where file splits
     # provide the parallelism)
-    corpus = (
-        e.where(F.col("vec_id") >= N_QUERIES)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .withColumn("dists", F.expr(dists_expr))
-        .localCheckpoint(eager=False)
-        .withColumn("codes", F.expr(code_expr))
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+        kind,
     )
+    corpus = _PQ_CORPUS_CACHE.get(id(spark), key)
+    if corpus is None:
+        corpus = (
+            e.where(F.col("vec_id") >= N_QUERIES)
+            .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+            .withColumn("dists", F.expr(dists_expr))
+            .localCheckpoint(eager=False)
+            .withColumn("codes", F.expr(code_expr))
+        )
+        _PQ_CORPUS_CACHE.put(id(spark), key, corpus)
     queries = e.where(F.col("vec_id") < N_QUERIES)
     # Classic ADC lookup tables, built ONCE per query row on the broadcast
     # side: lut[m][j] = ||q_slice_m − cb[m][j]||².  Per (query, corpus)

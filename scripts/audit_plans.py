@@ -119,7 +119,9 @@ ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
         "single-partition-shuffle": (1, _SMALL_AGG_WINDOW),
     },
     "source_temperature_mix": {
-        "global-window": (1, _SMALL_AGG_WINDOW),
+        # two OVER () sums (natural-share total + temperature renorm),
+        # both over the same |source|-row grouped frame
+        "global-window": (2, _SMALL_AGG_WINDOW),
         "single-partition-shuffle": (1, _SMALL_AGG_WINDOW),
     },
     "docs_pack_shards": {
