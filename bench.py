@@ -147,10 +147,37 @@ HEADLINE = [
     "stream_url_frontier_dedup",
     "host_quality_profile",
     "web_corpus_funnel",
+    # round 10 additions
+    "dedup_cluster_components",
+    "benchmark_contamination_report",
 ]
 
 
-def headline_line(timings: dict[str, float], sf: float | None) -> str:
+# 1-min ambient loadavg at bench start above this ⇒ the number was taken
+# on a busy box and needs a quiet re-run before it is read as a regression
+# (three rounds of committed BENCH numbers needed out-of-band load context
+# — r9 verdict ask #4 makes the record self-adjudicating).
+LOAD_QUIET_MAX = 2.0
+
+
+def load_evidence(before: float | None, after: float | None) -> dict:
+    """The load fields embedded in every bench record.  The verdict keys
+    on the PRE-run 1-min average: that is the ambient co-tenant load —
+    the post-run value mostly measures bench's own local[32] work and is
+    recorded for completeness only."""
+    verdict = None
+    if before is not None:
+        verdict = "QUIET" if before < LOAD_QUIET_MAX else "LOADED"
+    return {
+        "load_before": None if before is None else round(before, 2),
+        "load_after": None if after is None else round(after, 2),
+        "load_verdict": verdict,
+    }
+
+
+def headline_line(
+    timings: dict[str, float], sf: float | None, load: dict | None = None
+) -> str:
     """Build the FINAL stdout line: compact (< 1 KiB) and json.loads-able.
 
     The driver's tail capture has a bounded window; embedding all ~78
@@ -165,6 +192,7 @@ def headline_line(timings: dict[str, float], sf: float | None) -> str:
         "sf": sf,
         "n_queries": len(timings),
     }
+    base.update(load or load_evidence(None, None))
     # Add the slowest queries one at a time while the line stays < 1000 B.
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     picked: dict[str, float] = {}
@@ -186,6 +214,7 @@ def main() -> None:
     from data_catalog_spark.session import get_spark
     import __spark_entry__ as e
 
+    load_before = os.getloadavg()[0]  # ambient: before Spark spins up
     spark = get_spark(app_name="bench")
     # Keep the one JSON line parseable: WARN chatter (e.g. WindowExec on
     # intentionally tiny single-partition frames) otherwise pollutes stdout.
@@ -211,6 +240,7 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    load = load_evidence(load_before, os.getloadavg()[0])
     # Per-run spread goes to a sidecar file (box variance stays separable
     # from regression) so the LAST stdout line stays compact enough for the
     # driver's tail capture — round 4's inline spread made it unparseable.
@@ -219,13 +249,13 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
             "w",
         ) as fh:
-            json.dump({"runs": spreads, "sf": sf}, fh)
+            json.dump({"runs": spreads, "sf": sf, **load}, fh)
     except OSError:
         pass
     # Full per-query detail on its own line (NOT last — driver tail-captures
     # only the final line, which must stay compact; see headline_line).
     print(json.dumps({"queries": timings}))
-    print(headline_line(timings, sf))
+    print(headline_line(timings, sf, load))
     spark.stop()
 
 

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from .dedup import JACCARD_PAIRS_BODY, dedup_ngram_jaccard
+from .dedup import (
+    JACCARD_PAIRS_BODY,
+    dedup_minhash,
+    dedup_ngram_jaccard,
+    minhash_pairs_ctes,
+)
+from .session_cache import SessionLRU
 from .registry import register
 from .text import (
     BPE_PATTERN,
@@ -178,18 +184,26 @@ FROM __cc_labels LEFT OUTER JOIN msgs ON node = node2
     return labels
 
 
-# Resolved cluster labels memoized per (Spark application, documents
-# content stat) — derived dedup state, the same content-keyed contract as
-# the trained quantizers / LSH code table / seeded catalog: the pair scan
-# + label propagation run once per corpus; every consumer (the registered
-# query, dedup_keep_best's apply stage, re-runs in one bench process)
-# reads the materialized labels.
-_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+# Resolved cluster labels memoized per (session, Spark application,
+# documents content stat, pair method) — derived dedup state, the same
+# content-keyed contract as the trained quantizers / LSH code table /
+# seeded catalog: the pair scan + label propagation run once per corpus;
+# every consumer (the registered queries, dedup_keep_best's apply stage,
+# re-runs in one bench process) reads the materialized labels.  Session-
+# LRU, not a plain dict: each cached frame pins its session (r10
+# session_cache rationale).
+_CLUSTER_CACHE = SessionLRU()
+
+# pair generators feeding the transitive closure, by method name
+_PAIR_LANES = {
+    "jaccard": lambda spark, sf_dir: dedup_ngram_jaccard(spark, sf_dir),
+    "minhash": lambda spark, sf_dir: dedup_minhash(spark, sf_dir),
+}
 
 
-def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for every doc in a near-dup pair; cluster_id =
-    min doc_id reachable through the Jaccard pair graph."""
+def _cluster_labels(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """Memoized (doc_id, cluster_id) closure over the ``method`` pair
+    graph; cluster_id = min doc_id reachable."""
     import os
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
@@ -198,16 +212,29 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(sf_dir),
         st.st_mtime_ns,
         st.st_size,
+        method,
     )
-    if key not in _CLUSTER_CACHE:
-        edges = (
-            dedup_ngram_jaccard(spark, sf_dir)
-            .select(F.col("da").alias("a"), F.col("db").alias("b"))
+    hit = _CLUSTER_CACHE.get(id(spark), key)
+    if hit is None:
+        edges = _PAIR_LANES[method](spark, sf_dir).select(
+            F.col("da").alias("a"), F.col("db").alias("b")
         )
-        _CLUSTER_CACHE[key] = _connected_components(edges).select(
-            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-        ).localCheckpoint(eager=False)
-    return _CLUSTER_CACHE[key].orderBy("doc_id")
+        hit = (
+            _connected_components(edges)
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        _CLUSTER_CACHE.put(id(spark), key, hit)
+    return hit
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup pair; cluster_id =
+    min doc_id reachable through the Jaccard pair graph."""
+    return _cluster_labels(spark, sf_dir, "jaccard").orderBy("doc_id")
 
 
 # The recursive transitive-closure CTE chain, shared by every oracle that
@@ -234,6 +261,58 @@ SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
 
 register("corpus_training_filter", corpus_training_filter, _corpus_filter_oracle())
 register("dup_clusters", dup_clusters, DUP_CLUSTERS_ORACLE)
+
+
+# -- full duplicate clusters over the MinHash-LSH pair graph ------------------
+#
+# Every dedup lane reports one-sided lower-id KEEPER pairs; curation also
+# wants the full duplicate CLUSTER (transitive closure: A~B, B~C ⇒
+# {A,B,C}) for keep-best and reporting.  dup_clusters above resolves the
+# exact n-gram-Jaccard graph; this entry resolves the MINHASH-LSH graph —
+# the pair generator that actually runs at 100 TB (banded equality joins,
+# bucket caps, never all-pairs), so its closure is the one a production
+# keep-best consumes.  Same iterative min-label propagation (bounded
+# rounds, checkpoint-truncated lineage, no GraphFrames), same recursive-
+# CTE oracle shape.
+
+MH_CLUSTER_CTES = f"""{minhash_pairs_ctes()},
+mh_edges AS (SELECT da AS a, db AS b FROM mh_pairs
+             UNION SELECT db, da FROM mh_pairs),
+mh_reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM mh_edges) n
+  UNION
+  SELECT r.a, e.b FROM mh_reach r JOIN mh_edges e ON r.b = e.a
+),
+mh_clusters AS (
+  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+  FROM mh_reach GROUP BY a
+)"""
+
+MH_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {MH_CLUSTER_CTES},
+mh_sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM mh_clusters GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM mh_clusters c JOIN mh_sizes s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every doc in a MinHash
+    near-dup pair; cluster_id = min doc_id reachable through the pair
+    graph.  The cluster-size join costs one aggregation over the (tiny)
+    label frame — labels themselves are memoized per corpus content."""
+    labels = _cluster_labels(spark, sf_dir, "minhash")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    ).orderBy("doc_id")
+
+
+register("dedup_cluster_components", dedup_cluster_components, MH_COMPONENTS_ORACLE)
 
 
 # -- set algebra over document selections -------------------------------------
@@ -670,56 +749,72 @@ register("source_temperature_mix", source_temperature_mix, TEMP_MIX_ORACLE)
 # -- dedup report: cluster-size histogram + corpus dup rate ----------------------
 #
 # The per-snapshot number a dedup pipeline actually publishes: how
-# duplicated is the corpus?  One row per near-dup cluster SIZE with the
-# cluster count, members, and the docs a keep-one resolution would drop,
-# plus each size bucket's share of the whole corpus.  Reads the memoized
-# cluster labels (dup_clusters), so the report costs one aggregation over
-# the (tiny) cluster frame plus one corpus count — the label propagation
-# is paid once per corpus, not per report.
+# duplicated is the corpus?  One row per (pair method, near-dup cluster
+# SIZE) with the cluster count, members, and the docs a keep-one
+# resolution would drop, plus each size bucket's share of the whole
+# corpus.  r10: reports BOTH resolved closures side by side — the exact
+# Jaccard lane and the banded MinHash lane (dedup_cluster_components) —
+# which is the comparison a pipeline owner reads to see what the LSH
+# approximation costs in cluster structure.  Reads the memoized cluster
+# labels, so the report costs two aggregations over the (tiny) label
+# frames plus one corpus count — the label propagation is paid once per
+# corpus and method, not per report.
 
 
 def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cluster_size, n_clusters, n_docs, n_dropped, pct_of_corpus) per
-    near-dup cluster size, ordered by size."""
-    labels = dup_clusters(spark, sf_dir)
+    """(method, cluster_size, n_clusters, n_docs, n_dropped,
+    pct_of_corpus) per pair lane and cluster size, ordered by both."""
     total = read_table(spark, sf_dir, "documents").count()  # 1 scalar
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        sizes.groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .select(
-            "cluster_size",
-            "n_clusters",
-            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
-            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
-                "n_dropped"
-            ),
-            F.round(
-                F.col("cluster_size")
-                * F.col("n_clusters")
-                / F.lit(float(total)),
-                6,
-            ).alias("pct_of_corpus"),
+
+    def hist(method: str) -> DataFrame:
+        sizes = (
+            _cluster_labels(spark, sf_dir, method)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
         )
-        .orderBy("cluster_size")
+        return (
+            sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select(
+                F.lit(method).alias("method"),
+                "cluster_size",
+                "n_clusters",
+                (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+                ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                    "n_dropped"
+                ),
+                F.round(
+                    F.col("cluster_size")
+                    * F.col("n_clusters")
+                    / F.lit(float(total)),
+                    6,
+                ).alias("pct_of_corpus"),
+            )
+        )
+
+    return hist("jaccard").unionAll(hist("minhash")).orderBy(
+        "method", "cluster_size"
     )
 
 
 DUP_HISTOGRAM_ORACLE = f"""
 WITH RECURSIVE {DUP_CLUSTERS_CTES},
-sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
-          FROM clusters GROUP BY cluster_id),
+{MH_CLUSTER_CTES},
+sizes AS (SELECT 'jaccard' AS method, cluster_id,
+                 CAST(count(*) AS BIGINT) AS cluster_size
+          FROM clusters GROUP BY cluster_id
+          UNION ALL
+          SELECT 'minhash', cluster_id, CAST(count(*) AS BIGINT)
+          FROM mh_clusters GROUP BY cluster_id),
 total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
-SELECT cluster_size,
+SELECT method, cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters,
        CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
        CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped,
        round(cluster_size * count(*) / total.n, 6) AS pct_of_corpus
 FROM sizes CROSS JOIN total
-GROUP BY cluster_size, total.n
-ORDER BY cluster_size
+GROUP BY method, cluster_size, total.n
+ORDER BY method, cluster_size
 """
 
 register(

@@ -611,13 +611,14 @@ ORDER BY da, db
     )
 
 
-def _minhash_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
-    """DuckDB rendering of the exact same MinHash+LSH computation (md5
-    double hashing makes every hash value engine-independent), built from
-    the shared dialect renderers."""
+def minhash_pairs_ctes(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    """The DuckDB MinHash+LSH pair pipeline as a CTE chain ending in
+    ``mh_pairs`` (da, db, est_jac) — no top-level SELECT, so larger
+    statements (the cluster-components recursive closure, the two-lane
+    histogram) can splice it into their own WITH list.  The chain's CTE
+    names are unique against DUP_CLUSTERS_CTES by construction."""
     agree = _agree_sql(k)
-    return f"""
-WITH {_sig_ctes('duck', k=k)},
+    return f"""{_sig_ctes('duck', k=k)},
 bands AS (
   {_band_defs('duck', k, bands)}),
 ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
@@ -625,10 +626,20 @@ ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
 cand AS (SELECT a.doc_id AS da, b.doc_id AS db
          FROM bands a JOIN ok USING (band, band_hash) JOIN bands b
            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
-SELECT da, db, round(({agree}) / {k}.0, 6) AS est_jac
-FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
-WHERE ({agree}) / {k}.0 >= {JACCARD_THRESHOLD}
+         GROUP BY 1, 2),
+mh_pairs AS (
+  SELECT da, db, round(({agree}) / {k}.0, 6) AS est_jac
+  FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+  WHERE ({agree}) / {k}.0 >= {JACCARD_THRESHOLD})"""
+
+
+def _minhash_oracle(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    """DuckDB rendering of the exact same MinHash+LSH computation (md5
+    double hashing makes every hash value engine-independent), built from
+    the shared dialect renderers."""
+    return f"""
+WITH {minhash_pairs_ctes(k, bands)}
+SELECT da, db, est_jac FROM mh_pairs
 ORDER BY da, db
 """
 

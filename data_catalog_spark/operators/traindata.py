@@ -216,10 +216,124 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# -- contamination vs an EXTERNAL eval set (GPT-3 appx-C / Gopher method) -----
+#
+# docs_decontaminate above flags CORPUS docs colliding with an in-corpus
+# benchmark stand-in; the complementary report a training run publishes is
+# per-EVAL-ITEM: for each item of a frozen external benchmark, what share
+# of its n-grams occurs anywhere in the training corpus, and how many
+# corpus docs carry a collision (GPT-3 removed eval items with any 13-gram
+# collision; Gopher reports the collision-rate distribution).  The eval
+# fixture is FROZEN literal text: in-vocabulary items that do collide with
+# the synthetic corpus, out-of-vocabulary items that must come back clean,
+# and mixed items in between — so the report exercises every verdict.
+# N=3 (not 13): the corpus draws from a ~30-word vocabulary, where
+# 3-grams occupy the same collision regime 13-grams do on real text.
+#
+# Scale shape: the eval set is tiny and BROADCASTS into the corpus-side
+# gram explode (map-only; the corpus never shuffles its grams — the
+# docs_decontaminate rule); per-item totals come from the fixture itself.
+# Lint-clean: one broadcast equi join + one hash aggregation.
+
+EVAL_NGRAM = 3
+
+# (item_id, frozen benchmark text) — order and text are part of the
+# contract; EDITING an item silently changes the report, so tests pin the
+# fixture hash.
+EVAL_SET = [
+    (1, "table scan row filter hash join merge sort table scan"),
+    (2, "spark window agg group batch stream vector column part value"),
+    (3, "data query small row slow row data stream filter small sort hash"),
+    (4, "the quick brown fox jumps over the lazy dog again"),
+    (5, "zebra quantum flute oboe marimba glacier petrichor fjord saxophone"),
+    (6, "customer order line part value big small fast slow key"),
+]
+
+
+def _eval_values_sql() -> str:
+    return ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in EVAL_SET
+    )
+
+
+def benchmark_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_id, n_grams, n_dirty_grams, contamination_rate, n_docs_hit,
+    dirty) per frozen eval item, ordered by item — dirty = any corpus
+    collision (the GPT-3 removal rule); the rate ranks severity."""
+    _docs(spark, sf_dir).createOrReplaceTempView("__bc_docs")
+    return spark.sql(
+        f"""
+WITH eval_items(item_id, text) AS (VALUES {_eval_values_sql()}),
+ev AS (SELECT item_id, split(text, ' ') AS t FROM eval_items),
+eg AS (SELECT DISTINCT item_id,
+              explode(transform(sequence(0, size(t) - {EVAL_NGRAM}),
+                      i -> array_join(slice(t, i + 1, {EVAL_NGRAM}), ' ')))
+                AS gram
+       FROM ev),
+totals AS (SELECT item_id, CAST(count(1) AS BIGINT) AS n_grams
+           FROM eg GROUP BY item_id),
+cg AS (SELECT doc_id,
+              explode(transform(sequence(0, size(t) - {EVAL_NGRAM}),
+                      i -> array_join(slice(t, i + 1, {EVAL_NGRAM}), ' ')))
+                AS gram
+       FROM (SELECT doc_id, split(text, ' ') AS t FROM __bc_docs)
+       WHERE size(t) >= {EVAL_NGRAM}),
+hits AS (SELECT /*+ BROADCAST(eg) */ eg.item_id,
+                CAST(count(DISTINCT eg.gram) AS BIGINT) AS n_dirty_grams,
+                CAST(count(DISTINCT cg.doc_id) AS BIGINT) AS n_docs_hit
+         FROM cg JOIN eg ON cg.gram = eg.gram
+         GROUP BY eg.item_id)
+SELECT t.item_id,
+       t.n_grams,
+       coalesce(h.n_dirty_grams, CAST(0 AS BIGINT)) AS n_dirty_grams,
+       round(coalesce(h.n_dirty_grams, 0) / CAST(t.n_grams AS DOUBLE), 6)
+         AS contamination_rate,
+       coalesce(h.n_docs_hit, CAST(0 AS BIGINT)) AS n_docs_hit,
+       coalesce(h.n_dirty_grams, 0) > 0 AS dirty
+FROM totals t LEFT JOIN hits h ON t.item_id = h.item_id
+ORDER BY t.item_id
+"""
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH eval_items(item_id, text) AS (VALUES {{values}}),
+ev AS (SELECT item_id, string_split(text, ' ') AS t FROM eval_items),
+eg AS (SELECT DISTINCT item_id,
+              array_to_string(t[u.i + 1 : u.i + {EVAL_NGRAM}], ' ') AS gram
+       FROM ev, unnest(generate_series(0, len(t) - {EVAL_NGRAM})) AS u(i)),
+totals AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM eg GROUP BY item_id),
+cg AS (SELECT doc_id, array_to_string(t[u.i + 1 : u.i + {EVAL_NGRAM}], ' ') AS gram
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE len(string_split(text, ' ')) >= {EVAL_NGRAM}) tok,
+            unnest(generate_series(0, len(t) - {EVAL_NGRAM})) AS u(i)),
+hits AS (SELECT eg.item_id,
+                CAST(count(DISTINCT eg.gram) AS BIGINT) AS n_dirty_grams,
+                CAST(count(DISTINCT cg.doc_id) AS BIGINT) AS n_docs_hit
+         FROM cg JOIN eg ON cg.gram = eg.gram
+         GROUP BY eg.item_id)
+SELECT t.item_id,
+       t.n_grams,
+       coalesce(h.n_dirty_grams, 0) AS n_dirty_grams,
+       round(coalesce(h.n_dirty_grams, 0) * 1.0 / t.n_grams, 6)
+         AS contamination_rate,
+       coalesce(h.n_docs_hit, 0) AS n_docs_hit,
+       coalesce(h.n_dirty_grams, 0) > 0 AS dirty
+FROM totals t LEFT JOIN hits h ON t.item_id = h.item_id
+ORDER BY t.item_id
+"""
+
+
 register("docs_chunk_tokens", docs_chunk_tokens, CHUNK_ORACLE)
 register("docs_train_split", docs_train_split, SPLIT_ORACLE)
 register("docs_intra_dedup", docs_intra_dedup, INTRA_DEDUP_ORACLE)
 register("docs_decontaminate", docs_decontaminate, DECONTAMINATE_ORACLE)
+register(
+    "benchmark_contamination_report",
+    benchmark_contamination_report,
+    CONTAMINATION_ORACLE.format(values=_eval_values_sql()),
+)
 
 
 # -- greedy token-budget shard packing ---------------------------------------

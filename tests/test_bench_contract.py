@@ -9,7 +9,7 @@ regress a third time.
 import json
 import random
 
-from bench import headline_line
+from bench import LOAD_QUIET_MAX, headline_line, load_evidence
 
 
 def _fake_timings(n: int) -> dict:
@@ -53,3 +53,28 @@ def test_headline_line_is_single_line():
 def test_headline_line_handles_null_sf():
     obj = json.loads(headline_line(_fake_timings(5), sf=None))
     assert obj["sf"] is None
+
+
+def test_bench_records_are_load_self_adjudicating():
+    """r9 verdict ask #4: three rounds of committed BENCH numbers needed
+    out-of-band load context; every record now carries its own loadavg
+    evidence and a QUIET/LOADED verdict keyed on the PRE-run 1-min avg."""
+    ev = load_evidence(0.8, 31.5)
+    assert ev == {
+        "load_before": 0.8,
+        "load_after": 31.5,
+        "load_verdict": "QUIET",
+    }
+    assert load_evidence(LOAD_QUIET_MAX, 1.0)["load_verdict"] == "LOADED"
+    assert load_evidence(None, None)["load_verdict"] is None
+    # the fields ride inside the final compact line
+    obj = json.loads(headline_line(_fake_timings(78), sf=0.1, load=ev))
+    assert obj["load_before"] == 0.8
+    assert obj["load_after"] == 31.5
+    assert obj["load_verdict"] == "QUIET"
+    # and even with them the line stays under the tail-capture budget
+    line = headline_line(_fake_timings(500), sf=0.1, load=ev)
+    assert len(line) < 1024
+    # omitted load still emits the keys (schema stability for the driver)
+    obj = json.loads(headline_line(_fake_timings(3), sf=0.1))
+    assert obj["load_verdict"] is None

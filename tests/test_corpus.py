@@ -40,6 +40,51 @@ def test_dup_clusters_transitive(spark, sf_dir):
         assert labels[cl] == cl  # the representative is its own cluster id
 
 
+def test_cluster_components_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.dedup_cluster_components(spark, sf_dir),
+        ddb,
+        corpus.MH_COMPONENTS_ORACLE,
+    )
+
+
+def test_cluster_components_transitive_over_minhash_pairs(spark, sf_dir):
+    """Every MinHash pair's endpoints share a cluster; the label is the
+    component min; cluster_size counts the members exactly."""
+    rows = corpus.dedup_cluster_components(spark, sf_dir).collect()
+    assert rows
+    labels = {r.doc_id: r.cluster_id for r in rows}
+    sizes = {r.doc_id: r.cluster_size for r in rows}
+    pairs = dedup.dedup_minhash(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert labels[p.da] == labels[p.db]
+    from collections import Counter
+
+    members = Counter(labels.values())
+    for doc, cl in labels.items():
+        assert cl <= doc
+        assert labels[cl] == cl
+        assert sizes[doc] == members[cl]
+
+
+def test_cluster_histogram_reports_both_lanes(spark, sf_dir):
+    """The histogram's per-method doc totals must equal each lane's label
+    count — the LSH-vs-exact comparison is only meaningful if both lanes
+    aggregate their own closure."""
+    from pyspark.sql import functions as F
+
+    hist = corpus.dedup_cluster_histogram(spark, sf_dir).collect()
+    methods = {r.method for r in hist}
+    assert methods == {"jaccard", "minhash"}
+    for method, labels in (
+        ("jaccard", corpus.dup_clusters(spark, sf_dir)),
+        ("minhash", corpus.dedup_cluster_components(spark, sf_dir)),
+    ):
+        n_docs = sum(r.n_docs for r in hist if r.method == method)
+        assert n_docs == labels.count()
+
+
 def test_docs_set_ops_parity(spark, sf_dir, ddb):
     from conftest import assert_same
 
@@ -239,14 +284,14 @@ def test_dedup_cluster_histogram_parity(spark, sf_dir, ddb):
 
 
 def test_dedup_cluster_histogram_accounts_for_every_clustered_doc(spark, sf_dir):
-    """Σ n_docs over the histogram == |dup_clusters| rows, every cluster
-    has ≥ 2 members (singletons never enter the pair graph), and dropping
-    keeps exactly one doc per cluster."""
+    """Σ n_docs over the jaccard lane == |dup_clusters| rows, every
+    cluster has ≥ 2 members (singletons never enter the pair graph), and
+    dropping keeps exactly one doc per cluster — per lane."""
     from data_catalog_spark.operators import corpus as c
 
     hist = c.dedup_cluster_histogram(spark, sf_dir).collect()
     n_labels = c.dup_clusters(spark, sf_dir).count()
-    assert sum(r.n_docs for r in hist) == n_labels
+    assert sum(r.n_docs for r in hist if r.method == "jaccard") == n_labels
     for r in hist:
         assert r.cluster_size >= 2
         assert r.n_dropped == r.n_docs - r.n_clusters

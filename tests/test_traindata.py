@@ -138,3 +138,61 @@ def test_split_leakage_audit_counts_and_parity(spark, sf_dir, ddb):
         else:
             assert r.n_leaking == r.n_pairs
     assert_same(df, ddb, traindata._leakage_oracle())
+
+
+def test_contamination_report_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import traindata
+
+    assert_same(
+        traindata.benchmark_contamination_report(spark, sf_dir),
+        ddb,
+        traindata.CONTAMINATION_ORACLE.format(
+            values=traindata._eval_values_sql()
+        ),
+    )
+
+
+def test_contamination_report_fixture_and_verdicts(spark, sf_dir):
+    """The frozen eval fixture is part of the contract (editing it
+    silently changes every report), and the mixed design must exercise
+    both verdicts: in-vocabulary items collide with the synthetic corpus,
+    out-of-vocabulary items come back clean with rate 0."""
+    import hashlib
+
+    from data_catalog_spark.operators import traindata
+
+    fixture = "|".join(f"{i}:{t}" for i, t in traindata.EVAL_SET)
+    assert (
+        hashlib.md5(fixture.encode()).hexdigest()
+        == "464331139141fd5877d51383e12cf75b"
+    ), "EVAL_SET changed — the contamination report is no longer comparable"
+    rows = {
+        r.item_id: r
+        for r in traindata.benchmark_contamination_report(spark, sf_dir).collect()
+    }
+    assert set(rows) == {i for i, _ in traindata.EVAL_SET}
+    # item 5 is fully out-of-vocabulary: must be clean at any SF
+    assert rows[5].dirty is False and rows[5].contamination_rate == 0.0
+    assert rows[5].n_docs_hit == 0
+    # at least one in-vocab item must collide (else the report tests nothing)
+    assert any(r.dirty for r in rows.values())
+    for r in rows.values():
+        assert 0.0 <= r.contamination_rate <= 1.0
+        assert r.n_dirty_grams <= r.n_grams
+        assert (r.n_dirty_grams > 0) == r.dirty == (r.n_docs_hit > 0)
+
+
+def test_contamination_report_broadcasts_the_eval_side(spark, sf_dir):
+    """Scale shape: the corpus gram stream must join against a BROADCAST
+    eval-gram set — a shuffled corpus-gram exchange is the plan that dies
+    at 100 TB (grams ≈ 8× corpus bytes)."""
+    from data_catalog_spark.operators import traindata
+
+    plan = (
+        traindata.benchmark_contamination_report(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
