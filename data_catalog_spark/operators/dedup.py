@@ -712,11 +712,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_pairs_sql(dialect: str, k: int = MINHASH_K) -> str:
     """The two-arm incremental report in either dialect.  The Spark form
-    reads the checkpointed ``__inc_sig`` view and re-derives only the cheap
-    token frame; the DuckDB form inlines the signature CTEs (the oracle is
-    one statement by contract)."""
+    reads the checkpointed ``__inc_sig`` and ``__inc_fps`` views (r10:
+    BOTH derived frames are materialized, so the report plan never
+    rescans the documents parquet); the DuckDB form inlines the CTEs
+    (the oracle is one statement by contract)."""
     spark = dialect == "spark"
-    d = _mh_dialect(dialect)
     agree = _agree_sql(k)
     fp_expr = (
         "md5(concat_ws(' ', t))" if spark else "md5(array_to_string(t, ' '))"
