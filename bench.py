@@ -150,6 +150,7 @@ HEADLINE = [
     # round 10 additions
     "dedup_cluster_components",
     "benchmark_contamination_report",
+    "doremi_source_weights",
 ]
 
 

@@ -144,6 +144,187 @@ FROM scored ORDER BY doc_id
 register("bigram_lm_perplexity", bigram_lm_perplexity, BIGRAM_LM_ORACLE)
 
 
+# -- DoReMi-style domain reweighting ------------------------------------------
+#
+# DoReMi (Xie et al. 2023): upweight the domains a proxy model finds HARD
+# relative to a reference — excess loss per domain → exponential-boost
+# weights → mix with uniform.  The model-free rendering here uses the
+# corpus bigram LM above as the shared reference: a source's NLL under
+# the corpus-wide model measures how far its text sits from the corpus
+# average, so excess_j = max(0, nll_j − nll_corpus) is the domain-
+# hardness signal, boost_j = exp(excess_j / τ) (τ = 1), and the published
+# weight mixes the normalized boosts with uniform at smoothing c = 0.1
+# (the paper's uniform-smoothing step).
+#
+# Scale shape: corpus-scale work is exactly the bigram-LM pipeline (one
+# exploded-bigram stream behind a checkpoint, two model aggregations, one
+# gram-keyed scoring join); everything after the per-source aggregation
+# is |sources|-row model-sized arithmetic with two 1-row broadcast
+# totals (the scalar-broadcast idiom — adjudicated ×2 in the plan lint).
+#
+# Cross-engine determinism: per-bigram ln() is DECIMAL-pinned before the
+# per-source sums (order-independent, exact); boosts go through the
+# round(x·1e12) integer-microunit quantization (round is half-away-from-
+# zero in BOTH engines, unlike a double→DECIMAL cast whose tie rule
+# differs — the kmeans fixed-point discipline) so the normalizing sum is
+# exact and order-independent; the published weights round at 6dp.
+
+DOREMI_SMOOTH = 0.1  # uniform-mixing coefficient (paper's smoothing)
+
+
+def doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_bigrams, nll, excess_nll, doremi_weight) per
+    corpus source, ordered by source — the training-mixture weights a
+    DoReMi-style reweighting run publishes.  n_docs counts docs with ≥1
+    bigram (shorter docs carry no LM signal)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bg = (
+        docs.withColumn("t", F.expr(SPARK_TOKENS))
+        .select("doc_id", "source", F.explode(F.expr(SPARK_BIGRAMS)).alias("bg"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("bg")["0"].alias("w1"),
+            F.col("bg")["1"].alias("w2"),
+        )
+        .localCheckpoint(eager=False)  # 3 consumers: 2 model aggs + scoring
+    )
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.withColumn("t", F.expr(SPARK_TOKENS))
+        .select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    model = (
+        bigram_counts.join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+            .cast("decimal(20,12)")
+            .alias("logp"),
+        )
+    )
+    # per_src is |sources| rows but sits on top of the corpus-scale
+    # scoring join — checkpoint it (and staged below) or every one of
+    # the four downstream references re-runs that join (first executed
+    # plan: 7 broadcast-nested-loop instances, per_src derived 4×).
+    # Two-level aggregation instead of count_distinct: the per-doc
+    # partial folds map-side, so no distinct-expand of the full scored
+    # stream ever shuffles (sums of the DECIMAL partials are exact, so
+    # the value is identical).
+    per_src = (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("logp").alias("sl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("n_bigrams"),
+            F.sum("sl").alias("sum_logp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per_src.agg(
+        F.sum("n_bigrams").alias("tb"),
+        F.sum("sum_logp").alias("tl"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    staged = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "k",
+            (-F.col("sum_logp").cast("double") / F.col("n_bigrams")).alias("nll"),
+            (-F.col("tl").cast("double") / F.col("tb")).alias("corpus_nll"),
+        )
+        .withColumn(
+            "excess", F.greatest(F.lit(0.0), F.col("nll") - F.col("corpus_nll"))
+        )
+        .withColumn(
+            "micro",
+            F.expr("CAST(round(exp(excess) * 1e12) AS DECIMAL(38,0))"),
+        )
+        .localCheckpoint(eager=False)  # feeds the norm total AND the output
+    )
+    totm = staged.agg(F.sum("micro").alias("tm"))
+    return (
+        staged.crossJoin(F.broadcast(totm))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round("nll", 6).alias("nll"),
+            F.round("excess", 6).alias("excess_nll"),
+            F.round(
+                F.lit(1.0 - DOREMI_SMOOTH)
+                * (F.col("micro").cast("double") / F.col("tm").cast("double"))
+                + F.lit(DOREMI_SMOOTH) / F.col("k"),
+                6,
+            ).alias("doremi_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+DOREMI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {DUCK_TOKENS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+),
+bigram_counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+context_counts AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks)
+),
+model AS (
+  SELECT w1, w2,
+         CAST(ln((c12 + 1) / (c1 + v)) AS DECIMAL(20,12)) AS logp
+  FROM bigram_counts JOIN context_counts USING (w1) CROSS JOIN vocab
+),
+per_src AS (
+  SELECT source,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(logp) AS sum_logp
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_bigrams) AS DOUBLE) AS tb,
+               CAST(sum(sum_logp) AS DOUBLE) AS tl,
+               count(*) AS k
+        FROM per_src),
+staged AS (
+  SELECT source, n_docs, n_bigrams, k,
+         -CAST(sum_logp AS DOUBLE) / n_bigrams AS nll,
+         greatest(0.0, -CAST(sum_logp AS DOUBLE) / n_bigrams - (-tl / tb))
+           AS excess
+  FROM per_src CROSS JOIN tot
+),
+st2 AS (
+  SELECT *, CAST(round(exp(excess) * 1e12) AS DECIMAL(38,0)) AS micro
+  FROM staged
+),
+totm AS (SELECT CAST(sum(micro) AS DOUBLE) AS tm FROM st2)
+SELECT source, n_docs, n_bigrams,
+       round(nll, 6) AS nll,
+       round(excess, 6) AS excess_nll,
+       round({1.0 - DOREMI_SMOOTH} * (CAST(micro AS DOUBLE) / tm)
+             + {DOREMI_SMOOTH} / k, 6) AS doremi_weight
+FROM st2 CROSS JOIN totm
+ORDER BY source
+"""
+
+
+register("doremi_source_weights", doremi_source_weights, DOREMI_ORACLE)
+
+
 # -- CCNet-style perplexity bucketing ----------------------------------------
 
 

@@ -98,6 +98,10 @@ ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "hard_negative_mining": {"cartesian": (1, _QUERY_SET_BCAST)},
     # ---- broadcast 1-row totals / scalar thresholds ----
     "bigram_lm_perplexity": {"cartesian": (1, _SCALAR_BCAST)},
+    # two 1-row totals (corpus NLL + boost normalizer) over the
+    # checkpointed |sources|-row frame; Catalyst folds them into 1-2
+    # broadcast nested loops depending on stats
+    "doremi_source_weights": {"cartesian": (2, _SCALAR_BCAST)},
     "ppl_bucket_profile": {"cartesian": (1, _SCALAR_BCAST)},
     "cat_more_like_this": {"cartesian": (1, _SCALAR_BCAST)},
     "cat_significant_categories": {"cartesian": (1, _SCALAR_BCAST)},

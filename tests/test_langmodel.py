@@ -78,3 +78,33 @@ def test_ppl_buckets_partition_the_corpus_in_order(spark, sf_dir):
         1 for p in ppls if p <= ppls[k2 - 1]
     )
     assert sum(rows[b].n_docs for b in rows) == n
+
+
+def test_doremi_weights_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import langmodel as lm
+
+    assert_same(lm.doremi_source_weights(spark, sf_dir), ddb, lm.DOREMI_ORACLE)
+
+
+def test_doremi_weights_are_a_smoothed_distribution(spark, sf_dir):
+    """Weights sum to 1 (within 6dp rounding), every weight carries at
+    least the uniform-smoothing floor c/k, excess is non-negative and
+    zero for at least one source only when no source is harder than the
+    corpus average — and harder sources (higher excess NLL) never get a
+    smaller weight than easier ones."""
+    from data_catalog_spark.operators import langmodel as lm
+
+    rows = lm.doremi_source_weights(spark, sf_dir).collect()
+    assert rows
+    k = len(rows)
+    total = sum(r.doremi_weight for r in rows)
+    assert abs(total - 1.0) < k * 1e-6
+    floor = lm.DOREMI_SMOOTH / k
+    for r in rows:
+        assert r.excess_nll >= 0.0
+        assert r.doremi_weight >= floor - 1e-9
+        assert r.n_docs > 0 and r.n_bigrams >= r.n_docs
+    by_excess = sorted(rows, key=lambda r: r.excess_nll)
+    for a, b in zip(by_excess, by_excess[1:]):
+        assert a.doremi_weight <= b.doremi_weight + 1e-9
