@@ -151,6 +151,7 @@ HEADLINE = [
     "dedup_cluster_components",
     "benchmark_contamination_report",
     "doremi_source_weights",
+    "docs_quality_signals",
 ]
 
 

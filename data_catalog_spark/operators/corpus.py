@@ -37,6 +37,7 @@ from .text import (
     LANG_MARKERS,
     SPARK_TOKENS,
     _BPE_SQL,
+    _LANG_ORDER,
     _STOPWORDS,
     duck_stop_count,
     spark_stop_count,
@@ -820,3 +821,177 @@ ORDER BY method, cluster_size
 register(
     "dedup_cluster_histogram", dedup_cluster_histogram, DUP_HISTOGRAM_ORACLE
 )
+
+
+# -- per-document quality-signals table (the Dolma/RedPajama artifact) ---------
+#
+# Every published pre-training corpus ships a SIGNALS table next to the
+# text: one wide row per document with the quality features the filter
+# thresholds were derived from, so downstream users can re-threshold
+# without re-running the tagger sweep (Dolma's attributes files,
+# RedPajama-v2's quality_signals).  The individual signals above each
+# have their own oracle-checked entry; this is their ONE-PASS composition
+# — the corpus is tokenized exactly once (a checkpointed slim frame), and
+# every signal reads that frame:
+#
+# - map-only: size/char/alpha/stopword/avg-token-length features, the
+#   marker-word language prediction, n_unique + dup_ratio via
+#   array_distinct, and the exact-content fingerprint;
+# - one fp-partitioned window for the exact-dup flag (keyed shuffle,
+#   never global);
+# - one explode + two-level aggregation for top_token_frac (map-side
+#   partial counts), joined back on doc_id.
+#
+# quality_keep repeats the text_quality thresholds over the ROUNDED
+# ratios (the corpus_training_filter convention), so the verdict here is
+# bit-consistent with the standalone gate.
+
+
+def docs_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_unique_tokens, alpha_ratio,
+    stop_ratio, avg_token_len, top_token_frac, dup_ratio, lang_pred,
+    is_exact_dup, quality_keep) — one row per document, ordered."""
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .withColumn("t", F.expr(SPARK_TOKENS))
+        .select(
+            "doc_id",
+            "t",
+            F.length("text").cast("long").alias("n_chars"),
+            F.round(
+                F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+                / F.length("text"),
+                6,
+            ).alias("alpha_ratio"),
+        )
+        .localCheckpoint(eager=False)  # tokenize once: window arm + explode arm
+    )
+    s = {}
+    m = base
+    for lang in _LANG_ORDER:
+        arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        m = m.withColumn(
+            f"s_{lang}",
+            F.expr(f"size(array_intersect(t, array({arr})))").cast("int"),
+        )
+        s[lang] = F.col(f"s_{lang}")
+    pred = (
+        F.when(
+            (s["en"] > 0)
+            & (s["en"] >= s["de"])
+            & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["de"] > 0) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["es"] > 0) & (s["es"] >= s["fr"]), "es")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    m = (
+        m.withColumn("n_tokens", F.expr("size(t)").cast("long"))
+        .withColumn(
+            "stop_ratio",
+            F.round(
+                F.expr(spark_stop_count(_STOPWORDS)) / F.col("n_tokens"), 6
+            ),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.expr("aggregate(t, 0, (a, x) -> a + length(x))")
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .withColumn(
+            "n_unique_tokens", F.expr("size(array_distinct(t))").cast("long")
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(1 - F.col("n_unique_tokens") / F.col("n_tokens"), 6),
+        )
+        .withColumn("lang_pred", pred)
+        .withColumn("fp", F.md5(F.expr("concat_ws(' ', t)")))
+        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
+    )
+    top = (
+        base.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"))
+    )
+    return (
+        m.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "n_unique_tokens",
+            "alpha_ratio",
+            "stop_ratio",
+            "avg_token_len",
+            "top_token_frac",
+            "dup_ratio",
+            "lang_pred",
+            (F.col("doc_id") != F.col("keeper")).alias("is_exact_dup"),
+            (
+                (F.col("n_tokens") >= 5)
+                & (F.col("alpha_ratio") >= 0.6)
+                & (F.col("stop_ratio") <= 0.5)
+            ).alias("quality_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _signals_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    de = ", ".join(f"'{w}'" for w in LANG_MARKERS["de"])
+    es = ", ".join(f"'{w}'" for w in LANG_MARKERS["es"])
+    fr = ", ".join(f"'{w}'" for w in LANG_MARKERS["fr"])
+    stops = duck_stop_count(_STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, text, {DUCK_TOKENS} AS t FROM documents),
+m AS (
+  SELECT doc_id, t,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / length(text), 6) AS alpha_ratio,
+         round({stops} / len(t), 6) AS stop_ratio,
+         round(list_sum(list_transform(t, x -> length(x))) / len(t), 6)
+           AS avg_token_len,
+         round(1 - len(list_distinct(t)) * 1.0 / len(t), 6) AS dup_ratio,
+         len(list_intersect(t, [{en}])) AS s_en,
+         len(list_intersect(t, [{de}])) AS s_de,
+         len(list_intersect(t, [{es}])) AS s_es,
+         len(list_intersect(t, [{fr}])) AS s_fr,
+         min(doc_id) OVER (PARTITION BY md5(array_to_string(t, ' ')))
+           AS keeper
+  FROM d),
+top AS (
+  SELECT doc_id, round(MAX(c) * 1.0 / SUM(c), 6) AS top_token_frac
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id)
+SELECT m.doc_id, n_chars, n_tokens, n_unique_tokens, alpha_ratio,
+       stop_ratio, avg_token_len, top_token_frac, dup_ratio,
+       CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+              THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       m.doc_id <> keeper AS is_exact_dup,
+       (n_tokens >= 5 AND alpha_ratio >= 0.6 AND stop_ratio <= 0.5)
+         AS quality_keep
+FROM m LEFT JOIN top USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+
+register("docs_quality_signals", docs_quality_signals, _signals_oracle())

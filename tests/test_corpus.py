@@ -295,3 +295,40 @@ def test_dedup_cluster_histogram_accounts_for_every_clustered_doc(spark, sf_dir)
     for r in hist:
         assert r.cluster_size >= 2
         assert r.n_dropped == r.n_docs - r.n_clusters
+
+
+def test_quality_signals_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.docs_quality_signals(spark, sf_dir), ddb, corpus._signals_oracle()
+    )
+
+
+def test_quality_signals_agree_with_standalone_entries(spark, sf_dir):
+    """The one-pass bundle must be bit-consistent with the standalone
+    oracle-checked entries it composes: text_quality's verdict and
+    ratios, text_langid's prediction, docs_intra_dedup's dup_ratio and
+    top_token_frac, and dedup_exact's duplicate flags."""
+    from data_catalog_spark.operators import dedup, text, traindata
+
+    sig = {r.doc_id: r for r in corpus.docs_quality_signals(spark, sf_dir).collect()}
+    assert sig
+    for r in text.text_quality(spark, sf_dir).collect():
+        s = sig[r.doc_id]
+        assert (s.n_chars, s.n_tokens) == (r.n_chars, r.n_tokens)
+        assert (s.alpha_ratio, s.stop_ratio, s.avg_token_len) == (
+            r.alpha_ratio, r.stop_ratio, r.avg_token_len,
+        )
+        assert s.quality_keep == r.keep
+    for r in text.text_langid(spark, sf_dir).collect():
+        assert sig[r.doc_id].lang_pred == r.lang_pred
+    for r in traindata.docs_intra_dedup(spark, sf_dir).collect():
+        s = sig[r.doc_id]
+        # intra_dedup splits on raw whitespace; the bundle uses the shared
+        # token regex — counts agree on this corpus, ratios must too
+        assert s.dup_ratio == r.dup_ratio
+        assert s.top_token_frac == r.top_token_frac
+    dup_docs = set()
+    for p in dedup.dedup_exact(spark, sf_dir).collect():
+        dup_docs.add(p.doc_id)
+    flagged = {d for d, s in sig.items() if s.is_exact_dup}
+    assert flagged == dup_docs
