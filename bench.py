@@ -152,6 +152,7 @@ HEADLINE = [
     "benchmark_contamination_report",
     "doremi_source_weights",
     "docs_quality_signals",
+    "stream_contamination_gate",
 ]
 
 

@@ -96,3 +96,40 @@ def test_stream_quality_profile_is_two_classes(spark, sf_dir):
     assert [r.keep for r in rows] == [False, True]
     for r in rows:
         assert r.n_docs > 0 and 0.0 <= r.mean_prob <= 1.0
+
+
+def test_stream_contamination_gate_equals_batch(spark, sf_dir, ddb):
+    """Ingest-time gate twin: the eval grams ride as a literal into a
+    stateless map, so the availableNow stream profile matches the batch
+    oracle bit-for-bit."""
+    from data_catalog_spark.streaming.quality import (
+        _contamination_gate_oracle,
+        stream_contamination_gate,
+    )
+
+    assert_same(
+        stream_contamination_gate(spark, sf_dir),
+        ddb,
+        _contamination_gate_oracle(),
+    )
+
+
+def test_stream_contamination_gate_consistent_with_report(spark, sf_dir):
+    """The gate's corpus-wide dirty-doc total equals the per-item
+    report's distinct collision set size cannot be compared directly
+    (a doc can hit several items), but both must agree that SOME docs
+    collide and that every contaminated doc carries at least one eval
+    gram verbatim."""
+    from data_catalog_spark.operators.traindata import (
+        benchmark_contamination_report,
+    )
+    from data_catalog_spark.streaming.quality import stream_contamination_gate
+
+    gate = stream_contamination_gate(spark, sf_dir).collect()
+    assert gate and all(0.0 <= r.contamination_rate <= 1.0 for r in gate)
+    n_dirty_docs = sum(r.n_contaminated for r in gate)
+    report = benchmark_contamination_report(spark, sf_dir).collect()
+    n_docs_hit = max(r.n_docs_hit for r in report)
+    # the report's per-item doc hits are a lower bound on the gate's
+    # union count, and both sides must see contamination on this corpus
+    assert n_dirty_docs >= n_docs_hit > 0
