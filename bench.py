@@ -162,24 +162,50 @@ HEADLINE = [
 # — r9 verdict ask #4 makes the record self-adjudicating).
 LOAD_QUIET_MAX = 2.0
 
+# Run-pair spread above this ⇒ a co-tenant burst most likely hit one of
+# the runs (r10 verdict ask #1: a QUIET-verdicted round still contained a
+# [5.1, 34.6] s pair).  Flagged entries get ONE extra run so best-of has a
+# third chance at a quiet window, and the entry is recorded as
+# ``load_suspect`` so nobody reads its number as a regression.
+SUSPECT_SPREAD = 2.5
+SUSPECT_MIN_SEC = 0.5  # sub-second jitter is scheduler noise, not a burst
+
+
+def is_load_suspect(runs: list[float]) -> bool:
+    """True when the spread across this entry's timed runs says a burst
+    landed mid-entry: max/min > SUSPECT_SPREAD with the slow run big
+    enough (>SUSPECT_MIN_SEC) that it can't be per-run scheduling noise."""
+    if len(runs) < 2:
+        return False
+    lo, hi = min(runs), max(runs)
+    return hi > SUSPECT_MIN_SEC and lo > 0 and hi / lo > SUSPECT_SPREAD
+
 
 def load_evidence(before: float | None, after: float | None) -> dict:
     """The load fields embedded in every bench record.  The verdict keys
     on the PRE-run 1-min average: that is the ambient co-tenant load —
     the post-run value mostly measures bench's own local[32] work and is
-    recorded for completeness only."""
+    recorded for completeness only.  The verdict is computed from the
+    ROUNDED value that is actually recorded, so a committed record can
+    never show load_before == LOAD_QUIET_MAX with verdict QUIET
+    (before=1.9996 used to round up into a self-contradictory row)."""
+    before_r = None if before is None else round(before, 2)
+    after_r = None if after is None else round(after, 2)
     verdict = None
-    if before is not None:
-        verdict = "QUIET" if before < LOAD_QUIET_MAX else "LOADED"
+    if before_r is not None:
+        verdict = "QUIET" if before_r < LOAD_QUIET_MAX else "LOADED"
     return {
-        "load_before": None if before is None else round(before, 2),
-        "load_after": None if after is None else round(after, 2),
+        "load_before": before_r,
+        "load_after": after_r,
         "load_verdict": verdict,
     }
 
 
 def headline_line(
-    timings: dict[str, float], sf: float | None, load: dict | None = None
+    timings: dict[str, float],
+    sf: float | None,
+    load: dict | None = None,
+    suspects: list[str] | None = None,
 ) -> str:
     """Build the FINAL stdout line: compact (< 1 KiB) and json.loads-able.
 
@@ -194,6 +220,10 @@ def headline_line(
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        # burst-tainted entries (run-pair spread > SUSPECT_SPREAD even
+        # after a third run): the count rides the compact line; the names
+        # + per-run loadavg samples live in BENCH_RUNS.json.
+        "n_suspect": len(suspects or []),
     }
     base.update(load or load_evidence(None, None))
     # Add the slowest queries one at a time while the line stays < 1000 B.
@@ -232,33 +262,59 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
+    suspects: list[str] = []
     for name in names:
-        runs = []
-        for _ in range(2):
+        runs: list[float] = []
+        lavg: list[float] = []
+
+        def timed_run() -> None:
+            lavg.append(round(os.getloadavg()[0], 2))
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
             runs.append(round(time.time() - t0, 3))
+
+        for _ in range(2):
+            timed_run()
+        if is_load_suspect(runs):
+            # one retry: a burst that hit one of the first two runs gets a
+            # third chance at a quiet window; if the spread persists the
+            # entry is recorded as load_suspect (r10 verdict ask #1).
+            timed_run()
+            if is_load_suspect(runs):
+                suspects.append(name)
         timings[name] = min(runs)
         spreads[name] = runs
+        loads[name] = lavg
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     load = load_evidence(load_before, os.getloadavg()[0])
-    # Per-run spread goes to a sidecar file (box variance stays separable
-    # from regression) so the LAST stdout line stays compact enough for the
-    # driver's tail capture — round 4's inline spread made it unparseable.
+    # Per-run spread + per-query ambient loadavg samples go to a sidecar
+    # file (box variance stays separable from regression) so the LAST
+    # stdout line stays compact enough for the driver's tail capture —
+    # round 4's inline spread made it unparseable.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"),
             "w",
         ) as fh:
-            json.dump({"runs": spreads, "sf": sf, **load}, fh)
+            json.dump(
+                {
+                    "runs": spreads,
+                    "loads": loads,
+                    "suspects": suspects,
+                    "sf": sf,
+                    **load,
+                },
+                fh,
+            )
     except OSError:
         pass
     # Full per-query detail on its own line (NOT last — driver tail-captures
     # only the final line, which must stay compact; see headline_line).
-    print(json.dumps({"queries": timings}))
-    print(headline_line(timings, sf, load))
+    print(json.dumps({"queries": timings, "suspects": suspects}))
+    print(headline_line(timings, sf, load, suspects))
     spark.stop()
 
 

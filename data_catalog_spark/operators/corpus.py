@@ -135,54 +135,113 @@ ORDER BY doc_id
 
 # -- dup-cluster resolution (iterative connected components) -----------------
 
-MAX_CC_ROUNDS = 20
+# Runaway bound on large-star/small-star rounds.  The alternating
+# algorithm converges in O(log n) rounds in practice (O(log^2 n) proven),
+# so 50 covers any graph that fits on disk — r10's min-label loop needed
+# O(graph DIAMETER) rounds, which a chain-shaped near-dup component
+# (common in URL/boilerplate graphs) blows through at crawl scale.
+MAX_CC_ROUNDS = 50
+
+# Large-star (Kiveris et al. 2014, "Connected Components in MapReduce and
+# Beyond"): for every node u, point all STRICTLY LARGER neighbors at the
+# minimum of u's closed neighborhood.  One partition-keyed window (shuffle
+# on u), no join; DISTINCT collapses multi-edges so the edge set stays
+# bounded by the input.
+_LARGE_STAR_SQL = """
+WITH bi AS (SELECT a AS u, b AS v FROM __cc_edges
+            UNION ALL SELECT b AS u, a AS v FROM __cc_edges),
+w AS (SELECT u, v, least(u, min(v) OVER (PARTITION BY u)) AS m FROM bi)
+SELECT DISTINCT v AS a, m AS b FROM w WHERE v > u
+"""
+
+# Small-star: direct every edge large→small, then for every node u point
+# all (smaller) neighbors — and u itself — at the minimum neighbor.
+# Same shape: one partition-keyed window, no join.
+_SMALL_STAR_SQL = """
+WITH d AS (SELECT greatest(a, b) AS u, least(a, b) AS v
+           FROM __cc_edges WHERE a <> b),
+w AS (SELECT u, v, min(v) OVER (PARTITION BY u) AS m FROM d)
+SELECT DISTINCT a, b FROM (
+  SELECT v AS a, m AS b FROM w WHERE v <> m
+  UNION ALL
+  SELECT u AS a, m AS b FROM w
+) s
+"""
 
 
 def _connected_components(edges: DataFrame) -> DataFrame:
     """(node, label) with label = min node reachable through the undirected
-    pair graph.  Driver loop runs min-label propagation to fixpoint (≤ graph
-    diameter rounds); per round ONE analyzed spark.sql statement (join +
-    groupBy on the node key) — the two-statement finding applied to a loop:
-    the DataFrame-composed rounds paid eager per-op re-analysis every
-    iteration.  localCheckpoint truncates the iterative lineage so plan
-    size stays O(1) in rounds; convergence is a 1-scalar count.  ``edges``
-    must have columns (a, b), one row per directed pair."""
+    pair graph.  Alternating large-star/small-star (Kiveris et al. 2014):
+    each round is TWO analyzed spark.sql statements — one partition-keyed
+    window shuffle each, never a join — and contracts every component
+    toward a star rooted at its minimum node in O(log n) rounds, not the
+    O(diameter) rounds of r10's min-label propagation (a 10k-node chain
+    converges in ~15 rounds here vs 10k there; pinned by
+    tests/test_corpus.py chain stress).  localCheckpoint truncates the
+    iterative lineage so plan size stays O(1) in rounds; convergence is
+    edge-set stability (two scalar counts on the already-checkpointed
+    frame).  ``edges`` must have columns (a, b), one row per pair (either
+    or both directions; self-loops and duplicates are tolerated)."""
     spark = edges.sparkSession
-    edges = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = edges.localCheckpoint()
-    edges.createOrReplaceTempView("__cc_edges")
-    labels = spark.sql(
-        "SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM __cc_edges)"
+    # normalize: undirected edge set, one (greater, lesser) row per pair
+    cur = (
+        edges.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    step = """
-WITH msgs AS (
-  SELECT e.b AS node2, min(l.label) AS nbr_min
-  FROM __cc_edges e JOIN __cc_labels l ON e.a = l.node
-  GROUP BY e.b)
-SELECT node,
-       least(label, coalesce(nbr_min, label)) AS new_label,
-       label
-FROM __cc_labels LEFT OUTER JOIN msgs ON node = node2
-"""
-    changed = -1
+    n_cur = cur.count()
+    converged = False
     for _ in range(MAX_CC_ROUNDS):
-        labels.createOrReplaceTempView("__cc_labels")
-        new = spark.sql(step).localCheckpoint()  # truncate iterative lineage
-        changed = new.where(F.col("new_label") < F.col("label")).count()
-        labels = new.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
+        if n_cur == 0:
+            converged = True
             break
-    if changed != 0:
-        # A component whose diameter exceeds the round cap would otherwise
-        # return SILENTLY split clusters (and diverge from the oracles'
-        # exact recursive closure).  Fail loudly — the cap is a runaway
-        # bound, not an approximation knob.
+        cur.createOrReplaceTempView("__cc_edges")
+        spark.sql(_LARGE_STAR_SQL).localCheckpoint().createOrReplaceTempView(
+            "__cc_edges"
+        )
+        new = spark.sql(_SMALL_STAR_SQL).localCheckpoint()
+        n_new = new.count()
+        # both sides are DISTINCT sets in (greater, lesser) orientation, so
+        # equal count + empty one-sided difference ⇔ set equality
+        if n_new == n_cur and new.exceptAll(cur).count() == 0:
+            cur, n_cur = new, n_new
+            converged = True
+            break
+        cur, n_cur = new, n_new
+    if not converged:
+        # A graph that somehow fails to stabilize would otherwise return
+        # SILENTLY split clusters (and diverge from the oracles' exact
+        # recursive closure).  Fail loudly — the cap is a runaway bound,
+        # not an approximation knob.
         raise RuntimeError(
             f"connected components did not converge in {MAX_CC_ROUNDS} "
-            f"rounds ({changed} labels still moving) — raise MAX_CC_ROUNDS "
-            "for graphs with diameter beyond the cap"
+            "large-star/small-star rounds — raise MAX_CC_ROUNDS"
         )
-    return labels
+    # Star-forest postcondition: no node is both a source and a root.  The
+    # star ops preserve connectivity, the component minimum can never point
+    # anywhere (nothing smaller exists), and a height-1 forest with that
+    # invariant IS the exact min-labeled closure — this check turns any
+    # convergence-theory gap into a loud error instead of a wrong answer.
+    stats = cur.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("a").alias("na")
+    ).first()
+    if stats.n != stats.na or (
+        cur.alias("x")
+        .join(cur.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi")
+        .count()
+        != 0
+    ):
+        raise RuntimeError(
+            "connected components: converged edge set is not a star forest"
+        )
+    return cur.select(
+        F.col("a").alias("node"), F.col("b").alias("label")
+    ).unionAll(
+        cur.select(F.col("b").alias("node"), F.col("b").alias("label")).distinct()
+    )
 
 
 # Resolved cluster labels memoized per (session, Spark application,
@@ -899,7 +958,11 @@ def docs_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "avg_token_len",
             F.round(
-                F.expr("aggregate(t, 0, (a, x) -> a + length(x))")
+                # BIGINT accumulator — same spelling as text.py's
+                # text_quality so the composed signals stay bit-consistent
+                # while removing the 32-bit wrap on pathological inputs
+                # (r10 ADVICE).
+                F.expr("aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
                 / F.col("n_tokens"),
                 6,
             ),

@@ -126,7 +126,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("stop_ratio"),
             F.round(
-                F.expr("aggregate(t, 0, (a, x) -> a + length(x))") / F.expr("size(t)"),
+                # BIGINT accumulator: an int-literal zero makes the fold
+                # 32-bit, silently wrapping on >2^31 total token chars in
+                # non-ANSI Spark while the DuckDB oracle's sum does not
+                # (r10 ADVICE); corpus.py's quality-signals twin uses the
+                # same spelling for bit-consistency.
+                F.expr("aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+                / F.expr("size(t)"),
                 6,
             ).alias("avg_token_len"),
         )

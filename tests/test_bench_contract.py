@@ -9,7 +9,13 @@ regress a third time.
 import json
 import random
 
-from bench import LOAD_QUIET_MAX, headline_line, load_evidence
+from bench import (
+    LOAD_QUIET_MAX,
+    SUSPECT_SPREAD,
+    headline_line,
+    is_load_suspect,
+    load_evidence,
+)
 
 
 def _fake_timings(n: int) -> dict:
@@ -78,3 +84,44 @@ def test_bench_records_are_load_self_adjudicating():
     # omitted load still emits the keys (schema stability for the driver)
     obj = json.loads(headline_line(_fake_timings(3), sf=0.1))
     assert obj["load_verdict"] is None
+
+
+def test_load_verdict_computed_from_recorded_rounded_value():
+    """r10 ADVICE: the verdict must key on the ROUNDED value that lands in
+    the record — before=1.9996 rounds to 2.0 and must therefore read
+    LOADED, never a self-contradictory (load_before=2.0, QUIET) row."""
+    ev = load_evidence(1.9996, None)
+    assert ev["load_before"] == 2.0
+    assert ev["load_verdict"] == "LOADED"
+    ev = load_evidence(1.994, None)
+    assert ev["load_before"] == 1.99
+    assert ev["load_verdict"] == "QUIET"
+
+
+def test_is_load_suspect_flags_burst_pairs():
+    """r10 verdict ask #1: entries whose run pair differs by more than
+    SUSPECT_SPREAD are burst-tainted and must self-identify."""
+    assert SUSPECT_SPREAD == 2.5
+    assert is_load_suspect([5.1, 34.6])  # the judge's r10 observed pair
+    assert is_load_suspect([1.0, 2.51])
+    assert not is_load_suspect([1.0, 2.49])
+    assert not is_load_suspect([2.0, 2.2])
+    # sub-second jitter is scheduler noise, not a co-tenant burst
+    assert not is_load_suspect([0.05, 0.4])
+    # a third quiet run does NOT clear the flag if the spread persists
+    assert is_load_suspect([5.1, 34.6, 5.0])
+    assert not is_load_suspect([5.1])
+    assert not is_load_suspect([])
+
+
+def test_headline_line_carries_suspect_count():
+    ev = load_evidence(0.5, 3.0)
+    line = headline_line(
+        _fake_timings(78), sf=0.1, load=ev, suspects=["a", "b"]
+    )
+    assert len(line) < 1024
+    obj = json.loads(line)
+    assert obj["n_suspect"] == 2
+    # default: zero suspects, key still present (schema stability)
+    obj = json.loads(headline_line(_fake_timings(3), sf=0.1))
+    assert obj["n_suspect"] == 0

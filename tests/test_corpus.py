@@ -68,6 +68,41 @@ def test_cluster_components_transitive_over_minhash_pairs(spark, sf_dir):
         assert sizes[doc] == members[cl]
 
 
+def test_connected_components_chain_stress(spark):
+    """r10 verdict ask #2: a chain-shaped component (diameter = n) must
+    resolve within the round budget.  The old min-label propagation needed
+    O(diameter) rounds — a 10k-node chain would have blown MAX_CC_ROUNDS
+    (20) by 500×; large-star/small-star contracts it in O(log n) rounds."""
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
+    labels = corpus._connected_components(edges).collect()
+    assert len(labels) == n
+    assert {r.node for r in labels} == set(range(n))
+    assert all(r.label == 0 for r in labels)
+
+
+def test_connected_components_synthetic_graphs(spark):
+    """Exact min-labels on mixed shapes: several components, duplicate +
+    reversed + self-loop edges tolerated, star postcondition holds."""
+    rows = [
+        # component {1,2,3,9}: chain 9-3, 3-2, 2-1 given in mixed order
+        (9, 3), (2, 1), (3, 2), (2, 3),  # duplicate reversed edge
+        (5, 5),  # self-loop only — must not crash (node drops out: no pair)
+        # component {10, 20, 30}: star around 20
+        (20, 10), (20, 30),
+        # component {7, 8}
+        (8, 7),
+    ]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    got = {r.node: r.label for r in corpus._connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 10: 10, 20: 10, 30: 10, 7: 7, 8: 7}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "a long, b long")
+    assert corpus._connected_components(edges).count() == 0
+
+
 def test_cluster_histogram_reports_both_lanes(spark, sf_dir):
     """The histogram's per-method doc totals must equal each lane's label
     count — the LSH-vs-exact comparison is only meaningful if both lanes

@@ -155,3 +155,64 @@ def test_session_cache_is_bounded():
     assert lru.get(1, "k") == "a" and lru.get(3, "k") == "c"
     lru.drop_session(1)
     assert lru.get(1, "k") is None
+
+
+class _FakeCached:
+    """Stands in for a cached/localCheckpoint'd DataFrame."""
+
+    def __init__(self):
+        self.unpersisted = False
+
+    def unpersist(self, blocking=False):
+        self.unpersisted = True
+
+
+def test_session_cache_eviction_unpersists():
+    """r10 ADVICE: eviction must not rely on the GC → py4j → ContextCleaner
+    chain alone — evicted DataFrames (also inside tuples/dicts) get a
+    best-effort immediate unpersist."""
+    from data_catalog_spark.operators.session_cache import SessionLRU
+
+    lru = SessionLRU(max_sessions=1)
+    a, b, c = _FakeCached(), _FakeCached(), _FakeCached()
+    lru.put(1, "k", a)
+    lru.put(1, "k2", (b, "label"))  # tuple bundles release their frames
+    lru.put(2, "k", {"x": c})  # admits session 2 → evicts session 1
+    assert a.unpersisted and b.unpersisted
+    assert not c.unpersisted
+    lru.drop_session(2)
+    assert c.unpersisted
+    d = _FakeCached()
+    lru.put(3, "k", d)
+    lru.clear()
+    assert d.unpersisted
+
+
+def test_session_cache_is_thread_safe():
+    """Spark drivers submit jobs from multiple threads; concurrent put/get
+    against the shared store must not corrupt the OrderedDict (r10
+    ADVICE)."""
+    import threading
+
+    from data_catalog_spark.operators.session_cache import SessionLRU
+
+    lru = SessionLRU(max_sessions=3)
+    errors = []
+
+    def worker(tid: int) -> None:
+        try:
+            for i in range(300):
+                lru.put(tid % 5, i % 7, i)
+                lru.get((tid + 1) % 5, i % 7)
+                if i % 50 == 0:
+                    lru.sessions()
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(lru.sessions()) <= 3
