@@ -153,6 +153,9 @@ HEADLINE = [
     "doremi_source_weights",
     "docs_quality_signals",
     "stream_contamination_gate",
+    # round 11 additions
+    "ann_recall_contract",
+    "tokenizer_fertility",
 ]
 
 

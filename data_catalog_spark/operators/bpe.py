@@ -232,3 +232,97 @@ GROUP BY source ORDER BY source"""
 BPE_ENCODE_ORACLE = _bpe_encode_oracle()
 
 register("bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_ORACLE)
+
+
+# -- tokenizer fertility per (source, lang) cell -------------------------------
+#
+# The mixture-design artifact real pipelines read before fixing source
+# weights (r10 verdict ask #6): per (source, language) cell, how well the
+# TRAINED tokenizer fits that slice — fertility (subword tokens per word),
+# bytes per token (compression), and the OOV rate (fraction of word
+# occurrences the merge list cannot reduce to a single vocab unit — with
+# open-vocab BPE nothing is truly out-of-vocabulary, so "still multi-piece
+# after all merges" is the standard fertility-style proxy).  A cell whose
+# fertility/bytes-per-token is far off the corpus mean is a cell the
+# tokenizer underserves — the signal used to rebalance training mixtures
+# or retrain the vocab.  Same scale shape as bpe_encode_corpus: ONE corpus
+# pass builds the (source, lang, word) stream; the merge-replace chain runs
+# on the DISTINCT-word table only; the final report is one grouped
+# aggregation joined through the word table.
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, n_docs, n_words, n_subwords, fertility,
+    bytes_per_token, oov_rate) under the merges learned by
+    ``bpe_train_merges`` — the per-cell tokenizer-fit report."""
+    merges = [
+        (r.first, r.second)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    enc = _framed("word")
+    for a, b in merges:
+        enc = f"replace({enc}, '_{a}__{b}_', '_{a}{b}_')"
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("__bpe_docs")
+    return spark.sql(
+        f"""
+WITH toks AS (SELECT doc_id, source, lang, {SPARK_TOKENS} AS t FROM __bpe_docs),
+stream AS (SELECT doc_id, source, lang, explode(t) AS word FROM toks),
+words AS (SELECT DISTINCT word FROM stream),
+wq AS (SELECT word,
+       CAST(size(filter(split({enc}, '_'), x -> x != '')) AS BIGINT) AS n_sub,
+       CAST(octet_length(word) AS BIGINT) AS n_bytes
+       FROM words)
+SELECT source, lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(sum(n_sub) / count(*), 6) AS fertility,
+       round(sum(n_bytes) / sum(n_sub), 6) AS bytes_per_token,
+       round(sum(CASE WHEN n_sub > 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS oov_rate
+FROM stream JOIN wq USING (word)
+GROUP BY source, lang ORDER BY source, lang
+"""
+    )
+
+
+def _fertility_oracle() -> str:
+    """Shares ``_bpe_encode_oracle``'s structure: replay training, apply
+    the data-driven merge chain to the distinct-word table, then the
+    per-(source, lang) grouped report.  ``strlen`` = BYTE length in DuckDB
+    (its ``length`` counts characters), matching Spark's octet_length."""
+    parts = [
+        _train_ctes(),
+        """stream AS (SELECT doc_id, source, lang, unnest({toks}) AS word
+        FROM documents),
+words AS (SELECT DISTINCT word FROM stream),
+ew0 AS (SELECT word, '__' || regexp_replace(word, '(.)', '\\1__', 'g') AS w
+        FROM words),""".replace("{toks}", DUCK_TOKENS),
+    ]
+    for i in range(1, N_MERGES + 1):
+        parts.append(
+            f"""ew{i} AS MATERIALIZED (SELECT word, replace(w,
+    COALESCE((SELECT '_' || first || '__' || second || '_' FROM win{i}), '~'),
+    COALESCE((SELECT '_' || first || second || '_' FROM win{i}), '~')) AS w
+    FROM ew{i - 1}),"""
+        )
+    parts.append(
+        f"""wq AS (SELECT word,
+    CAST(len(list_filter(string_split(w, '_'), x -> x <> '')) AS BIGINT) AS n_sub,
+    CAST(strlen(word) AS BIGINT) AS n_bytes
+    FROM ew{N_MERGES})
+SELECT source, lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(sum(n_sub) / count(*), 6) AS fertility,
+       round(sum(n_bytes) / sum(n_sub), 6) AS bytes_per_token,
+       round(sum(CASE WHEN n_sub > 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS oov_rate
+FROM stream JOIN wq USING (word)
+GROUP BY source, lang ORDER BY source, lang"""
+    )
+    return "\n".join(parts)
+
+
+register("tokenizer_fertility", tokenizer_fertility, _fertility_oracle())

@@ -35,6 +35,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         agg_extras,
         analytics,
+        ann_contract,
         bloom,
         bpe,
         cdc,

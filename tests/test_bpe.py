@@ -131,3 +131,38 @@ def test_bpe_encode_corpus_parity_and_compression(spark, sf_dir, ddb):
     )
     assert total_sub < total_chars
     assert_same(df, ddb, bpe.BPE_ENCODE_ORACLE)
+
+
+def test_tokenizer_fertility_parity_and_bounds(spark, sf_dir, ddb):
+    from conftest import assert_same
+    from data_catalog_spark.operators import bpe
+
+    df = bpe.tokenizer_fertility(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "per-(source, lang) cells must be non-empty"
+    assert len({(r.source, r.lang) for r in rows}) == len(rows)
+    for r in rows:
+        assert r.fertility >= 1.0  # merges only fuse; never below 1 piece
+        assert r.n_subwords >= r.n_words
+        assert 0.0 <= r.oov_rate <= 1.0
+        # bytes/token ∈ (0, max-word-bytes]; with fertility>1 it sits near
+        # the per-piece average — just pin positivity + a sane ceiling
+        assert 0.0 < r.bytes_per_token <= 64.0
+    assert_same(df, ddb, bpe._fertility_oracle())
+
+
+def test_tokenizer_fertility_consistent_with_encode_corpus(spark, sf_dir):
+    """Marginalizing the per-(source, lang) cells over lang must reproduce
+    bpe_encode_corpus's per-source totals — same merges, same stream."""
+    from collections import defaultdict
+
+    from data_catalog_spark.operators import bpe
+
+    cells = bpe.tokenizer_fertility(spark, sf_dir).collect()
+    per_source = defaultdict(lambda: [0, 0])
+    for r in cells:
+        per_source[r.source][0] += r.n_words
+        per_source[r.source][1] += r.n_subwords
+    for e in bpe.bpe_encode_corpus(spark, sf_dir).collect():
+        assert per_source[e.source][0] == e.n_words
+        assert per_source[e.source][1] == e.n_subwords
