@@ -156,6 +156,8 @@ HEADLINE = [
     # round 11 additions
     "ann_recall_contract",
     "tokenizer_fertility",
+    "ann_pq_reload_topk",
+    "dedup_clusters_reload",
 ]
 
 

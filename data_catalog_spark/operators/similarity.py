@@ -884,14 +884,17 @@ _PQ_CORPUS_CACHE = SessionLRU()
 
 
 def _pq_parts(
-    spark: SparkSession, sf_dir: str, books=None
+    spark: SparkSession, sf_dir: str, books=None, codes: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the PQ pipeline's three relations: the normalized embedding
     table ``e``, the query subset, and the compressed-domain candidate
     ``pool`` (qid, nid survivors of the ADC rank cut).  Split out so tests
     can pin the pool's plan independently of the exact re-rank stage.
     ``books`` defaults to the frozen pretrained codebooks; the trained-
-    in-run variant (ann_pq_trained_topk) passes its own."""
+    in-run variant (ann_pq_trained_topk) passes its own.  ``codes``
+    overrides the coded-corpus (vec_id, codes) relation — the persisted-
+    index path (ann_pq_reload_topk) supplies the parquet-loaded code
+    table here so the ADC scan runs off the reloaded artifact."""
     kind = "pq-frozen"
     if books is None:
         from .ann_models import PQ_CODEBOOKS as books
@@ -941,16 +944,19 @@ def _pq_parts(
         st.st_size,
         kind,
     )
-    corpus = _PQ_CORPUS_CACHE.get(id(spark), key)
-    if corpus is None:
-        corpus = (
-            e.where(F.col("vec_id") >= N_QUERIES)
-            .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-            .withColumn("dists", F.expr(dists_expr))
-            .localCheckpoint(eager=False)
-            .withColumn("codes", F.expr(code_expr))
-        )
-        _PQ_CORPUS_CACHE.put(id(spark), key, corpus)
+    if codes is not None:
+        corpus = codes
+    else:
+        corpus = _PQ_CORPUS_CACHE.get(id(spark), key)
+        if corpus is None:
+            corpus = (
+                e.where(F.col("vec_id") >= N_QUERIES)
+                .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+                .withColumn("dists", F.expr(dists_expr))
+                .localCheckpoint(eager=False)
+                .withColumn("codes", F.expr(code_expr))
+            )
+            _PQ_CORPUS_CACHE.put(id(spark), key, corpus)
     queries = e.where(F.col("vec_id") < N_QUERIES)
     # Classic ADC lookup tables, built ONCE per query row on the broadcast
     # side: lut[m][j] = ||q_slice_m − cb[m][j]||².  Per (query, corpus)
@@ -1036,6 +1042,68 @@ def _pq_exact_rerank(e, queries, pool) -> DataFrame:
         .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("qid", "rank")
     )
+
+
+# -- persisted PQ index: restart-survivable reload parity ----------------------
+#
+# The memoized coded corpus above (_PQ_CORPUS_CACHE) dies with the Spark
+# application — a deployment restart pays the full corpus-coding pass
+# again.  This entry exercises the REAL index lifecycle (r10 verdict ask
+# #4): the code table is saved to parquet under a content key
+# (persist.py), a FRESH SparkSession (newSession — empty memo stores,
+# separate temp-view catalog) loads it back, and the search runs entirely
+# off the reloaded artifact.  The oracle is ann_pq_topk's own: reload
+# parity means hash-identical top-k, checked by the gate every round.
+# At 100 TB this is the difference between "an index" and "a warm cache":
+# the coding pass runs once per corpus version, and every later session —
+# process restarts included — pays only the parquet scan of the 32×-
+# smaller code table.
+
+
+def pq_codes_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistable PQ index relation: (vec_id, codes) under the frozen
+    codebooks — exactly what the ADC scan consumes.  Reuses the same
+    memoized coded corpus the in-session path builds, so save-after-build
+    costs one parquet write of the code table, not a second coding pass."""
+    _pq_parts(spark, sf_dir)  # ensures the memoized corpus exists
+    import os as _os
+
+    from .ann_models import PQ_CODEBOOKS  # noqa: F401 — frozen-lane marker
+
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+        "pq-frozen",
+    )
+    return _PQ_CORPUS_CACHE.get(id(spark), key).select("vec_id", "codes")
+
+
+def ann_pq_reload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build → save → load in a ``newSession()`` → top-k, hash-identical
+    to ann_pq_topk (same oracle).  First invocation per corpus version
+    persists the code table; every later invocation — including a new
+    PROCESS — skips the coding pass and scans the artifact."""
+    import os as _os
+
+    from . import persist
+    from .ann_models import PQ_CODEBOOKS as books
+
+    emb = _os.path.join(sf_dir, "embeddings.parquet")
+    # model token embeds every codebook float and the layout params, so
+    # retraining or re-tuning invalidates the artifact by key change
+    key = persist.content_key([emb], f"pq-frozen|{PQ_M}|{PQ_K}|{books!r}")
+    sib = spark.newSession()  # fresh memo stores + temp-view catalog
+    codes = persist.build_or_load(
+        sib, "pq_codes", key, lambda: pq_codes_index(spark, sf_dir)
+    )
+    e, queries, pool = _pq_parts(sib, sf_dir, codes=codes)
+    return _pq_exact_rerank(e, queries, pool)
+
+
+# registered next to ann_pq_topk below (after _pq_oracle is defined)
 
 
 # -- per-label vector stats --------------------------------------------------
@@ -1197,6 +1265,9 @@ WITH cbt AS (SELECT {cb} AS cb),{_DUCK_PQ_PRELUDE},
 
 register("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTE_ORACLE)
 register("ann_pq_topk", ann_pq_topk, _pq_oracle())  # frozen codebooks
+# reload parity: same oracle as ann_pq_topk — the persisted-index path
+# must be hash-identical to the in-session path
+register("ann_pq_reload_topk", ann_pq_reload_topk, _pq_oracle())
 register("embedding_label_stats", embedding_label_stats, EMB_STATS_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
 def _lsh_oracle() -> str:
