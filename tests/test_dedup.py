@@ -272,6 +272,19 @@ def test_blocking_stats_zero_truncation_at_test_sf(spark, sf_dir):
         assert r.dropped_buckets == 0 and r.dropped_pairs == 0, arm
 
 
+def test_blocking_stats_plan_tokenizes_once(spark, sf_dir):
+    """r10 verdict watch item #1: the shingle arms and the simhash token
+    arm must share ONE materialized token frame — the flat CTE form paid
+    the documents scan + tokenization once per consumer (Spark inlines
+    CTEs).  Same pin as the funnel fix: the report plan itself reads the
+    checkpointed tokens, so it carries zero parquet scans."""
+    from data_catalog_spark.operators.dedup import dedup_blocking_stats
+
+    df = dedup_blocking_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan
+
+
 # -- duplicated-span detection ------------------------------------------------
 
 
