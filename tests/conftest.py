@@ -31,6 +31,31 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def registry_frames(spark, sf_dir) -> tuple[dict, dict]:
+    """Every registered query's DataFrame, constructed ONCE per suite run
+    (r10 verdict ask #5): the plan lint (test_plan_audit) and the scalar-
+    schema guard (test_registry_schemas) each swept the full registry —
+    eager operators (training loops, streaming ingest) executed twice and
+    the suite paid ~85 s of duplicated construction.  Construction is
+    exactly what the driver does (``fn(spark, sf_dir)``), so both guards
+    still see the exact frames the driver will hash; view-name reuse
+    across entries is safe because Spark resolves temp views at ANALYSIS
+    time (each returned frame's plan already inlined its view's content).
+    Returns (frames, errors) — a query that fails to construct lands in
+    errors and both consumers assert on it."""
+    import __spark_entry__ as e
+
+    frames: dict = {}
+    errors: dict = {}
+    for name, fn in e.queries().items():
+        try:
+            frames[name] = fn(spark, sf_dir)
+        except Exception as ex:  # noqa: BLE001 — consumers assert errors == {}
+            errors[name] = str(ex).splitlines()[0][:120]
+    return frames, errors
+
+
+@pytest.fixture(scope="session")
 def ddb(sf_dir):
     con = duckdb.connect()
     for name in [

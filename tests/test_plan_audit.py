@@ -103,14 +103,21 @@ def test_repeated_scan_is_flagged(spark, sf_dir):
     assert "repeated-scan" not in _cats(ok)
 
 
-def test_registry_has_no_unadjudicated_plan_hits(spark, sf_dir):
+def test_registry_has_no_unadjudicated_plan_hits(spark, sf_dir, registry_frames):
     """Every registered query's plan is free of the five anti-patterns,
     or carries an explicit adjudication (with an instance-count cap) in
     audit_plans.ALLOWED — and no allowlist row is stale (the plan it
-    excuses no longer exists)."""
+    excuses no longer exists).  Consumes the shared once-per-suite
+    registry_frames fixture (the schema guard reads the same frames), so
+    eager entries construct once, not once per guard."""
     import __spark_entry__ as e
 
-    hits, errors = audit_registry(spark, sf_dir, e.queries())
+    frames, build_errors = registry_frames
+    assert not build_errors, f"queries failed to construct: {build_errors}"
+    assert set(frames) == set(e.queries())
+    hits, errors = audit_registry(
+        spark, sf_dir, {n: (lambda s, d, _df=df: _df) for n, df in frames.items()}
+    )
     assert not errors, f"queries failed to plan: {errors}"
     _allowed, bad = adjudicate(hits)
     assert not bad, f"unadjudicated plan anti-patterns: {bad}"
