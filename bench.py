@@ -169,17 +169,24 @@ LOAD_QUIET_MAX = 2.0
 
 # Run-pair spread above this ⇒ a co-tenant burst most likely hit one of
 # the runs (r10 verdict ask #1: a QUIET-verdicted round still contained a
-# [5.1, 34.6] s pair).  Flagged entries get ONE extra run so best-of has a
-# third chance at a quiet window, and the entry is recorded as
-# ``load_suspect`` so nobody reads its number as a regression.
+# [5.1, 34.6] s pair).  Flagged entries get ONE extra run; the entry is
+# then recorded as ``load_suspect`` only if the STEADY-STATE runs (all
+# but the first) still disagree — run 1 legitimately pays one-time costs
+# (scan planning, memoized index builds), so a cold-build→warm-hit pair
+# is expected shape, not load: the first quiet-window bench under this
+# protocol flagged five memoizing entries whose spread was exactly their
+# design (kmeans_train, ann_pq_trained_topk, ...).
 SUSPECT_SPREAD = 2.5
 SUSPECT_MIN_SEC = 0.5  # sub-second jitter is scheduler noise, not a burst
 
 
 def is_load_suspect(runs: list[float]) -> bool:
-    """True when the spread across this entry's timed runs says a burst
+    """True when the spread across the given timed runs says a burst
     landed mid-entry: max/min > SUSPECT_SPREAD with the slow run big
-    enough (>SUSPECT_MIN_SEC) that it can't be per-run scheduling noise."""
+    enough (>SUSPECT_MIN_SEC) that it can't be per-run scheduling noise.
+    Callers decide WHICH runs to judge: the initial flag looks at both
+    first runs (triggering the extra run), the recorded verdict looks at
+    ``runs[1:]`` — steady state only."""
     if len(runs) < 2:
         return False
     lo, hi = min(runs), max(runs)
@@ -283,10 +290,12 @@ def main() -> None:
             timed_run()
         if is_load_suspect(runs):
             # one retry: a burst that hit one of the first two runs gets a
-            # third chance at a quiet window; if the spread persists the
-            # entry is recorded as load_suspect (r10 verdict ask #1).
+            # third chance at a quiet window.  The recorded verdict then
+            # judges STEADY STATE only (runs[1:]): run 1's one-time costs
+            # (scan planning, memoized index builds) are expected spread,
+            # a burst that also splits runs 2-3 is not (r10 verdict ask #1).
             timed_run()
-            if is_load_suspect(runs):
+            if is_load_suspect(runs[1:]):
                 suspects.append(name)
         timings[name] = min(runs)
         spreads[name] = runs

@@ -114,6 +114,19 @@ def test_is_load_suspect_flags_burst_pairs():
     assert not is_load_suspect([])
 
 
+def test_suspect_verdict_judges_steady_state_only():
+    """The recorded verdict applies is_load_suspect to runs[1:]: a
+    memoizing entry's cold-build→warm-hit shape (slow run 1, tight runs
+    2-3) is expected, NOT load — the first quiet bench under the initial
+    protocol flagged five such entries.  A burst that splits the
+    steady-state runs still records as suspect."""
+    cold_build = [6.2, 1.3, 1.25]  # kmeans_train shape: memo hit after run 1
+    assert is_load_suspect(cold_build)  # the trigger fires...
+    assert not is_load_suspect(cold_build[1:])  # ...but steady state clears
+    mid_burst = [5.1, 34.6, 5.0]  # a burst inside the steady-state pair
+    assert is_load_suspect(mid_burst[1:])
+
+
 def test_headline_line_carries_suspect_count():
     ev = load_evidence(0.5, 3.0)
     line = headline_line(
