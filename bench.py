@@ -158,6 +158,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "ann_pq_reload_topk",
     "dedup_clusters_reload",
+    "ann_pq_index_append",
 ]
 
 

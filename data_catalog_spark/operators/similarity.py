@@ -883,6 +883,43 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame) -> list[list[list[float]]]:
 _PQ_CORPUS_CACHE = SessionLRU()
 
 
+def _pq_code_rows(rows: DataFrame, books) -> DataFrame:
+    """Code the given normalized rows (vec_id, ..., vn) against ``books``:
+    codes[m] = argmin_j ||slice_m − cb[m][j]||².  The per-subspace distance
+    ARRAY is computed once per row and materialized behind a lazy
+    localCheckpoint BARRIER before the argmin projection reads it —
+    without the barrier CollapseProject inlines the whole distance
+    transform into both argmin references and re-evaluates it per lambda
+    reference (the interpreted-HOF re-evaluation trap, _band_bits'
+    docstring; a 1-element transform binding measured 84 s vs 2.5 s).
+    Measured: barrier 0.7 s vs flat-double-render 1.5 s per invocation at
+    sf0.1.  Repartitions first: the local test parquet is a single row
+    group → a 1-task scan that would compute every code on one core
+    (no-op at deployment scale, where file splits provide parallelism).
+    Work is proportional to |rows| — the full-corpus build and the
+    incremental append (ann_pq_index_append) share this one coder."""
+    spark = rows.sparkSession
+    sub = _DIM // PQ_M
+    cb_lit = "array(" + ", ".join(_centroids_sql(b) for b in books) + ")"
+    sqd = (
+        "aggregate(zip_with(slice(vn, m * {sub} + 1, {sub}), c, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).format(sub=sub)
+    dists_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"transform(element_at({cb_lit}, m + 1), c -> {sqd}))"
+    )
+    code_expr = (
+        "transform(dists, d -> CAST(array_position(d, array_min(d)) - 1 AS INT))"
+    )
+    return (
+        rows.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("dists", F.expr(dists_expr))
+        .localCheckpoint(eager=False)
+        .withColumn("codes", F.expr(code_expr))
+    )
+
+
 def _pq_parts(
     spark: SparkSession, sf_dir: str, books=None, codes: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -915,25 +952,8 @@ def _pq_parts(
         "aggregate(zip_with(slice({vec}, m * {sub} + 1, {sub}), c, "
         "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    # corpus → codes[m] = argmin_j ||slice - cb[m][j]||².  The per-subspace
-    # distance ARRAY is computed once per row and materialized behind a
-    # lazy localCheckpoint BARRIER before the argmin projection reads it —
-    # without the barrier CollapseProject inlines the whole distance
-    # transform into both argmin references and re-evaluates it per lambda
-    # reference (the interpreted-HOF re-evaluation trap, _band_bits'
-    # docstring; a 1-element transform binding measured 84 s vs 2.5 s).
-    # Measured: barrier 0.7 s vs flat-double-render 1.5 s per invocation
-    # at sf0.1 — the one extra in-memory materialization of 128 doubles ×
-    # row is cheaper than rendering the K-centroid fold twice.
-    dists_expr = (
-        f"transform(sequence(0, {PQ_M - 1}), m -> "
-        f"transform(element_at({cb_lit}, m + 1), c -> {sqd.format(vec='vn', sub=sub)}))"
-    )
-    code_expr = "transform(dists, d -> CAST(array_position(d, array_min(d)) - 1 AS INT))"
-    # repartition before the per-row-expensive code assignment: the local
-    # test parquet is a single row group → a 1-task scan that would compute
-    # every code on one core (no-op at deployment scale, where file splits
-    # provide the parallelism)
+    # corpus coding (dists barrier + argmin) lives in _pq_code_rows —
+    # shared with the incremental index append
     import os as _os
 
     st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
@@ -949,13 +969,7 @@ def _pq_parts(
     else:
         corpus = _PQ_CORPUS_CACHE.get(id(spark), key)
         if corpus is None:
-            corpus = (
-                e.where(F.col("vec_id") >= N_QUERIES)
-                .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-                .withColumn("dists", F.expr(dists_expr))
-                .localCheckpoint(eager=False)
-                .withColumn("codes", F.expr(code_expr))
-            )
+            corpus = _pq_code_rows(e.where(F.col("vec_id") >= N_QUERIES), books)
             _PQ_CORPUS_CACHE.put(id(spark), key, corpus)
     queries = e.where(F.col("vec_id") < N_QUERIES)
     # Classic ADC lookup tables, built ONCE per query row on the broadcast
@@ -1100,6 +1114,55 @@ def ann_pq_reload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sib, "pq_codes", key, lambda: pq_codes_index(spark, sf_dir)
     )
     e, queries, pool = _pq_parts(sib, sf_dir, codes=codes)
+    return _pq_exact_rerank(e, queries, pool)
+
+
+def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the growing-corpus lifecycle that
+    separates an index from a one-shot build: the persisted code table
+    covers the BASE corpus (``vec_id % EMB_NEW_MOD != 0``, the established
+    new-batch convention of dedup_embedding_incremental); the arriving
+    slice is coded with work proportional to |new| ONLY (the shared
+    ``_pq_code_rows`` coder — never a corpus recode), unioned with the
+    loaded base, and the combined table serves the ADC scan.  Per-row
+    coding is deterministic, so base∪delta is bit-identical to the full
+    rebuild — the oracle is ann_pq_topk's own, making 'append ≡ rebuild'
+    a hash-checked gate row.  At 100 TB this is the daily operation:
+    yesterday's code table is parquet, today's crawl codes in O(|new|),
+    and the proof that nothing drifted is this entry staying green."""
+    import os as _os
+
+    from . import persist
+    from .ann_models import PQ_CODEBOOKS as books
+
+    emb = _os.path.join(sf_dir, "embeddings.parquet")
+    key = persist.content_key(
+        [emb], f"pq-frozen-base|{PQ_M}|{PQ_K}|mod{EMB_NEW_MOD}|{books!r}"
+    )
+    sib = spark.newSession()
+
+    def build_base() -> DataFrame:
+        e = _with_norm(_emb(spark, sf_dir)).withColumn(
+            "vn", F.expr("transform(v, x -> x / nrm)")
+        )
+        base_rows = e.where(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") % EMB_NEW_MOD != 0)
+        )
+        return _pq_code_rows(base_rows, books).select("vec_id", "codes")
+
+    base = persist.build_or_load(sib, "pq_codes_base", key, build_base)
+    e_sib = _with_norm(_emb(sib, sf_dir)).withColumn(
+        "vn", F.expr("transform(v, x -> x / nrm)")
+    )
+    fresh = _pq_code_rows(
+        e_sib.where(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") % EMB_NEW_MOD == 0)
+        ),
+        books,
+    ).select("vec_id", "codes")
+    e, queries, pool = _pq_parts(sib, sf_dir, codes=base.unionByName(fresh))
     return _pq_exact_rerank(e, queries, pool)
 
 
@@ -1268,6 +1331,9 @@ register("ann_pq_topk", ann_pq_topk, _pq_oracle())  # frozen codebooks
 # reload parity: same oracle as ann_pq_topk — the persisted-index path
 # must be hash-identical to the in-session path
 register("ann_pq_reload_topk", ann_pq_reload_topk, _pq_oracle())
+# append ≡ rebuild: the incrementally-maintained index (persisted base +
+# O(|new|)-coded delta) must serve the identical top-k
+register("ann_pq_index_append", ann_pq_index_append, _pq_oracle())
 register("embedding_label_stats", embedding_label_stats, EMB_STATS_ORACLE)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMB_DEDUP_ORACLE)
 def _lsh_oracle() -> str:

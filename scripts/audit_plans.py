@@ -95,6 +95,8 @@ ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     # same ADC scan as ann_pq_topk, corpus side read from the persisted
     # parquet code table instead of the in-session memo
     "ann_pq_reload_topk": {"cartesian": (1, _QUERY_SET_BCAST)},
+    # same ADC scan, corpus side = persisted base codes ∪ O(|new|) delta
+    "ann_pq_index_append": {"cartesian": (1, _QUERY_SET_BCAST)},
     "ann_int8_topk": {"cartesian": (1, _QUERY_SET_BCAST)},
     "hybrid_search_rrf": {"cartesian": (1, _QUERY_SET_BCAST)},
     "hybrid_search_rrf_bm25": {"cartesian": (1, _QUERY_SET_BCAST)},

@@ -81,6 +81,30 @@ def test_save_is_idempotent_and_race_safe(index_env, spark):
     assert persist.load_index(spark, path, key).count() == 6
 
 
+def test_pq_index_append_equals_full_rebuild(index_env, spark, sf_dir):
+    """The incrementally-maintained index (persisted base + O(|new|)-coded
+    delta) must serve the exact top-k of the one-shot full build, and the
+    persisted base artifact must contain NO new-slice vector (the delta is
+    genuinely coded at query time, not smuggled into the base)."""
+    from data_catalog_spark.operators import persist, similarity
+
+    full = similarity.ann_pq_topk(spark, sf_dir).collect()
+    appended = similarity.ann_pq_index_append(spark, sf_dir).collect()
+    assert sorted(map(tuple, appended)) == sorted(map(tuple, full))
+    # inspect the persisted base: only non-new corpus ids
+    import glob
+    import os
+
+    (base_dir,) = glob.glob(os.path.join(persist.index_root(), "pq_codes_base-*"))
+    base = spark.read.parquet(os.path.join(base_dir, "data"))
+    ids = [r.vec_id for r in base.select("vec_id").collect()]
+    assert ids, "base index must be non-empty"
+    assert all(
+        v % similarity.EMB_NEW_MOD != 0 and v >= similarity.N_QUERIES
+        for v in ids
+    )
+
+
 def test_reload_entries_serve_from_artifact_without_builder(
     index_env, spark, sf_dir, monkeypatch
 ):
