@@ -159,6 +159,7 @@ HEADLINE = [
     "ann_pq_reload_topk",
     "dedup_clusters_reload",
     "ann_pq_index_append",
+    "split_assign_leakage_free",
 ]
 
 

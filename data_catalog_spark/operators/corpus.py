@@ -411,6 +411,74 @@ def dedup_clusters_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_clusters_reload", dedup_clusters_reload, MH_COMPONENTS_ORACLE)
 
 
+# -- leakage-free split assignment ---------------------------------------------
+#
+# split_leakage_audit (similarity.py) MEASURES the damage a naive
+# hash-by-doc split suffers (near-dup twins straddling train/test —
+# benchmark inflation); this operator is the FIX every training pipeline
+# applies: assign splits by hashing the DUP-CLUSTER id, not the doc id,
+# so every member of a near-dup cluster lands in the same split by
+# construction.  Composition: the memoized MinHash cluster labels (the
+# 100 TB pair generator) + a deterministic md5 bucket on the cluster
+# representative; docs in no dup pair form singleton clusters
+# (cluster_id = doc_id).  80/10/10 on md5 buckets — deterministic,
+# engine-portable, and re-runnable (the assignment is a pure function of
+# content + cluster structure, so a re-crawl reassigns identically
+# except where the dup graph itself changed).
+
+SPLIT_BUCKETS = (80, 90)  # <80 train, <90 valid, else test (of 100)
+
+
+def split_assign_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, split) for every document: split =
+    md5-bucket of the cluster representative — cluster-atomic by
+    construction (the leakage-free property pytest pins: no cluster
+    straddles splits)."""
+    labels = _cluster_labels(spark, sf_dir, "minhash")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = (
+        docs.join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 4),"
+                " 16, 10) AS BIGINT) % 100"
+            ),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < SPLIT_BUCKETS[0], F.lit("train"))
+            .when(F.col("bucket") < SPLIT_BUCKETS[1], F.lit("valid"))
+            .otherwise(F.lit("test")),
+        )
+    )
+    return assigned.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
+SPLIT_ASSIGN_ORACLE = f"""
+WITH RECURSIVE {MH_CLUSTER_CTES},
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN mh_clusters c USING (doc_id)
+), bucketed AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT % 100
+             AS bucket
+  FROM assigned
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < {SPLIT_BUCKETS[0]} THEN 'train'
+            WHEN bucket < {SPLIT_BUCKETS[1]} THEN 'valid'
+            ELSE 'test' END AS split
+FROM bucketed ORDER BY doc_id
+"""
+
+
+register("split_assign_leakage_free", split_assign_leakage_free, SPLIT_ASSIGN_ORACLE)
+
+
 # -- set algebra over document selections -------------------------------------
 
 

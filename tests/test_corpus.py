@@ -103,6 +103,36 @@ def test_connected_components_empty_edges(spark):
     assert corpus._connected_components(edges).count() == 0
 
 
+def test_split_assign_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.split_assign_leakage_free(spark, sf_dir),
+        ddb,
+        corpus.SPLIT_ASSIGN_ORACLE,
+    )
+
+
+def test_split_assign_is_cluster_atomic_and_total(spark, sf_dir):
+    """The leakage-free property itself: every doc gets exactly one split,
+    every dup cluster's members share one split (the failure mode
+    split_leakage_audit measures cannot occur by construction), and all
+    three splits are non-empty at this SF."""
+    from data_catalog_spark.io import read_table
+
+    rows = corpus.split_assign_leakage_free(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r.split for r in rows}
+    assert splits == {"train", "valid", "test"}
+    # every near-dup pair's endpoints share a split
+    labels = {r.doc_id: r.split for r in rows}
+    for p in dedup.dedup_minhash(spark, sf_dir).collect():
+        assert labels[p.da] == labels[p.db]
+
+
 def test_cluster_histogram_reports_both_lanes(spark, sf_dir):
     """The histogram's per-method doc totals must equal each lane's label
     count — the LSH-vs-exact comparison is only meaningful if both lanes
