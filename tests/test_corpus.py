@@ -103,6 +103,52 @@ def test_connected_components_empty_edges(spark):
     assert corpus._connected_components(edges).count() == 0
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Differential check of large-star/small-star against a pure-python
+    union-find on seeded random graphs spanning the shapes that stress
+    the algorithm: sparse (forest-ish), dense (few components), ring
+    (max cycle), complete (max degree), and a binary tree."""
+    import random
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-label closure: every node maps to its component's minimum
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(20260816)
+    cases = []
+    for density in (0.8, 3.0):  # sparse forest-ish / dense few-component
+        n = 120
+        m = int(n * density)
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    cases.append([(i, (i + 1) % 60) for i in range(60)])  # ring
+    cases.append(
+        [(i, j) for i in range(14) for j in range(i + 1, 14)]
+    )  # complete K14
+    cases.append([(i, (i - 1) // 2) for i in range(1, 127)])  # binary tree
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        want = union_find_labels(edges)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.node: r.label for r in corpus._connected_components(df).collect()
+        }
+        assert got == want
+
+
 def test_split_assign_parity(spark, sf_dir, ddb):
     assert_same(
         corpus.split_assign_leakage_free(spark, sf_dir),
