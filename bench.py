@@ -160,6 +160,7 @@ HEADLINE = [
     "dedup_clusters_reload",
     "ann_pq_index_append",
     "split_assign_leakage_free",
+    "dedup_incremental_indexed",
 ]
 
 

@@ -710,6 +710,73 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_incremental_pairs_sql("spark"))
 
 
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` against a PERSISTED signature index — the
+    shape a crawl pipeline actually runs daily: the EXISTING corpus'
+    MinHash signatures + content fingerprints live in a parquet artifact
+    (built once per corpus version, persist.py content key); each batch
+    computes signatures for the NEW slice only (O(|new|)) and probes the
+    loaded index.  Loaded in a fresh ``newSession()`` so nothing memoized
+    leaks in; the report SQL is byte-identical to dedup_incremental's
+    (the union of loaded-index + new-slice frames backs the same views),
+    so this entry shares its oracle — 'indexed probe ≡ full recompute'
+    is a hash-checked gate row, the dedup twin of ann_pq_index_append."""
+    import os
+
+    from . import persist
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = persist.content_key(
+        [docs_path],
+        f"mh-sig-index|k{MINHASH_K}|b{MINHASH_BANDS}|mod{NEW_BATCH_MOD}"
+        f"|p{_MINHASH_P}|{MINHASH_COEFFS[:MINHASH_K]!r}",
+    )
+    sib = spark.newSession()
+
+    def build() -> DataFrame:
+        hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+        _docs(spark, sf_dir).where(
+            F.col("doc_id") % NEW_BATCH_MOD != 0
+        ).createOrReplaceTempView("__mhidx_docs")
+        sig = spark.sql(
+            f"WITH {_sig_ctes('spark', '__mhidx_docs', hint)} SELECT * FROM sig"
+        )
+        d = _mh_dialect("spark")
+        fps = spark.sql(
+            f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
+            f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __mhidx_docs)"
+        )
+        return sig.join(fps, "doc_id")
+
+    idx = persist.build_or_load(sib, "mh_sig_index", key, build)
+    hint = f"/*+ REPARTITION({sib.sparkContext.defaultParallelism}, doc_id) */"
+    _docs(sib, sf_dir).where(
+        F.col("doc_id") % NEW_BATCH_MOD == 0
+    ).createOrReplaceTempView("__incx_new")
+    new_sig = sib.sql(
+        f"WITH {_sig_ctes('spark', '__incx_new', hint)} SELECT * FROM sig"
+    )
+    d = _mh_dialect("spark")
+    new_fps = sib.sql(
+        f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
+        f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __incx_new)"
+    )
+    # checkpoint the UNIONS (not the legs): the report SQL self-joins the
+    # sig view (sa × sb), and a lazy-checkpointed leg inside that self-join
+    # trips Spark's attribute rebinding ("key not found: doc_id#N") — the
+    # materialized union gives the view one clean LogicalRDD to resolve
+    # against, and is exactly the "whole probe-side table" a daily batch
+    # holds anyway (new-slice rows + loaded index rows, computed once)
+    sigcols = ["doc_id"] + [f"h{i}" for i in range(MINHASH_K)]
+    new_sig.unionByName(idx.select(*sigcols)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("__inc_sig")
+    new_fps.unionByName(idx.select("doc_id", "fp")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("__inc_fps")
+    return sib.sql(_incremental_pairs_sql("spark"))
+
+
 def _incremental_pairs_sql(dialect: str, k: int = MINHASH_K) -> str:
     """The two-arm incremental report in either dialect.  The Spark form
     reads the checkpointed ``__inc_sig`` and ``__inc_fps`` views (r10:
@@ -996,6 +1063,9 @@ register("dedup_minhash", dedup_minhash, DEDUP_MINHASH_ORACLE)
 register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
 register("dedup_blocking_stats", dedup_blocking_stats, _blocking_stats_sql("duck"))
 register("dedup_incremental", dedup_incremental, _incremental_oracle())
+# indexed probe ≡ full recompute: the persisted-signature-index lane must
+# produce the identical report (same oracle)
+register("dedup_incremental_indexed", dedup_incremental_indexed, _incremental_oracle())
 
 
 # -- duplicated-span detection (exact-substring dedup, window-hash form) ------

@@ -105,6 +105,31 @@ def test_pq_index_append_equals_full_rebuild(index_env, spark, sf_dir):
     )
 
 
+def test_incremental_dedup_indexed_probe_equals_recompute(
+    index_env, spark, sf_dir
+):
+    """The persisted-signature-index lane must produce the exact report of
+    the full-recompute lane, and the artifact must hold ONLY the existing
+    corpus (the new batch is computed per probe, never baked in)."""
+    from data_catalog_spark.operators import dedup, persist
+
+    full = dedup.dedup_incremental(spark, sf_dir).collect()
+    indexed = dedup.dedup_incremental_indexed(spark, sf_dir).collect()
+    assert sorted(map(tuple, indexed)) == sorted(map(tuple, full))
+    import glob
+    import os
+
+    (idx_dir,) = glob.glob(os.path.join(persist.index_root(), "mh_sig_index-*"))
+    idx = spark.read.parquet(os.path.join(idx_dir, "data"))
+    ids = [r.doc_id for r in idx.select("doc_id").collect()]
+    assert ids and all(v % dedup.NEW_BATCH_MOD != 0 for v in ids)
+    # one signature row and one fingerprint per indexed doc
+    assert len(set(ids)) == len(ids)
+    assert set(idx.columns) == (
+        {"doc_id", "fp"} | {f"h{i}" for i in range(dedup.MINHASH_K)}
+    )
+
+
 def test_reload_entries_serve_from_artifact_without_builder(
     index_env, spark, sf_dir, monkeypatch
 ):
