@@ -161,6 +161,10 @@ HEADLINE = [
     "ann_pq_index_append",
     "split_assign_leakage_free",
     "dedup_incremental_indexed",
+    "dedup_clusters_incremental",
+    "knn_graph_lsh",
+    "source_dedup_effect",
+    "stream_ann_pq_serve",
 ]
 
 

@@ -302,7 +302,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it with the frozen-model logit CTEs).
 DUP_CLUSTERS_CTES = f"""
 jacc AS (SELECT da, db FROM ({JACCARD_PAIRS_BODY}) j),
-edges AS (SELECT da AS a, db AS b FROM jacc UNION SELECT db, da FROM jacc),
+edges AS MATERIALIZED (SELECT da AS a, db AS b FROM jacc
+                       UNION SELECT db, da FROM jacc),
 reach AS (
   SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges) n
   UNION
@@ -336,7 +337,7 @@ register("dup_clusters", dup_clusters, DUP_CLUSTERS_ORACLE)
 # CTE oracle shape.
 
 MH_CLUSTER_CTES = f"""{minhash_pairs_ctes()},
-mh_edges AS (SELECT da AS a, db AS b FROM mh_pairs
+mh_edges AS MATERIALIZED (SELECT da AS a, db AS b FROM mh_pairs
              UNION SELECT db, da FROM mh_pairs),
 mh_reach AS (
   SELECT a, a AS b FROM (SELECT DISTINCT a FROM mh_edges) n
@@ -409,6 +410,191 @@ def dedup_clusters_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_clusters_reload", dedup_clusters_reload, MH_COMPONENTS_ORACLE)
+
+
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dup-CLUSTER maintenance — the third index-maintenance
+    lane (ann_pq_index_append = vector index append, dedup_incremental_indexed
+    = pair probe, this = resolved labels): the nightly batch UPDATES the
+    persisted cluster state instead of re-resolving the corpus.
+
+    State as of the last index build (docs with doc_id % NEW_BATCH_MOD != 0):
+    the persisted MinHash signature index (the SAME parquet artifact
+    dedup_incremental_indexed builds — one index serves both lanes) and the
+    persisted OLD cluster labels (components of the old-corpus pair graph,
+    built once per corpus version).  The incoming batch computes signatures
+    for NEW docs only, probes the combined band table for pairs touching a
+    new doc, and runs connected components over (old-label star edges ∪ new
+    pairs).  The star edges contract every old cluster to depth 1 — old
+    connectivity enters as |old docs in clusters| edges, never as the old
+    PAIR graph — so the merge costs O(|new pairs| + |old labels|),
+    independent of corpus pair count; on append, clusters only ever merge.
+
+    Semantics (stated exactly by the oracle's double recursive closure):
+    merged labels = components of (old-state pair graph ∪ new-involving
+    pairs at combined banding) — the state-as-of-index-time contract an
+    always-on dedup service implements.  Equality with the full rebuild
+    (dedup_cluster_components) additionally holds whenever the append keeps
+    band buckets under MAX_BAND_BUCKET (caps are the only banding state
+    that can shift old-old pairs); pinned at test SF by
+    tests/test_corpus.py."""
+    from . import persist
+    from .dedup import (
+        MINHASH_K,
+        NEW_BATCH_MOD,
+        build_mh_sig_index,
+        mh_sig_index_identity,
+        mh_signatures,
+        pairs_from_sig_view,
+    )
+
+    docs_path, key = mh_sig_index_identity(sf_dir)
+    sib = spark.newSession()
+    idx = persist.build_or_load(
+        sib, "mh_sig_index", key, lambda: build_mh_sig_index(spark, sf_dir)
+    )
+    sigcols = ["doc_id"] + [f"h{i}" for i in range(MINHASH_K)]
+
+    def build_old_labels() -> DataFrame:
+        idx.select(*sigcols).localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView("__ccinc_old_sig")
+        pairs = pairs_from_sig_view(sib, "__ccinc_old_sig")
+        return _connected_components(
+            pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
+        ).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+
+    old_key = persist.content_key(
+        [docs_path], f"mh-cluster-labels-old|{key}"
+    )
+    labels_old = persist.build_or_load(
+        sib, "mh_cluster_labels_old", old_key, build_old_labels
+    )
+    # per-batch work starts here: new-slice signatures only
+    read_table(sib, sf_dir, "documents").where(
+        F.col("doc_id") % NEW_BATCH_MOD == 0
+    ).createOrReplaceTempView("__ccinc_new")
+    new_sig = mh_signatures(sib, "__ccinc_new")
+    new_sig.unionByName(idx.select(*sigcols)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("__ccinc_sig")
+    new_pairs = pairs_from_sig_view(
+        sib,
+        "__ccinc_sig",
+        pred=f"da % {NEW_BATCH_MOD} = 0 OR db % {NEW_BATCH_MOD} = 0",
+    )
+    star = labels_old.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("a"), F.col("cluster_id").alias("b")
+    )
+    edges = new_pairs.select(
+        F.col("da").alias("a"), F.col("db").alias("b")
+    ).unionByName(star)
+    labels = _connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_clusters_oracle() -> str:
+    from .dedup import incremental_clusters_oracle
+
+    return incremental_clusters_oracle()
+
+
+register(
+    "dedup_clusters_incremental",
+    dedup_clusters_incremental,
+    _incremental_clusters_oracle(),
+)
+
+
+def source_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What MinHash dedup does to the training MIXTURE: per source, docs
+    and whitespace tokens before vs after cluster-keeper dedup (keep = the
+    min-id representative of each dup cluster, docs in no cluster kept),
+    plus the token-share shift — the artifact a mixture designer reads
+    next to doremi_source_weights / source_temperature_mix, because dedup
+    is not mixture-neutral: duplicate-heavy sources lose share and every
+    downstream weight computed on pre-dedup counts is silently wrong.
+    Plan: one documents scan (token counts), one broadcast join against
+    the memoized (tiny) label frame, one agg keyed on source; the two
+    corpus totals are a 1-row scalar collect (bounded), so no global
+    window enters the plan."""
+    labels = _cluster_labels(spark, sf_dir, "minhash")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tok"),
+    )
+    kept = (
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    ).cast("long")
+    agg = (
+        d.join(F.broadcast(labels), "doc_id", "left")
+        .withColumn("kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("kept").alias("kept_docs"),
+            F.sum(F.col("kept") * F.col("n_tok")).alias("kept_tokens"),
+        )
+        .localCheckpoint(eager=False)  # feeds the scalar agg AND the report
+    )
+    tot = agg.agg(F.sum("n_tokens"), F.sum("kept_tokens")).first()
+    tt, kt = float(tot[0]), float(tot[1])
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "kept_docs",
+        "kept_tokens",
+        F.round(F.col("n_tokens") / F.lit(tt), 6).alias("share_before"),
+        F.round(F.col("kept_tokens") / F.lit(kt), 6).alias("share_after"),
+        F.round(
+            F.col("kept_tokens") / F.lit(kt) - F.col("n_tokens") / F.lit(tt),
+            6,
+        ).alias("share_shift"),
+    ).orderBy("source")
+
+
+SOURCE_DEDUP_EFFECT_ORACLE = f"""
+WITH RECURSIVE {MH_CLUSTER_CTES},
+d AS (SELECT doc_id, source,
+             CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents),
+j AS (SELECT d.doc_id, d.source, d.n_tok, c.cluster_id
+      FROM d LEFT JOIN mh_clusters c USING (doc_id)),
+a AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN cluster_id IS NULL OR cluster_id = doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             CAST(sum(CASE WHEN cluster_id IS NULL OR cluster_id = doc_id
+                           THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM j GROUP BY source),
+t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
+             CAST(sum(kept_tokens) AS DOUBLE) AS kt
+      FROM a)
+SELECT source, n_docs, n_tokens, kept_docs, kept_tokens,
+       round(n_tokens / tt, 6) AS share_before,
+       round(kept_tokens / kt, 6) AS share_after,
+       round(kept_tokens / kt - n_tokens / tt, 6) AS share_shift
+FROM a CROSS JOIN t ORDER BY source
+"""
+
+
+register("source_dedup_effect", source_dedup_effect, SOURCE_DEDUP_EFFECT_ORACLE)
 
 
 # -- leakage-free split assignment ---------------------------------------------

@@ -644,6 +644,84 @@ ORDER BY da, db
 """
 
 
+def incremental_clusters_oracle() -> str:
+    """DuckDB oracle for incremental dup-cluster maintenance
+    (corpus.dedup_clusters_incremental): ONE signature/band chain over the
+    full corpus, from which both pair sets derive — the old-state graph
+    (banding + caps restricted to existing-corpus rows, i.e. the graph as
+    the index build saw it) and the new-involving pairs (combined banding,
+    at least one endpoint in the incoming batch).  Old clusters enter the
+    merged closure as star edges (doc → old label), which preserves old
+    connectivity exactly, so the double recursive closure states the
+    contract: merged labels = components of (state-as-of-index-time graph
+    ∪ new edges)."""
+    agree = _agree_sql()
+    k, m = MINHASH_K, NEW_BATCH_MOD
+    # MATERIALIZED on the chain's reused frames is load-bearing: the
+    # recursive closures reference their edge CTEs once per iteration, and
+    # an inlined edge CTE re-runs the whole tokenize/sign/band pipeline
+    # every round (measured 358 s vs ~1 s at sf0.001)
+    sig_ctes = _sig_ctes("duck").replace(
+        "sig AS (SELECT", "sig AS MATERIALIZED (SELECT"
+    )
+    return f"""
+WITH RECURSIVE {sig_ctes},
+bands AS MATERIALIZED (
+  {_band_defs('duck')}),
+bands_old AS (SELECT * FROM bands WHERE doc_id % {m} <> 0),
+ok_old AS (SELECT band, band_hash FROM bands_old GROUP BY 1, 2
+           HAVING {_ok_bucket_sql()}),
+cand_old AS (SELECT a.doc_id AS da, b.doc_id AS db
+             FROM bands_old a JOIN ok_old USING (band, band_hash)
+             JOIN bands_old b
+               ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+pairs_old AS (SELECT da, db FROM cand_old
+              JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+              WHERE ({agree}) / {k}.0 >= {JACCARD_THRESHOLD}),
+edges_old AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs_old
+              UNION SELECT db, da FROM pairs_old),
+reach_old AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges_old) n
+  UNION
+  SELECT r.a, e.b FROM reach_old r JOIN edges_old e ON r.b = e.a
+),
+labels_old AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+               FROM reach_old GROUP BY a),
+ok_all AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
+           HAVING {_ok_bucket_sql()}),
+cand_all AS (SELECT a.doc_id AS da, b.doc_id AS db
+             FROM bands a JOIN ok_all USING (band, band_hash)
+             JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+pairs_new AS (SELECT da, db FROM cand_all
+              JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+              WHERE ({agree}) / {k}.0 >= {JACCARD_THRESHOLD}
+                AND (da % {m} = 0 OR db % {m} = 0)),
+star AS (SELECT doc_id AS da, cluster_id AS db FROM labels_old
+         WHERE doc_id <> cluster_id),
+edges2 AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs_new
+           UNION SELECT db, da FROM pairs_new
+           UNION SELECT da, db FROM star
+           UNION SELECT db, da FROM star),
+reach2 AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges2) n
+  UNION
+  SELECT r.a, e.b FROM reach2 r JOIN edges2 e ON r.b = e.a
+),
+labels2 AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+            FROM reach2 GROUP BY a),
+sizes2 AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM labels2 GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size
+FROM labels2 JOIN sizes2 USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 def _simhash_oracle() -> str:
     """DuckDB rendering of the 60-bit SimHash pipeline, built from the
     shared dialect renderers."""
@@ -710,6 +788,84 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_incremental_pairs_sql("spark"))
 
 
+def mh_signatures(spark: SparkSession, view: str) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signatures for the documents behind
+    ``view`` — the one Spark rendering of the signature chain, shared by
+    the batch/incremental/indexed dedup lanes and the incremental
+    cluster-maintenance lane (corpus.py)."""
+    hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+    return spark.sql(
+        f"WITH {_sig_ctes('spark', view, hint)} SELECT * FROM sig"
+    )
+
+
+def mh_sig_index_identity(sf_dir: str) -> tuple[str, str]:
+    """(documents path, persist.py content key) of the MinHash signature
+    index artifact over the EXISTING-corpus slice — one spelling, so the
+    incremental probe and the incremental cluster-maintenance lanes share
+    the artifact on disk."""
+    import os
+
+    from . import persist
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = persist.content_key(
+        [docs_path],
+        f"mh-sig-index|k{MINHASH_K}|b{MINHASH_BANDS}|mod{NEW_BATCH_MOD}"
+        f"|p{_MINHASH_P}|{MINHASH_COEFFS[:MINHASH_K]!r}",
+    )
+    return docs_path, key
+
+
+def build_mh_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builder for the persisted signature index: (doc_id, h0..h{k-1}, fp)
+    over the existing-corpus slice (doc_id % NEW_BATCH_MOD != 0)."""
+    _docs(spark, sf_dir).where(
+        F.col("doc_id") % NEW_BATCH_MOD != 0
+    ).createOrReplaceTempView("__mhidx_docs")
+    sig = mh_signatures(spark, "__mhidx_docs")
+    d = _mh_dialect("spark")
+    fps = spark.sql(
+        f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
+        f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __mhidx_docs)"
+    )
+    return sig.join(fps, "doc_id")
+
+
+def pairs_from_sig_view(
+    spark: SparkSession, sig_view: str, pred: str = "TRUE"
+) -> DataFrame:
+    """Banded, capped-bucket MinHash candidate pairs (da, db) read from an
+    already-materialized signature view — the probe primitive of the
+    incremental cluster-maintenance lane: banding is one explode over the
+    signature table (never a re-tokenize), candidates come from
+    bucket-local pair generation under the same MAX_BAND_BUCKET cap as the
+    batch lane, and the agree-threshold estimate joins the same view.
+    ``pred`` filters the emitted pairs (e.g. ``da % 7 = 0 OR db % 7 = 0``
+    keeps only edges touching the incoming batch)."""
+    agree = _agree_sql()
+    return spark.sql(
+        f"""
+WITH sig AS (SELECT * FROM {sig_view}),
+bands AS ({_band_defs('spark')}),
+ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
+       HAVING {_ok_bucket_sql()}),
+buckets AS (SELECT collect_list(doc_id) AS ids
+            FROM bands LEFT SEMI JOIN ok
+              ON bands.band = ok.band AND bands.band_hash = ok.band_hash
+            GROUP BY bands.band, bands.band_hash),
+cand AS (SELECT DISTINCT p.da AS da, p.db AS db FROM (
+  SELECT explode(filter(flatten(transform(ids, x -> transform(ids,
+         y -> struct(x AS da, y AS db)))), s -> s.da < s.db)) AS p
+  FROM buckets))
+SELECT da, db
+FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+WHERE ({agree}) / CAST({MINHASH_K} AS DOUBLE) >= {JACCARD_THRESHOLD}
+  AND ({pred})
+"""
+    )
+
+
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_incremental`` against a PERSISTED signature index — the
     shape a crawl pipeline actually runs daily: the EXISTING corpus'
@@ -721,41 +877,17 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the union of loaded-index + new-slice frames backs the same views),
     so this entry shares its oracle — 'indexed probe ≡ full recompute'
     is a hash-checked gate row, the dedup twin of ann_pq_index_append."""
-    import os
-
     from . import persist
 
-    docs_path = os.path.join(sf_dir, "documents.parquet")
-    key = persist.content_key(
-        [docs_path],
-        f"mh-sig-index|k{MINHASH_K}|b{MINHASH_BANDS}|mod{NEW_BATCH_MOD}"
-        f"|p{_MINHASH_P}|{MINHASH_COEFFS[:MINHASH_K]!r}",
-    )
+    _docs_path, key = mh_sig_index_identity(sf_dir)
     sib = spark.newSession()
-
-    def build() -> DataFrame:
-        hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
-        _docs(spark, sf_dir).where(
-            F.col("doc_id") % NEW_BATCH_MOD != 0
-        ).createOrReplaceTempView("__mhidx_docs")
-        sig = spark.sql(
-            f"WITH {_sig_ctes('spark', '__mhidx_docs', hint)} SELECT * FROM sig"
-        )
-        d = _mh_dialect("spark")
-        fps = spark.sql(
-            f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
-            f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __mhidx_docs)"
-        )
-        return sig.join(fps, "doc_id")
-
-    idx = persist.build_or_load(sib, "mh_sig_index", key, build)
-    hint = f"/*+ REPARTITION({sib.sparkContext.defaultParallelism}, doc_id) */"
+    idx = persist.build_or_load(
+        sib, "mh_sig_index", key, lambda: build_mh_sig_index(spark, sf_dir)
+    )
     _docs(sib, sf_dir).where(
         F.col("doc_id") % NEW_BATCH_MOD == 0
     ).createOrReplaceTempView("__incx_new")
-    new_sig = sib.sql(
-        f"WITH {_sig_ctes('spark', '__incx_new', hint)} SELECT * FROM sig"
-    )
+    new_sig = mh_signatures(sib, "__incx_new")
     d = _mh_dialect("spark")
     new_fps = sib.sql(
         f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "

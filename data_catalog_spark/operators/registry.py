@@ -71,6 +71,7 @@ def _load_all() -> None:
         urls,
         windows,
     )
+    from ..streaming import ann as streaming_ann  # noqa: F401
     from ..streaming import cms as streaming_cms  # noqa: F401
     from ..streaming import quality as streaming_quality  # noqa: F401
     from ..streaming import dedup as streaming_dedup  # noqa: F401

@@ -416,11 +416,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_lsh_oracle() -> str:
-    """DuckDB rendering of the identical banded pipeline: same plane
-    literals, the same fixed-point sign dots (floor-quantized integer
-    sums — see PAIR_Q), per-band bit packing, Hamming-1 probe explosion,
-    candidate equality join, exact rounded-cosine re-rank."""
+def _pair_lsh_cand_ctes(pair_pred: str) -> str:
+    """The ``pm``…``cand`` CTE chain of the banded sign-LSH candidate
+    pipeline in DuckDB — same plane literals, the same fixed-point sign
+    dots (floor-quantized integer sums — see PAIR_Q), per-band bit
+    packing, Hamming-1 probe explosion, candidate equality join.  Shared
+    by the near-dup pair oracle (``pair_pred`` '<': one-sided pairs) and
+    the kNN-graph oracle ('<>': directed per-node candidates)."""
     planes = _pair_planes()
     dim = planes.shape[1]
     band_exprs = []
@@ -451,8 +453,7 @@ def _pair_lsh_oracle() -> str:
         f"SELECT vec_id, {band} AS band, b{band} AS bits FROM sg"
         for band in range(PAIR_BANDS)
     )
-    return f"""
-WITH pm(pm) AS (SELECT {pm_lit}),
+    return f"""pm(pm) AS (SELECT {pm_lit}),
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -464,7 +465,15 @@ build AS (
   {build_arms}),
 cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
          FROM probes a JOIN build b
-           ON a.band = b.band AND a.pb = b.bits AND a.vec_id < b.vec_id)
+           ON a.band = b.band AND a.pb = b.bits
+          AND a.vec_id {pair_pred} b.vec_id)"""
+
+
+def _pair_lsh_oracle() -> str:
+    """DuckDB rendering of the identical banded near-dup pipeline: the
+    shared candidate chain plus the exact rounded-cosine re-rank."""
+    return f"""
+WITH {_pair_lsh_cand_ctes('<')}
 SELECT va, vb,
        round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cos
 FROM cand JOIN sg sa ON va = sa.vec_id JOIN sg sb ON vb = sb.vec_id
@@ -475,6 +484,93 @@ ORDER BY va, vb
 
 
 register("dedup_embedding_lsh", dedup_embedding_lsh, _pair_lsh_oracle())
+
+
+# -- approximate kNN graph over the embedding corpus --------------------------
+
+KNN_GRAPH_K = 5  # neighbors kept per node
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole embedding corpus — the
+    substrate of graph-based curation (NN-descent seeding, connectivity
+    semantic dedup, kNN-density outlier pruning): for every vector, its
+    top-k nearest candidates by exact rounded cosine, candidates drawn
+    from the banded sign-LSH Hamming-1 probe (the same memoized coded
+    corpus as dedup_embedding_lsh — never an all-pairs product).  Directed
+    edges: the probe runs BOTH directions (vec_id <> vec_id), then one
+    partition-keyed window ranks per source node (cos desc, neighbor id
+    tiebreak).  Nodes whose Hamming-1 ball collides with nothing are
+    absent — at production band widths the collision-free share is the
+    recall knob, measured for this family by ann_recall_contract.  Scale
+    shape: explode is 9 rows/band on the probe side only, candidates are
+    an equality join, the window is keyed on vec_id — no global sort, no
+    unbounded frame."""
+    e = _pair_coded(spark, sf_dir)
+    masks = [0] + [1 << j for j in range(PAIR_BAND_BITS)]
+    masks_lit = (
+        "array(" + ", ".join(f"CAST({m} AS BIGINT)" for m in masks) + ")"
+    )
+    probes = e.select(
+        "vec_id", F.posexplode("codes").alias("band", "bits")
+    ).select(
+        "vec_id",
+        "band",
+        F.explode(F.expr(f"transform({masks_lit}, m -> bits ^ m)")).alias(
+            "pb"
+        ),
+    )
+    build = e.select("vec_id", F.posexplode("codes").alias("band", "bits"))
+    cand = (
+        probes.alias("a")
+        .join(
+            build.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pb") == F.col("b.bits"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    slim = e.select("vec_id", "v", "nrm")
+    scored = (
+        cand.join(slim.alias("a"), F.col("va") == F.col("a.vec_id"))
+        .join(slim.alias("b"), F.col("vb") == F.col("b.vec_id"))
+        .select("va", "vb", F.round(_cos(), 6).alias("cos"))
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("vb").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "cos",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _knn_graph_oracle() -> str:
+    """Shared banded candidate chain (directed) + per-node top-k window."""
+    return f"""
+WITH {_pair_lsh_cand_ctes('<>')},
+scored AS (
+  SELECT va, vb,
+         round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cos
+  FROM cand JOIN sg sa ON va = sa.vec_id JOIN sg sb ON vb = sb.vec_id),
+ranked AS (
+  SELECT va, vb, cos,
+         row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rank
+  FROM scored)
+SELECT va AS vec_id, vb AS neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+FROM ranked WHERE rank <= {KNN_GRAPH_K}
+ORDER BY vec_id, rank
+"""
+
+
+register("knn_graph_lsh", knn_graph_lsh, _knn_graph_oracle())
 
 
 # -- incremental embedding near-dup: new batch vs corpus -------------------------
@@ -940,17 +1036,11 @@ def _pq_parts(
         # (kmeans._MODEL_CACHE), so the kind tag is a stable cache key
         kind = "pq-trained"
 
-    sub = _DIM // PQ_M
     # normalize first: on unit vectors L2² = 2 − 2·cos, so compressed-domain
     # L2 ordering IS cosine ordering (without this, varying norms make ADC
     # rank a different metric than the exact re-rank)
     e = _with_norm(_emb(spark, sf_dir)).withColumn(
         "vn", F.expr("transform(v, x -> x / nrm)")
-    )
-    cb_lit = "array(" + ", ".join(_centroids_sql(b) for b in books) + ")"
-    sqd = (
-        "aggregate(zip_with(slice({vec}, m * {sub} + 1, {sub}), c, "
-        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     # corpus coding (dists barrier + argmin) lives in _pq_code_rows —
     # shared with the incremental index append
@@ -972,12 +1062,28 @@ def _pq_parts(
             corpus = _pq_code_rows(e.where(F.col("vec_id") >= N_QUERIES), books)
             _PQ_CORPUS_CACHE.put(id(spark), key, corpus)
     queries = e.where(F.col("vec_id") < N_QUERIES)
-    # Classic ADC lookup tables, built ONCE per query row on the broadcast
-    # side: lut[m][j] = ||q_slice_m − cb[m][j]||².  Per (query, corpus)
-    # pair the distance is then PQ_M table lookups instead of PQ_M
-    # interpreted zip_with folds over the raw slices — the same arithmetic
-    # in the same order (each lut entry IS that fold), so pool membership
-    # is bit-identical to the inlined form, ~8× cheaper per pair.
+    return e, queries, _pq_pool_for(queries, corpus, books)
+
+
+def _pq_pool_for(queries: DataFrame, corpus: DataFrame, books) -> DataFrame:
+    """Compressed-domain candidate pool (qid, nid) for an arbitrary
+    normalized query frame (vec_id, vn) against a coded corpus (vec_id,
+    codes) — the ADC scan, factored so the streaming serve lane
+    (streaming/ann.py) can run it per query micro-batch against the
+    loaded index.
+
+    Classic ADC lookup tables, built ONCE per query row on the broadcast
+    side: lut[m][j] = ||q_slice_m − cb[m][j]||².  Per (query, corpus)
+    pair the distance is then PQ_M table lookups instead of PQ_M
+    interpreted zip_with folds over the raw slices — the same arithmetic
+    in the same order (each lut entry IS that fold), so pool membership
+    is bit-identical to the inlined form, ~8× cheaper per pair."""
+    sub = _DIM // PQ_M
+    cb_lit = "array(" + ", ".join(_centroids_sql(b) for b in books) + ")"
+    sqd = (
+        "aggregate(zip_with(slice({vec}, m * {sub} + 1, {sub}), c, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
     lut_expr = (
         f"transform(sequence(0, {PQ_M - 1}), m -> "
         f"transform(element_at({cb_lit}, m + 1), c -> {sqd.format(vec='vn', sub=sub)}))"
@@ -996,7 +1102,7 @@ def _pq_parts(
     # the ADC scan streams the 32×-smaller code table, and exact cosines are
     # paid for just |queries|·PQ_RERANK survivors (re-rank join below), not
     # for 100% of the corpus as the pre-r5 shape did.
-    pool = (
+    return (
         F.broadcast(q_lut).alias("a")
         .crossJoin(corpus.select("vec_id", "codes").alias("b"))
         .select(
@@ -1008,7 +1114,6 @@ def _pq_parts(
         .where(F.col("arank") <= PQ_RERANK)
         .select("qid", "nid")
     )
-    return e, queries, pool
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -443,3 +443,69 @@ def test_quality_signals_agree_with_standalone_entries(spark, sf_dir):
         dup_docs.add(p.doc_id)
     flagged = {d for d, s in sig.items() if s.is_exact_dup}
     assert flagged == dup_docs
+
+
+def test_clusters_incremental_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.dedup_clusters_incremental(spark, sf_dir),
+        ddb,
+        corpus._incremental_clusters_oracle(),
+    )
+
+
+def test_clusters_incremental_equals_rebuild(spark, sf_dir):
+    """Merging the incoming batch into the persisted old-corpus labels
+    reproduces the full rebuild bit-for-bit — the cap-monotonicity pin:
+    state-as-of-index-time semantics and rebuild semantics can only
+    diverge when an append pushes a band bucket over MAX_BAND_BUCKET,
+    which the test SFs never do."""
+    inc = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in corpus.dedup_clusters_incremental(spark, sf_dir).collect()
+    }
+    full = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in corpus.dedup_cluster_components(spark, sf_dir).collect()
+    }
+    assert inc == full
+
+
+def test_clusters_incremental_star_merge_joins_old_clusters(spark):
+    """A new doc that collides with members of two distinct old clusters
+    must merge them — the star edges carry old connectivity through the
+    second closure.  Exercised on the shared _connected_components
+    substrate with synthetic edges (old stars {1,2} and {3,4} bridged by
+    new node 100)."""
+    from pyspark.sql import functions as F
+
+    star = spark.createDataFrame([(2, 1), (4, 3)], ["a", "b"])
+    new_pairs = spark.createDataFrame([(100, 2), (100, 4)], ["a", "b"])
+    labels = {
+        r.node: r.label
+        for r in corpus._connected_components(
+            new_pairs.unionByName(star)
+        ).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 100: 1}
+
+
+def test_source_dedup_effect_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.source_dedup_effect(spark, sf_dir),
+        ddb,
+        corpus.SOURCE_DEDUP_EFFECT_ORACLE,
+    )
+
+
+def test_source_dedup_effect_invariants(spark, sf_dir):
+    rows = corpus.source_dedup_effect(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) >= sum(r.kept_docs for r in rows)
+    for r in rows:
+        assert 0 <= r.kept_docs <= r.n_docs
+        assert 0 <= r.kept_tokens <= r.n_tokens
+    # shares are distributions (rounding tolerance)
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-4
+    # dedup dropped something at this SF, so at least one source shifted
+    assert any(r.kept_docs < r.n_docs for r in rows)

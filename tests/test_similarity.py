@@ -332,3 +332,57 @@ def test_embedding_incremental_is_new_vs_corpus_only(spark, sf_dir):
         assert r.vec_id % sim.EMB_NEW_MOD == 0
         assert r.match_id % sim.EMB_NEW_MOD != 0
         assert r.cos >= sim.EMB_DUP_THRESHOLD
+
+
+def test_knn_graph_parity(spark, sf_dir, ddb):
+    assert_same(
+        similarity.knn_graph_lsh(spark, sf_dir), ddb, similarity._knn_graph_oracle()
+    )
+
+
+def test_knn_graph_shape(spark, sf_dir):
+    """Per node: ranks are 1..n contiguous with n ≤ K, scores non-increasing,
+    no self-edges, and the graph covers most of the corpus (banded recall)."""
+    rows = similarity.knn_graph_lsh(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        per.setdefault(r.vec_id, []).append((r.rank, r.cos))
+    n_vecs = similarity._emb(spark, sf_dir).count()
+    assert len(per) >= 0.5 * n_vecs, "kNN graph should cover most nodes"
+    for edges in per.values():
+        edges.sort()
+        assert [e[0] for e in edges] == list(range(1, len(edges) + 1))
+        assert len(edges) <= similarity.KNN_GRAPH_K
+        cosines = [e[1] for e in edges]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_graph_top1_matches_bruteforce_when_present(spark, sf_dir):
+    """Where the banded graph has an edge set for a node, its rank-1
+    neighbor's cosine can never exceed the exact best cosine for that node
+    (the graph re-ranks with EXACT cosine, so rank-1 is exact-best among
+    candidates)."""
+    g = {}
+    for r in similarity.knn_graph_lsh(spark, sf_dir).collect():
+        if r.rank == 1:
+            g[r.vec_id] = r.cos
+    e = similarity._with_norm(similarity._emb(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    exact = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(similarity._cos(), 6).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("best"))
+        .collect()
+    )
+    best = {r.vec_id: r.best for r in exact}
+    assert g, "graph has rank-1 edges"
+    for vid, cos in g.items():
+        assert cos <= best[vid] + 1e-9

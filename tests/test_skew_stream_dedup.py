@@ -92,3 +92,15 @@ def test_stream_embedding_dedup_matches_batch_arm(spark, sf_dir):
         tuple(r) for r in dedup_embedding_incremental(spark, sf_dir).collect()
     ]
     assert got == want and got
+
+
+def test_stream_ann_pq_serve_matches_batch_topk(spark, sf_dir):
+    """Serving-invariance: query top-k answered per micro-batch from the
+    PERSISTED code table must equal the one-shot batch top-k bit-for-bit
+    (per-query work is batching-independent by construction)."""
+    from data_catalog_spark.operators.similarity import ann_pq_topk
+    from data_catalog_spark.streaming.ann import stream_ann_pq_serve
+
+    got = [tuple(r) for r in stream_ann_pq_serve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in ann_pq_topk(spark, sf_dir).collect()]
+    assert got == want and got
