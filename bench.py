@@ -165,6 +165,8 @@ HEADLINE = [
     "knn_graph_lsh",
     "source_dedup_effect",
     "stream_ann_pq_serve",
+    "dedup_recall_contract",
+    "embedding_drift_report",
 ]
 
 

@@ -40,6 +40,8 @@ def _load_all() -> None:
         bpe,
         cdc,
         corpus,
+        dedup_contract,
+        drift,
         crossmodal,
         dedup,
         dsir,

@@ -346,3 +346,24 @@ def test_duplicate_spans_short_docs_have_no_windows(spark):
         .collect()
     )
     assert {r.doc_id: r["count"] for r in n} == {1: 5}  # 12 - 8 + 1
+
+
+def test_dedup_recall_contract_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import dedup_contract
+    from conftest import assert_same
+
+    assert_same(
+        dedup_contract.dedup_recall_contract(spark, sf_dir),
+        ddb,
+        dedup_contract._dedup_contract_oracle(),
+    )
+
+
+def test_dedup_recall_contract_floors_hold(spark, sf_dir):
+    from data_catalog_spark.operators import dedup_contract
+
+    rows = dedup_contract.dedup_recall_contract(spark, sf_dir).collect()
+    assert {r.lane for r in rows} == set(dedup_contract.LANE_FLOORS)
+    for r in rows:
+        assert r.meets_floor, f"{r.lane} recall {r.recall} < {r.floor_recall}"
+        assert 0 < r.n_hit <= r.n_exact

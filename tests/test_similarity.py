@@ -386,3 +386,24 @@ def test_knn_graph_top1_matches_bruteforce_when_present(spark, sf_dir):
     assert g, "graph has rank-1 edges"
     for vid, cos in g.items():
         assert cos <= best[vid] + 1e-9
+
+
+def test_embedding_drift_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import drift
+
+    assert_same(
+        drift.embedding_drift_report(spark, sf_dir), ddb, drift._drift_oracle()
+    )
+
+
+def test_embedding_drift_invariants(spark, sf_dir):
+    from data_catalog_spark.operators import drift
+
+    rows = drift.embedding_drift_report(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share_base for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_new for r in rows) - 1.0) < 1e-4
+    # the shift column is exactly the two shares' difference (rounded)
+    for r in rows:
+        assert abs(r.share_shift - (r.share_new - r.share_base)) < 2e-6
+        assert r.n_base + r.n_new > 0
