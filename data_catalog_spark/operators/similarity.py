@@ -216,9 +216,15 @@ def dedup_embedding_cosine(
             f"{max_rows}-row guard — use dedup_embedding_lsh for scale runs"
         )
     e = _with_norm(_emb(spark, sf_dir))
+    # The streamed side of the nested-loop join inherits the parquet
+    # file's partitioning — ONE task for a single-row-group local file,
+    # which serializes all n²/2 cosine folds (measured 62 s for n=2000 at
+    # sf0.1); spreading it across the executor threads first makes the
+    # broadcast nested loop embarrassingly parallel (~3 s same corpus).
+    left = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     return (
-        e.alias("a")
-        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        left.alias("a")
+        .join(F.broadcast(e).alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
