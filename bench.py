@@ -167,6 +167,7 @@ HEADLINE = [
     "stream_ann_pq_serve",
     "dedup_recall_contract",
     "embedding_drift_report",
+    "vocab_growth_heaps",
 ]
 
 

@@ -845,6 +845,183 @@ FROM sums
 register("corpus_zipf_fit", corpus_zipf_fit, ZIPF_ORACLE)
 
 
+# -- Heaps'-law vocabulary growth ---------------------------------------------
+#
+# The companion statistic to the Zipf fit: how the TYPE count grows with
+# corpus size as it is consumed in ingest (doc_id) order — V(N) ≈ k·N^β.
+# Mixture designers read β to extrapolate tokenizer vocab pressure and
+# dedup saturation to the full crawl from a prefix sample.  Types are the
+# dedup SHINGLE unit (word {SHINGLE_N}-grams): the driver corpus draws
+# words from a closed ~31-word vocabulary, so unigram types saturate in
+# the first bucket (a degenerate flat curve), while the n-gram type space
+# keeps growing — and n-gram types are what MinHash saturation actually
+# depends on.
+
+HEAPS_BUCKETS = 100
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: curve-point count, totals, OLS slope (the Heaps exponent
+    β), intercept ln k, and R² of ln V ~ ln N over the bucketed
+    cumulative shingle-vocabulary-growth curve (N = shingle instances,
+    V = distinct shingle types).
+
+    Scale shape: type first-appearances are ONE groupBy over the shingle
+    stream (min doc_id per type — no per-doc distinct state, no
+    quadratic rescan); the curve is bucketed onto a FIXED
+    ``HEAPS_BUCKETS`` id-range grid with plain arithmetic (no global row
+    ordering over the corpus), so the only unpartitioned window runs
+    over the 100-row bucket aggregate — model-sized at any SF (the
+    source_temperature_mix adjudication class).  OLS sums fold through
+    DECIMAL (the corpus_zipf_fit convention), partition-order
+    independent."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("t"))
+        .localCheckpoint(eager=False)  # scalar max + shingle stream + sizes
+    )
+    mx = d.agg(F.max("doc_id")).first()[0] + 1
+
+    def hb(col: str) -> F.Column:
+        return F.expr(
+            f"CAST(least(floor({col} * {HEAPS_BUCKETS} / {mx}), "
+            f"{HEAPS_BUCKETS - 1}) AS INT)"
+        )
+
+    n_windows = (
+        f"CASE WHEN size(t) >= {SHINGLE_N} "
+        f"THEN size(t) - {SHINGLE_N - 1} ELSE 0 END"
+    )
+    pbt = d.groupBy(hb("doc_id").alias("bucket")).agg(
+        F.sum(F.expr(n_windows)).cast("long").alias("n_tokens")
+    )
+    firsts = (
+        d.select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    pbn = firsts.groupBy(hb("fd").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    grid = spark.range(HEAPS_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    pb = (
+        grid.join(pbt, "bucket", "left")
+        .join(pbn, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = pb.select(
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )
+    pts = (
+        curve.where(F.col("cum_tokens") > 0)
+        .select(
+            F.log(F.col("cum_tokens").cast("double"))
+            .cast("decimal(20,12)")
+            .alias("x"),
+            F.log(F.col("cum_types").cast("double"))
+            .cast("decimal(20,12)")
+            .alias("y"),
+        )
+        .select(
+            F.col("x").cast("double").alias("xd"),
+            F.col("y").cast("double").alias("yd"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xd").cast("decimal(20,10)")).cast("double").alias("sx"),
+        F.sum(F.col("yd").cast("decimal(20,10)")).cast("double").alias("sy"),
+        F.sum((F.col("xd") * F.col("yd")).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("xd") * F.col("xd")).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("yd") * F.col("yd")).cast("decimal(20,10)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    tot = pb.agg(F.sum("n_tokens"), F.sum("new_types")).first()
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.lit(int(tot[0])).cast("long").alias("total_ngrams"),
+        F.lit(int(tot[1])).cast("long").alias("total_types"),
+        F.round(cov / varx, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6
+        ).alias("ln_k"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+HEAPS_ORACLE = f"""
+WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS m FROM d),
+pbt AS (
+  SELECT CAST(least(floor(doc_id * {HEAPS_BUCKETS} / m),
+              {HEAPS_BUCKETS - 1}) AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN len(t) >= {SHINGLE_N}
+                       THEN len(t) - {SHINGLE_N - 1} ELSE 0 END)
+              AS BIGINT) AS n_tokens
+  FROM d, mx GROUP BY 1),
+firsts AS (
+  SELECT w, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS w FROM d) GROUP BY w),
+pbn AS (
+  SELECT CAST(least(floor(fd * {HEAPS_BUCKETS} / m),
+              {HEAPS_BUCKETS - 1}) AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM firsts, mx GROUP BY 1),
+grid AS (SELECT CAST(range AS INTEGER) AS bucket
+         FROM range(0, {HEAPS_BUCKETS})),
+pb AS (SELECT bucket, COALESCE(n_tokens, 0) AS n_tokens,
+              COALESCE(new_types, 0) AS new_types
+       FROM grid LEFT JOIN pbt USING (bucket) LEFT JOIN pbn USING (bucket)),
+curve AS (SELECT sum(n_tokens) OVER (ORDER BY bucket) AS cum_tokens,
+                 sum(new_types) OVER (ORDER BY bucket) AS cum_types
+          FROM pb),
+pts AS (
+  SELECT CAST(CAST(ln(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(20,12))
+              AS DOUBLE) AS xd,
+         CAST(CAST(ln(CAST(cum_types AS DOUBLE)) AS DECIMAL(20,12))
+              AS DOUBLE) AS yd
+  FROM curve WHERE cum_tokens > 0),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(xd AS DECIMAL(20,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yd AS DECIMAL(20,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xd * yd AS DECIMAL(20,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xd * xd AS DECIMAL(20,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yd * yd AS DECIMAL(20,10))) AS DOUBLE) AS syy
+  FROM pts),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_ngrams,
+               CAST(sum(new_types) AS BIGINT) AS total_types FROM pb)
+SELECT n AS n_points, total_ngrams, total_types,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS ln_k,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums CROSS JOIN tot
+"""
+
+
+register("vocab_growth_heaps", vocab_growth_heaps, HEAPS_ORACLE)
+
+
 # -- significant terms (the ES significant_terms aggregation) -------------------
 #
 # The reference's ES 1.x stack ships `significant_terms`: tokens

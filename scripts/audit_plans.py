@@ -127,6 +127,13 @@ ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
         "global-window": (1, _SMALL_AGG_WINDOW),
         "single-partition-shuffle": (1, _SMALL_AGG_WINDOW),
     },
+    "vocab_growth_heaps": {
+        # cumulative-curve window over the FIXED 100-row bucket grid
+        # (HEAPS_BUCKETS — arithmetic id-range bucketing, no global row
+        # ordering of the corpus feeds it)
+        "global-window": (1, _SMALL_AGG_WINDOW),
+        "single-partition-shuffle": (1, _SMALL_AGG_WINDOW),
+    },
     "source_temperature_mix": {
         # two OVER () sums (natural-share total + temperature renorm),
         # both over the same |source|-row grouped frame

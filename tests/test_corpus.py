@@ -509,3 +509,20 @@ def test_source_dedup_effect_invariants(spark, sf_dir):
     assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-4
     # dedup dropped something at this SF, so at least one source shifted
     assert any(r.kept_docs < r.n_docs for r in rows)
+
+
+def test_vocab_growth_heaps_parity(spark, sf_dir, ddb):
+    from data_catalog_spark.operators import text
+
+    assert_same(text.vocab_growth_heaps(spark, sf_dir), ddb, text.HEAPS_ORACLE)
+
+
+def test_vocab_growth_heaps_sane_fit(spark, sf_dir):
+    from data_catalog_spark.operators import text
+
+    row = text.vocab_growth_heaps(spark, sf_dir).collect()[0]
+    assert row.n_points == text.HEAPS_BUCKETS
+    assert 0 < row.total_types <= row.total_ngrams
+    # sublinear growth with a tight log-log fit at this SF
+    assert 0.0 < row.heaps_beta < 1.0
+    assert row.r2 > 0.9
