@@ -168,6 +168,7 @@ HEADLINE = [
     "dedup_recall_contract",
     "embedding_drift_report",
     "vocab_growth_heaps",
+    "source_drift_report",
 ]
 
 

@@ -597,6 +597,121 @@ FROM a CROSS JOIN t ORDER BY source
 register("source_dedup_effect", source_dedup_effect, SOURCE_DEDUP_EFFECT_ORACLE)
 
 
+def source_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side distribution-drift monitor — the documents twin of
+    embedding_drift_report (drift.py), run on the same base-vs-incoming
+    split the dedup index lanes use (doc_id % NEW_BATCH_MOD): per source,
+    doc counts and corpus-share shift between the slices, plus each
+    slice's mean doc length and stopword ratio — a crawl whose share mass
+    moves across sources, whose docs shorten, or whose stopword ratio
+    drops (markup/boilerplate creep) is flagged before it enters the
+    training mix.  One documents scan, one agg keyed on source, 1-row
+    scalar collect for the share denominators; every per-slice statistic
+    is a ratio of exact integer sums, so cross-engine parity is exact."""
+    from .dedup import NEW_BATCH_MOD
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.expr(SPARK_TOKENS).alias("t")
+        )
+        .select(
+            "source",
+            (F.col("doc_id") % NEW_BATCH_MOD == 0).alias("is_new"),
+            F.size("t").cast("long").alias("n_tok"),
+            F.expr(
+                f"CAST({spark_stop_count(_STOPWORDS)} AS BIGINT)"
+            ).alias("n_stop"),
+        )
+    )
+
+    def csum(pred: F.Column, col) -> F.Column:
+        return F.sum(F.when(pred, col).otherwise(F.lit(0))).cast("long")
+
+    base, new = ~F.col("is_new"), F.col("is_new")
+    agg = (
+        d.groupBy("source")
+        .agg(
+            csum(base, F.lit(1)).alias("n_base"),
+            csum(new, F.lit(1)).alias("n_new"),
+            csum(base, F.col("n_tok")).alias("tok_base"),
+            csum(new, F.col("n_tok")).alias("tok_new"),
+            csum(base, F.col("n_stop")).alias("stop_base"),
+            csum(new, F.col("n_stop")).alias("stop_new"),
+        )
+        .localCheckpoint(eager=False)  # feeds the scalar agg AND the report
+    )
+    tot = agg.agg(F.sum("n_base"), F.sum("n_new")).first()
+    tb, tn = float(tot[0]), float(tot[1])
+
+    def ratio(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0,
+            F.round(F.col(num).cast("double") / F.col(den), 6),
+        )
+
+    return agg.select(
+        "source",
+        "n_base",
+        "n_new",
+        F.round(F.col("n_base") / F.lit(tb), 6).alias("share_base"),
+        F.round(F.col("n_new") / F.lit(tn), 6).alias("share_new"),
+        F.round(
+            F.col("n_new") / F.lit(tn) - F.col("n_base") / F.lit(tb), 6
+        ).alias("share_shift"),
+        ratio("tok_base", "n_base").alias("mean_tokens_base"),
+        ratio("tok_new", "n_new").alias("mean_tokens_new"),
+        ratio("stop_base", "tok_base").alias("stop_ratio_base"),
+        ratio("stop_new", "tok_new").alias("stop_ratio_new"),
+    ).orderBy("source")
+
+
+def _source_drift_oracle() -> str:
+    from .dedup import NEW_BATCH_MOD
+
+    m = NEW_BATCH_MOD
+
+    def csum(pred: str, col: str) -> str:
+        return f"CAST(sum(CASE WHEN {pred} THEN {col} ELSE 0 END) AS BIGINT)"
+
+    def ratio(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 "
+            f"THEN round(CAST({num} AS DOUBLE) / {den}, 6) END"
+        )
+
+    return f"""
+WITH d AS (SELECT source, doc_id % {m} = 0 AS is_new, {DUCK_TOKENS} AS t
+           FROM documents),
+x AS (SELECT source, is_new,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST({duck_stop_count(_STOPWORDS)} AS BIGINT) AS n_stop
+      FROM d),
+g AS (SELECT source,
+             {csum('NOT is_new', '1')} AS n_base,
+             {csum('is_new', '1')} AS n_new,
+             {csum('NOT is_new', 'n_tok')} AS tok_base,
+             {csum('is_new', 'n_tok')} AS tok_new,
+             {csum('NOT is_new', 'n_stop')} AS stop_base,
+             {csum('is_new', 'n_stop')} AS stop_new
+      FROM x GROUP BY source),
+t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+             CAST(sum(n_new) AS DOUBLE) AS tn FROM g)
+SELECT source, n_base, n_new,
+       round(n_base / tb, 6) AS share_base,
+       round(n_new / tn, 6) AS share_new,
+       round(n_new / tn - n_base / tb, 6) AS share_shift,
+       {ratio('tok_base', 'n_base')} AS mean_tokens_base,
+       {ratio('tok_new', 'n_new')} AS mean_tokens_new,
+       {ratio('stop_base', 'tok_base')} AS stop_ratio_base,
+       {ratio('stop_new', 'tok_new')} AS stop_ratio_new
+FROM g CROSS JOIN t ORDER BY source
+"""
+
+
+register("source_drift_report", source_drift_report, _source_drift_oracle())
+
+
 # -- leakage-free split assignment ---------------------------------------------
 #
 # split_leakage_audit (similarity.py) MEASURES the damage a naive

@@ -526,3 +526,24 @@ def test_vocab_growth_heaps_sane_fit(spark, sf_dir):
     # sublinear growth with a tight log-log fit at this SF
     assert 0.0 < row.heaps_beta < 1.0
     assert row.r2 > 0.9
+
+
+def test_source_drift_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.source_drift_report(spark, sf_dir),
+        ddb,
+        corpus._source_drift_oracle(),
+    )
+
+
+def test_source_drift_invariants(spark, sf_dir):
+    rows = corpus.source_drift_report(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share_base for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_new for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.n_base + r.n_new > 0
+        if r.stop_ratio_base is not None:
+            assert 0.0 <= r.stop_ratio_base <= 1.0
+        if r.stop_ratio_new is not None:
+            assert 0.0 <= r.stop_ratio_new <= 1.0
