@@ -169,6 +169,7 @@ HEADLINE = [
     "embedding_drift_report",
     "vocab_growth_heaps",
     "source_drift_report",
+    "knn_density_outliers",
 ]
 
 

@@ -579,6 +579,71 @@ ORDER BY vec_id, rank
 register("knn_graph_lsh", knn_graph_lsh, _knn_graph_oracle())
 
 
+KNN_OUTLIER_PAGE = 50
+
+
+def knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph's curation consumer: the ``KNN_OUTLIER_PAGE`` least
+    locally-dense vectors — density = mean cosine to the node's top-k
+    neighbors; vectors whose Hamming-1 ball collided with NOTHING (no
+    graph edges at all) are the most isolated and page first with
+    n_neighbors = 0 and NULL density.  This is kNN-density outlier
+    pruning: the page is the review queue of OOD/noisy/mislabeled
+    candidates a curation pass inspects or drops.  One left join of the
+    (tiny) per-node aggregate onto the corpus ids + a bounded top-page
+    sort; density means fold the 6dp-rounded cosines through DECIMAL, so
+    they are partition-order independent."""
+    per_node = (
+        knn_graph_lsh(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.round(
+                (
+                    F.sum(F.col("cos").cast("decimal(28,10)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("mean_cos"),
+        )
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id")
+        .join(F.broadcast(per_node), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0).cast("long")).alias(
+                "n_neighbors"
+            ),
+            "mean_cos",
+        )
+        .orderBy(F.col("mean_cos").asc_nulls_first(), F.col("vec_id"))
+        .limit(KNN_OUTLIER_PAGE)
+    )
+
+
+def _knn_outlier_oracle() -> str:
+    return f"""
+WITH g AS ({_knn_graph_oracle()}),
+per_node AS (
+  SELECT vec_id,
+         CAST(count(*) AS BIGINT) AS n_neighbors,
+         round(CAST(sum(CAST(cos AS DECIMAL(28,10))) / count(*) AS DOUBLE), 6)
+             AS mean_cos
+  FROM g GROUP BY vec_id)
+SELECT e.vec_id,
+       COALESCE(p.n_neighbors, 0) AS n_neighbors,
+       p.mean_cos
+FROM embeddings e LEFT JOIN per_node p USING (vec_id)
+ORDER BY mean_cos ASC NULLS FIRST, vec_id
+LIMIT {KNN_OUTLIER_PAGE}
+"""
+
+
+register("knn_density_outliers", knn_density_outliers, _knn_outlier_oracle())
+
+
 # -- incremental embedding near-dup: new batch vs corpus -------------------------
 #
 # Completes the incremental-dedup symmetry: text (dedup.dedup_incremental),

@@ -407,3 +407,24 @@ def test_embedding_drift_invariants(spark, sf_dir):
     for r in rows:
         assert abs(r.share_shift - (r.share_new - r.share_base)) < 2e-6
         assert r.n_base + r.n_new > 0
+
+
+def test_knn_outliers_parity(spark, sf_dir, ddb):
+    assert_same(
+        similarity.knn_density_outliers(spark, sf_dir),
+        ddb,
+        similarity._knn_outlier_oracle(),
+    )
+
+
+def test_knn_outliers_page_is_least_dense(spark, sf_dir):
+    rows = similarity.knn_density_outliers(spark, sf_dir).collect()
+    assert 0 < len(rows) <= similarity.KNN_OUTLIER_PAGE
+    # no-edge nodes (if any) lead the page; then densities ascend
+    densities = [r.mean_cos for r in rows]
+    nulls = [d for d in densities if d is None]
+    assert densities[: len(nulls)] == nulls
+    rest = [d for d in densities if d is not None]
+    assert rest == sorted(rest)
+    for r in rows:
+        assert (r.mean_cos is None) == (r.n_neighbors == 0)
