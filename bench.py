@@ -170,6 +170,8 @@ HEADLINE = [
     "vocab_growth_heaps",
     "source_drift_report",
     "knn_density_outliers",
+    "unimax_source_budgets",
+    "ann_ivf_reload_topk",
 ]
 
 

@@ -712,6 +712,116 @@ FROM g CROSS JOIN t ORDER BY source
 register("source_drift_report", source_drift_report, _source_drift_oracle())
 
 
+# -- UniMax water-filling source budgets ---------------------------------------
+#
+# The third mixture-design lane beside source_temperature_mix (power-law
+# reweight) and doremi_source_weights (reference-model reweight): UniMax
+# (Chung et al. 2023) allocates a fixed token budget B fairly across
+# sources WITHOUT upsampling — small sources are fully funded, large
+# sources split the remainder equally.  Closed form: the water level λ
+# solves Σ min(s_i, λ) = B; on the ascending size curve λ lies in the
+# segment [s_{k-1}, s_k] where λ_k = (B − Σ_{j<k} s_j) / (n − k + 1)
+# first satisfies the segment bounds, and alloc_i = min(s_i, λ).
+
+UNIMAX_BUDGET_FRAC = 0.5  # <1 so the level always binds (rationing)
+
+
+def unimax_source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: token count, the UniMax allocation under a budget of
+    ``UNIMAX_BUDGET_FRAC``·total tokens, the mixture weight, and the
+    resulting epochs (≤ 1 by construction — UniMax never upsamples).
+
+    Scale shape: corpus-proportional work is ONE token-count aggregate
+    keyed on source; the water-level search is a window + lag over the
+    |sources|-row frame (model-sized, the source_temperature_mix
+    adjudication class) and a 1-row scalar collect; the level itself is
+    exact integer arithmetic until the final division."""
+    s = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+        .localCheckpoint(eager=False)  # feeds the scalar, the level, the report
+    )
+    import math
+
+    total = int(s.agg(F.sum("n_tokens")).first()[0])
+    budget = int(math.floor(total * UNIMAX_BUDGET_FRAC))
+    n = s.count()
+    w = Window.orderBy(F.col("n_tokens"), F.col("source"))
+    lev = (
+        s.withColumn("k", F.row_number().over(w))
+        .withColumn(
+            "cum_excl",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("prev_s", F.lag("n_tokens").over(w))
+        .withColumn(
+            "lam",
+            (F.lit(budget) - F.col("cum_excl"))
+            / (F.lit(n) - F.col("k") + 1).cast("double"),
+        )
+        .where(
+            (F.col("lam") <= F.col("n_tokens"))
+            & (F.col("prev_s").isNull() | (F.col("lam") >= F.col("prev_s")))
+        )
+        .orderBy("k")
+        .first()
+    )
+    lam = float(lev.lam)
+    alloc = F.least(F.col("n_tokens").cast("double"), F.lit(lam))
+    return s.select(
+        "source",
+        "n_tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.lit(float(budget)), 6).alias("weight"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    ).orderBy("source")
+
+
+def _unimax_oracle() -> str:
+    return f"""
+WITH s AS (SELECT source, CAST(sum(len({DUCK_TOKENS})) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(sum(n_tokens) AS BIGINT)
+                        * {UNIMAX_BUDGET_FRAC}) AS BIGINT) AS budget
+      FROM s),
+curve AS (
+  SELECT s.*, t.n, t.budget,
+         row_number() OVER (ORDER BY n_tokens, source) AS k,
+         COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+         lag(n_tokens) OVER (ORDER BY n_tokens, source) AS prev_s
+  FROM s, t),
+lev AS (
+  SELECT (budget - cum_excl) / CAST(n - k + 1 AS DOUBLE) AS lam
+  FROM curve
+  WHERE (budget - cum_excl) / CAST(n - k + 1 AS DOUBLE) <= n_tokens
+    AND (prev_s IS NULL
+         OR (budget - cum_excl) / CAST(n - k + 1 AS DOUBLE) >= prev_s)
+  ORDER BY k LIMIT 1)
+SELECT source, n_tokens,
+       round(least(CAST(n_tokens AS DOUBLE), lam), 6) AS alloc_tokens,
+       round(least(CAST(n_tokens AS DOUBLE), lam) / CAST(budget AS DOUBLE), 6)
+           AS weight,
+       round(least(CAST(n_tokens AS DOUBLE), lam) / n_tokens, 6) AS epochs
+FROM s CROSS JOIN lev CROSS JOIN t ORDER BY source
+"""
+
+
+register("unimax_source_budgets", unimax_source_budgets, _unimax_oracle())
+
+
 # -- leakage-free split assignment ---------------------------------------------
 #
 # split_leakage_audit (similarity.py) MEASURES the damage a naive

@@ -938,6 +938,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _assign_probes(
         e.where(F.col("vec_id") < N_QUERIES), centroids, IVF_NPROBE
     )
+    return _ivf_serve(queries, corpus)
+
+
+def _ivf_serve(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Probe-bucket equality join + exact re-rank — shared by the
+    in-session IVF lane and the persisted-assignment reload lane.
+    ``queries`` carries (vec_id, v, nrm, probe); ``corpus`` carries
+    (vec_id, v, nrm, cluster)."""
     cand = (
         F.broadcast(queries).alias("a")
         .join(corpus.alias("b"), F.col("a.probe") == F.col("b.cluster"))
@@ -955,6 +963,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("qid", "rank")
     )
+
+
+def ann_ivf_reload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a PERSISTED inverted-list assignment — the fourth cell of
+    the reload matrix (PQ code table, MinHash cluster labels, MinHash
+    signature index, and now the IVF coarse assignment): the (vec_id,
+    cluster) table is built once per corpus version, saved under a
+    content key, loaded in a fresh ``newSession()`` (empty memo stores),
+    and joined back to the full-precision vectors at serve time — exactly
+    the deployment split, where the assignment lives with the index and
+    the vectors stay in the source parquet.  The oracle is ann_ivf_topk's
+    own: reload parity is hash-checked every round."""
+    import os as _os
+
+    from . import persist
+    from .ann_models import IVF_CENTROIDS as centroids
+
+    emb = _os.path.join(sf_dir, "embeddings.parquet")
+    key = persist.content_key(
+        [emb], f"ivf-frozen|{IVF_CLUSTERS}|{IVF_NPROBE}|{centroids!r}"
+    )
+    sib = spark.newSession()
+
+    def build() -> DataFrame:
+        e0 = _with_norm(_emb(spark, sf_dir))
+        return _assign_clusters(
+            e0.where(F.col("vec_id") >= N_QUERIES), centroids
+        ).select("vec_id", "cluster")
+
+    assigned = persist.build_or_load(sib, "ivf_assignments", key, build)
+    e = _with_norm(_emb(sib, sf_dir))
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).join(assigned, "vec_id")
+    queries = _assign_probes(
+        e.where(F.col("vec_id") < N_QUERIES), centroids, IVF_NPROBE
+    )
+    return _ivf_serve(queries, corpus)
 
 
 def _assign_probes(df: DataFrame, centroids: list[list[float]], nprobe: int) -> DataFrame:
@@ -1547,6 +1591,8 @@ FROM r WHERE rank <= {TOP_K} ORDER BY qid, rank
 
 register("ann_lsh_topk", ann_lsh_topk, _lsh_oracle())
 register("ann_ivf_topk", ann_ivf_topk, _ivf_oracle())  # frozen quantizer
+# persisted inverted-list assignment, served in a fresh session — same oracle
+register("ann_ivf_reload_topk", ann_ivf_reload_topk, _ivf_oracle())
 
 
 # -- semantic dedup (SemDeDup: cluster-partitioned cosine) --------------------

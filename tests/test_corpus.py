@@ -547,3 +547,65 @@ def test_source_drift_invariants(spark, sf_dir):
             assert 0.0 <= r.stop_ratio_base <= 1.0
         if r.stop_ratio_new is not None:
             assert 0.0 <= r.stop_ratio_new <= 1.0
+
+
+def test_unimax_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.unimax_source_budgets(spark, sf_dir),
+        ddb,
+        corpus._unimax_oracle(),
+    )
+
+
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    rows = corpus.unimax_source_budgets(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    budget = int(total * corpus.UNIMAX_BUDGET_FRAC)
+    # allocations exhaust the budget (up to rounding), never upsample,
+    # and small sources are funded before large ones cap
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1.0
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.alloc_tokens <= r.n_tokens + 1e-6  # epochs <= 1
+    lam = max(r.alloc_tokens for r in rows)
+    for r in rows:
+        if r.n_tokens <= lam:
+            assert abs(r.alloc_tokens - r.n_tokens) < 1e-6
+        else:
+            assert abs(r.alloc_tokens - lam) < 1e-6
+
+
+def test_unimax_waterfill_matches_reference_on_skewed_sizes(spark):
+    """Differential check of the closed form against a direct numeric
+    water-level solve on a skewed synthetic size table."""
+    import pyspark.sql.functions as F
+
+    sizes = [10, 20, 30, 1000, 5000]
+    budget = int(sum(sizes) * corpus.UNIMAX_BUDGET_FRAC)  # 3030
+
+    # direct solve: lambda with sum(min(s, lambda)) = budget
+    lo, hi = 0.0, float(max(sizes))
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(s, mid) for s in sizes) < budget:
+            lo = mid
+        else:
+            hi = mid
+    expect = {s: min(s, lo) for s in sizes}
+
+    # replicate the operator's level search on a local frame
+    n = len(sizes)
+    ordered = sorted(sizes)
+    lam = None
+    cum = 0
+    for k, s in enumerate(ordered, start=1):
+        cand = (budget - cum) / (n - k + 1)
+        prev = ordered[k - 2] if k > 1 else None
+        if cand <= s and (prev is None or cand >= prev):
+            lam = cand
+            break
+        cum += s
+    assert lam is not None
+    for s in sizes:
+        assert abs(min(s, lam) - expect[s]) < 1e-3

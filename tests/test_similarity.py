@@ -428,3 +428,11 @@ def test_knn_outliers_page_is_least_dense(spark, sf_dir):
     assert rest == sorted(rest)
     for r in rows:
         assert (r.mean_cos is None) == (r.n_neighbors == 0)
+
+
+def test_ivf_reload_matches_in_session(spark, sf_dir):
+    """Reload parity: serving off the persisted inverted-list assignment
+    in a fresh session equals the in-session IVF lane bit-for-bit."""
+    got = [tuple(r) for r in similarity.ann_ivf_reload_topk(spark, sf_dir).collect()]
+    want = [tuple(r) for r in similarity.ann_ivf_topk(spark, sf_dir).collect()]
+    assert got == want and got
