@@ -172,6 +172,7 @@ HEADLINE = [
     "knn_density_outliers",
     "unimax_source_budgets",
     "ann_ivf_reload_topk",
+    "media_phash_reload",
 ]
 
 

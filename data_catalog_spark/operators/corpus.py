@@ -437,7 +437,25 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_cluster_components) additionally holds whenever the append keeps
     band buckets under MAX_BAND_BUCKET (caps are the only banding state
     that can shift old-old pairs); pinned at test SF by
-    tests/test_corpus.py."""
+    tests/test_corpus.py.
+
+    The merged labels memoize per (session, corpus content) — the
+    _CLUSTER_CACHE contract every cluster consumer already follows: the
+    probe + star-merge run once per corpus version and batch, repeat
+    reads in one session serve the materialized frame."""
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    memo_key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+        "incremental-merge",
+    )
+    hit = _CLUSTER_CACHE.get(id(spark), memo_key)
+    if hit is not None:
+        return hit.orderBy("doc_id")
     from . import persist
     from .dedup import (
         MINHASH_K,
@@ -497,11 +515,13 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    return (
+    merged = (
         labels.join(sizes, "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
-        .orderBy("doc_id")
+        .localCheckpoint(eager=False)
     )
+    _CLUSTER_CACHE.put(id(spark), memo_key, merged)
+    return merged.orderBy("doc_id")
 
 
 def _incremental_clusters_oracle() -> str:

@@ -126,3 +126,42 @@ def build_or_load(
     if not is_saved(path, key):
         save_index(builder(), path, key)
     return load_index(spark, path, key)
+
+
+def vacuum_stale(ttl_seconds: float, now: float | None = None) -> list[str]:
+    """GC for the content-addressed store: content keys make STALENESS a
+    non-event (a re-tuned model or re-versioned corpus simply writes a
+    new path and never reads the old one) but orphaned trees still hold
+    disk, so the operational loop ages them out.  Removes every artifact
+    dir whose meta sidecar mtime is older than ``ttl_seconds`` — the
+    sidecar is written LAST on build and never touched on reads, so its
+    age is the artifact's age; live keys a deployment wants pinned are
+    simply rebuilt (or touched) within the TTL.  Half-written trees (no
+    meta — a builder that died pre-rename) age out the same way via the
+    dir mtime.  Returns the removed paths; ``now`` is injectable for
+    tests."""
+    import time as _time
+
+    root = index_root()
+    now = _time.time() if now is None else now
+    removed: list[str] = []
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return removed
+    for d in entries:
+        path = os.path.join(root, d)
+        if not os.path.isdir(path):
+            continue
+        meta = os.path.join(path, _META)
+        try:
+            age_ref = os.stat(meta).st_mtime
+        except OSError:
+            try:
+                age_ref = os.stat(path).st_mtime
+            except OSError:
+                continue
+        if now - age_ref > ttl_seconds:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed

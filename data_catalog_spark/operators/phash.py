@@ -281,6 +281,41 @@ PHASH_ORACLE = _phash_oracle()
 register("media_phash_dedup", media_phash_dedup, PHASH_ORACLE)
 
 
+def media_phash_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash pairs off a PERSISTED fingerprint index — the fifth reload
+    cell (PQ codes, MinHash signatures, dup-cluster labels, IVF
+    assignment, and now the image fingerprints): the (media_id, phash)
+    table is what the Arrow-batched decode+DCT pass produces — by far
+    the expensive stage of image dedup — so it is the artifact a media
+    pipeline persists per corpus version; banding and pair verification
+    re-run per query off the 16-byte rows.  Built once under a content
+    key, loaded in a fresh ``newSession()`` (empty memo stores), served
+    through the same ``near_dup_pairs`` band join; the oracle is
+    media_phash_dedup's own, so reload parity is hash-checked."""
+    import os as _os
+
+    from . import persist
+
+    docs = _os.path.join(sf_dir, "documents.parquet")
+    key = persist.content_key(
+        [docs],
+        f"phash-fp|g{GRID}|lf{LOWFREQ}|b{N_BANDS}x{BAND_BITS}|mod3",
+    )
+    sib = spark.newSession()
+    fps = persist.build_or_load(
+        sib,
+        "phash_fingerprints",
+        key,
+        lambda: phash_images(synth_media(spark, sf_dir)).select(
+            "media_id", "phash"
+        ),
+    )
+    return near_dup_pairs(fps)
+
+
+register("media_phash_reload", media_phash_reload, PHASH_ORACLE)
+
+
 # -- image near-dup resolution --------------------------------------------------
 #
 # The image lane's counterpart of quality_model.dedup_keep_best: connected

@@ -153,3 +153,42 @@ def test_reload_entries_serve_from_artifact_without_builder(
     again_pq = similarity.ann_pq_reload_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))
     assert sorted(map(tuple, again_pq)) == sorted(map(tuple, first_pq))
+
+
+def test_vacuum_stale_removes_only_aged_artifacts(spark, tmp_path, monkeypatch):
+    """Age-based GC: trees older than the TTL (by meta-sidecar mtime) go,
+    younger trees and half-written trees inside the TTL stay; a meta-less
+    (crashed-builder) tree ages out via the dir mtime."""
+    import os
+    import time
+
+    from data_catalog_spark.operators import persist
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    df = spark.range(3).toDF("x")
+    old_p = persist.index_path("vac_old", "k1")
+    new_p = persist.index_path("vac_new", "k2")
+    persist.save_index(df, old_p, "k1")
+    persist.save_index(df, new_p, "k2")
+    crashed = os.path.join(str(tmp_path), "vac_crashed-k3")
+    os.makedirs(crashed)
+    now = time.time()
+    # age the old artifact and the crashed tree past the TTL
+    os.utime(os.path.join(old_p, "_index_meta.json"), (now - 1000, now - 1000))
+    os.utime(crashed, (now - 1000, now - 1000))
+
+    removed = persist.vacuum_stale(ttl_seconds=500, now=now)
+
+    assert sorted(removed) == sorted([old_p, crashed])
+    assert not os.path.exists(old_p) and not os.path.exists(crashed)
+    assert persist.is_saved(new_p, "k2")  # young artifact untouched
+    # the surviving artifact still loads
+    assert persist.load_index(spark, new_p, "k2").count() == 3
+
+
+def test_media_phash_reload_matches_in_session(spark, sf_dir):
+    from data_catalog_spark.operators import phash
+
+    got = [tuple(r) for r in phash.media_phash_reload(spark, sf_dir).collect()]
+    want = [tuple(r) for r in phash.media_phash_dedup(spark, sf_dir).collect()]
+    assert got == want and got
