@@ -173,6 +173,7 @@ HEADLINE = [
     "unimax_source_budgets",
     "ann_ivf_reload_topk",
     "media_phash_reload",
+    "stream_cluster_maintenance",
 ]
 
 

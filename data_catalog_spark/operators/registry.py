@@ -74,6 +74,7 @@ def _load_all() -> None:
         windows,
     )
     from ..streaming import ann as streaming_ann  # noqa: F401
+    from ..streaming import clusters as streaming_clusters  # noqa: F401
     from ..streaming import cms as streaming_cms  # noqa: F401
     from ..streaming import quality as streaming_quality  # noqa: F401
     from ..streaming import dedup as streaming_dedup  # noqa: F401

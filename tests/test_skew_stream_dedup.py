@@ -104,3 +104,20 @@ def test_stream_ann_pq_serve_matches_batch_topk(spark, sf_dir):
     got = [tuple(r) for r in stream_ann_pq_serve(spark, sf_dir).collect()]
     want = [tuple(r) for r in ann_pq_topk(spark, sf_dir).collect()]
     assert got == want and got
+
+
+def test_stream_cluster_maintenance_matches_batch_merge(spark, sf_dir):
+    """Batching-invariance for cluster state: merging the incoming slice
+    in two micro-batches (star edges re-contracted after each) lands
+    exactly the one-shot incremental merge — cross-batch pairs appear
+    when their LATER endpoint arrives and probes the accumulated table."""
+    from data_catalog_spark.operators.corpus import dedup_clusters_incremental
+    from data_catalog_spark.streaming.clusters import stream_cluster_maintenance
+
+    got = [
+        tuple(r) for r in stream_cluster_maintenance(spark, sf_dir).collect()
+    ]
+    want = [
+        tuple(r) for r in dedup_clusters_incremental(spark, sf_dir).collect()
+    ]
+    assert got == want and got
