@@ -174,6 +174,7 @@ HEADLINE = [
     "ann_ivf_reload_topk",
     "media_phash_reload",
     "stream_cluster_maintenance",
+    "dedup_lsh_tuning_report",
 ]
 
 

@@ -832,6 +832,39 @@ def build_mh_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.join(fps, "doc_id")
 
 
+def scored_pairs_from_sig_view(
+    spark: SparkSession,
+    sig_view: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """UNTHRESHOLDED banded candidate pairs (da, db, est_jac) from a
+    materialized signature view under an arbitrary (k, bands) layout —
+    the probe the LSH tuning report sweeps: same capped bucket-local
+    generation as the production lane, but the agree-estimate is kept as
+    a column instead of filtered, so one statement yields both the
+    candidate count and the kept-at-threshold count per config."""
+    agree = _agree_sql(k)
+    return spark.sql(
+        f"""
+WITH sig AS (SELECT * FROM {sig_view}),
+bands AS ({_band_defs('spark', k, bands)}),
+ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
+       HAVING {_ok_bucket_sql()}),
+buckets AS (SELECT collect_list(doc_id) AS ids
+            FROM bands LEFT SEMI JOIN ok
+              ON bands.band = ok.band AND bands.band_hash = ok.band_hash
+            GROUP BY bands.band, bands.band_hash),
+cand AS (SELECT DISTINCT p.da AS da, p.db AS db FROM (
+  SELECT explode(filter(flatten(transform(ids, x -> transform(ids,
+         y -> struct(x AS da, y AS db)))), s -> s.da < s.db)) AS p
+  FROM buckets))
+SELECT da, db, ({agree}) / CAST({k} AS DOUBLE) AS est_jac
+FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+"""
+    )
+
+
 def pairs_from_sig_view(
     spark: SparkSession, sig_view: str, pred: str = "TRUE"
 ) -> DataFrame:
@@ -864,6 +897,122 @@ WHERE ({agree}) / CAST({MINHASH_K} AS DOUBLE) >= {JACCARD_THRESHOLD}
   AND ({pred})
 """
     )
+
+
+# (bands over the k=64 signature) swept by the tuning report; rows/band
+# = k/bands.  8×8 = high-precision/low-recall end, 32×2 = the opposite.
+LSH_TUNING_BANDS = [8, 16, 32]
+
+
+def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH operating-point TUNING artifact: for each (bands,
+    rows/band) layout of the same k=64 signature table, the measured
+    candidate volume, kept-at-threshold pairs, and recall/precision vs
+    the exact n-gram-Jaccard truth — next to the s-curve theory value
+    P[candidate | jac=τ] = 1−(1−τ^r)^b.  This is the table an engineer
+    reads to pick MINHASH_BANDS before a 100 TB run: candidate volume is
+    the cost axis (it scales the bucket-join output), recall the quality
+    axis, and the theory column shows where measurement and model
+    diverge (they agree when shingle overlap drives the signatures).
+
+    Plan: signatures computed ONCE (checkpointed view) — each config
+    re-bands the 64 mins, never re-tokenizes; the exact truth is the
+    memoized pair table (dedup_contract._pairs); per config one
+    full-outer join of two pair sets + a 1-row aggregate."""
+    from .dedup_contract import _pairs
+
+    hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
+    _docs(spark, sf_dir).createOrReplaceTempView("__tune_docs")
+    spark.sql(
+        f"WITH {_sig_ctes('spark', '__tune_docs', hint)} SELECT * FROM sig"
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__tune_sig")
+    exact = _pairs(spark, sf_dir, "jaccard_exact").withColumn("e", F.lit(1))
+    ex = exact.select(
+        F.col("a").alias("da"), F.col("b").alias("db"), "e"
+    )
+    out = None
+    for b in LSH_TUNING_BANDS:
+        r = MINHASH_K // b
+        theory = round(1 - (1 - JACCARD_THRESHOLD**r) ** b, 6)
+        pairs = scored_pairs_from_sig_view(spark, "__tune_sig", MINHASH_K, b)
+        fl = pairs.join(ex, ["da", "db"], "full")
+        kept = F.col("est_jac") >= JACCARD_THRESHOLD
+        row = fl.agg(
+            F.lit(int(b)).alias("bands"),
+            F.lit(int(r)).alias("rows_per_band"),
+            F.lit(float(theory)).alias("p_collide_at_tau"),
+            F.count("est_jac").cast("long").alias("n_candidates"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.count("e").cast("long").alias("n_exact"),
+            F.sum(F.when(kept & F.col("e").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+        ).select(
+            "*",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_exact"), 6
+                ),
+            ).alias("recall"),
+            F.when(
+                F.col("n_kept") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_kept"), 6),
+            ).alias("precision"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("bands")
+
+
+def _lsh_tuning_oracle() -> str:
+    agree = _agree_sql()
+    arms = []
+    for b in LSH_TUNING_BANDS:
+        r = MINHASH_K // b
+        theory = round(1 - (1 - JACCARD_THRESHOLD**r) ** b, 6)
+        arms.append(
+            f"""
+SELECT *,
+       CASE WHEN n_exact > 0
+            THEN round(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall,
+       CASE WHEN n_kept > 0
+            THEN round(CAST(n_hit AS DOUBLE) / n_kept, 6) END AS precision
+FROM (
+  WITH {_sig_ctes('duck')},
+  bands AS (
+    {_band_defs('duck', MINHASH_K, b)}),
+  ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
+         HAVING {_ok_bucket_sql()}),
+  cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+           FROM bands a JOIN ok USING (band, band_hash)
+           JOIN bands b
+             ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+  scored AS (SELECT da, db, ({agree}) / {MINHASH_K}.0 AS est_jac
+             FROM cand JOIN sig sa ON da = sa.doc_id
+             JOIN sig sb ON db = sb.doc_id),
+  ex AS (SELECT da AS a, db AS b, 1 AS e
+         FROM ({JACCARD_PAIRS_BODY}) x),
+  fl AS (SELECT s.est_jac, e.e
+         FROM scored s FULL JOIN ex e ON s.da = e.a AND s.db = e.b)
+  SELECT CAST({b} AS INTEGER) AS bands,
+         CAST({r} AS INTEGER) AS rows_per_band,
+         CAST({theory} AS DOUBLE) AS p_collide_at_tau,
+         CAST(count(est_jac) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN est_jac >= {JACCARD_THRESHOLD}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(count(e) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN est_jac >= {JACCARD_THRESHOLD} AND e IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM fl
+) arm_{b}"""
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"SELECT * FROM ({body}) u ORDER BY bands"
+
+
+register("dedup_lsh_tuning_report", dedup_lsh_tuning_report, _lsh_tuning_oracle())
 
 
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -367,3 +367,29 @@ def test_dedup_recall_contract_floors_hold(spark, sf_dir):
     for r in rows:
         assert r.meets_floor, f"{r.lane} recall {r.recall} < {r.floor_recall}"
         assert 0 < r.n_hit <= r.n_exact
+
+
+def test_lsh_tuning_report_parity(spark, sf_dir, ddb):
+    from conftest import assert_same
+
+    assert_same(
+        dedup.dedup_lsh_tuning_report(spark, sf_dir),
+        ddb,
+        dedup._lsh_tuning_oracle(),
+    )
+
+
+def test_lsh_tuning_report_axes_are_monotone(spark, sf_dir):
+    """More bands => never fewer candidates (each extra band only adds
+    collision chances) and never lower recall; kept pairs are always a
+    subset of candidates; the production config's row agrees with the
+    registered dedup_minhash output."""
+    rows = {r.bands: r for r in dedup.dedup_lsh_tuning_report(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(dedup.LSH_TUNING_BANDS)
+    cands = [rows[b].n_candidates for b in sorted(rows)]
+    assert cands == sorted(cands)
+    for r in rows.values():
+        assert r.n_kept <= r.n_candidates
+        assert r.n_hit <= min(r.n_kept, r.n_exact)
+    prod = rows[dedup.MINHASH_BANDS]
+    assert prod.n_kept == dedup.dedup_minhash(spark, sf_dir).count()
