@@ -175,6 +175,7 @@ HEADLINE = [
     "media_phash_reload",
     "stream_cluster_maintenance",
     "dedup_lsh_tuning_report",
+    "unimax_after_dedup",
 ]
 
 

@@ -537,6 +537,35 @@ register(
 )
 
 
+def _source_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, kept_docs, kept_tokens) under the
+    MinHash cluster-keeper rule — one documents scan + one broadcast
+    join against the memoized label frame; shared by the dedup
+    mixture-shift report and the post-dedup UniMax budgets."""
+    labels = _cluster_labels(spark, sf_dir, "minhash")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tok"),
+    )
+    kept = (
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    ).cast("long")
+    return (
+        d.join(F.broadcast(labels), "doc_id", "left")
+        .withColumn("kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("kept").alias("kept_docs"),
+            F.sum(F.col("kept") * F.col("n_tok")).alias("kept_tokens"),
+        )
+        .localCheckpoint(eager=False)  # feeds scalar aggs AND the reports
+    )
+
+
 def source_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What MinHash dedup does to the training MIXTURE: per source, docs
     and whitespace tokens before vs after cluster-keeper dedup (keep = the
@@ -549,28 +578,7 @@ def source_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the memoized (tiny) label frame, one agg keyed on source; the two
     corpus totals are a 1-row scalar collect (bounded), so no global
     window enters the plan."""
-    labels = _cluster_labels(spark, sf_dir, "minhash")
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tok"),
-    )
-    kept = (
-        F.col("cluster_id").isNull()
-        | (F.col("cluster_id") == F.col("doc_id"))
-    ).cast("long")
-    agg = (
-        d.join(F.broadcast(labels), "doc_id", "left")
-        .withColumn("kept", kept)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
-            F.sum("kept").alias("kept_docs"),
-            F.sum(F.col("kept") * F.col("n_tok")).alias("kept_tokens"),
-        )
-        .localCheckpoint(eager=False)  # feeds the scalar agg AND the report
-    )
+    agg = _source_dedup_agg(spark, sf_dir)
     tot = agg.agg(F.sum("n_tokens"), F.sum("kept_tokens")).first()
     tt, kt = float(tot[0]), float(tot[1])
     return agg.select(
@@ -588,9 +596,9 @@ def source_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-SOURCE_DEDUP_EFFECT_ORACLE = f"""
-WITH RECURSIVE {MH_CLUSTER_CTES},
-d AS (SELECT doc_id, source,
+# the per-source dedup aggregate as DuckDB CTEs (ends in ``a``) — spliced
+# into both the mixture-shift oracle and the post-dedup UniMax oracle
+_SOURCE_DEDUP_AGG_CTES = f"""d AS (SELECT doc_id, source,
              CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tok
       FROM documents),
 j AS (SELECT d.doc_id, d.source, d.n_tok, c.cluster_id
@@ -602,7 +610,11 @@ a AS (SELECT source,
                            THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
              CAST(sum(CASE WHEN cluster_id IS NULL OR cluster_id = doc_id
                            THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
-      FROM j GROUP BY source),
+      FROM j GROUP BY source)"""
+
+SOURCE_DEDUP_EFFECT_ORACLE = f"""
+WITH RECURSIVE {MH_CLUSTER_CTES},
+{_SOURCE_DEDUP_AGG_CTES},
 t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
              CAST(sum(kept_tokens) AS DOUBLE) AS kt
       FROM a)
@@ -746,6 +758,45 @@ register("source_drift_report", source_drift_report, _source_drift_oracle())
 UNIMAX_BUDGET_FRAC = 0.5  # <1 so the level always binds (rationing)
 
 
+def _unimax_level(s: DataFrame, col: str) -> tuple[int, float]:
+    """(budget, water level λ) for the size frame ``s`` under
+    ``UNIMAX_BUDGET_FRAC``: λ solves Σ min(s_i, λ) = budget, found in
+    closed form on the ascending size curve (window + lag over the
+    |sources|-row frame, exact integer arithmetic until the division).
+    Shared by the raw-counts and post-dedup budget entries."""
+    import math
+
+    total = int(s.agg(F.sum(col)).first()[0])
+    budget = int(math.floor(total * UNIMAX_BUDGET_FRAC))
+    n = s.count()
+    w = Window.orderBy(F.col(col), F.col("source"))
+    lev = (
+        s.withColumn("k", F.row_number().over(w))
+        .withColumn(
+            "cum_excl",
+            F.coalesce(
+                F.sum(col).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("prev_s", F.lag(col).over(w))
+        .withColumn(
+            "lam",
+            (F.lit(budget) - F.col("cum_excl"))
+            / (F.lit(n) - F.col("k") + 1).cast("double"),
+        )
+        .where(
+            (F.col("lam") <= F.col(col))
+            & (F.col("prev_s").isNull() | (F.col("lam") >= F.col("prev_s")))
+        )
+        .orderBy("k")
+        .first()
+    )
+    return budget, float(lev.lam)
+
+
 def unimax_source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: token count, the UniMax allocation under a budget of
     ``UNIMAX_BUDGET_FRAC``·total tokens, the mixture weight, and the
@@ -766,37 +817,7 @@ def unimax_source_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_tok").alias("n_tokens"))
         .localCheckpoint(eager=False)  # feeds the scalar, the level, the report
     )
-    import math
-
-    total = int(s.agg(F.sum("n_tokens")).first()[0])
-    budget = int(math.floor(total * UNIMAX_BUDGET_FRAC))
-    n = s.count()
-    w = Window.orderBy(F.col("n_tokens"), F.col("source"))
-    lev = (
-        s.withColumn("k", F.row_number().over(w))
-        .withColumn(
-            "cum_excl",
-            F.coalesce(
-                F.sum("n_tokens").over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .withColumn("prev_s", F.lag("n_tokens").over(w))
-        .withColumn(
-            "lam",
-            (F.lit(budget) - F.col("cum_excl"))
-            / (F.lit(n) - F.col("k") + 1).cast("double"),
-        )
-        .where(
-            (F.col("lam") <= F.col("n_tokens"))
-            & (F.col("prev_s").isNull() | (F.col("lam") >= F.col("prev_s")))
-        )
-        .orderBy("k")
-        .first()
-    )
-    lam = float(lev.lam)
+    budget, lam = _unimax_level(s, "n_tokens")
     alloc = F.least(F.col("n_tokens").cast("double"), F.lit(lam))
     return s.select(
         "source",
@@ -840,6 +861,77 @@ FROM s CROSS JOIN lev CROSS JOIN t ORDER BY source
 
 
 register("unimax_source_budgets", unimax_source_budgets, _unimax_oracle())
+
+
+def unimax_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable form of 'dedup BEFORE mixture': UniMax budgets
+    computed twice over the same sources — on raw token counts (the
+    naive pipeline order) and on post-dedup kept tokens (the correct
+    one) — with the per-source weight shift made explicit.  A
+    duplicate-heavy source soaks up budget it cannot fill with unique
+    text; the shift column is exactly the mixture error a pipeline
+    silently trains with when it weights before deduplicating.
+
+    Plan: one shared per-source aggregate (the memoized cluster labels +
+    one documents scan, via _source_dedup_agg), two |sources|-row
+    water-level searches, map-only arithmetic for the report."""
+    agg = _source_dedup_agg(spark, sf_dir)
+    b_n, lam_n = _unimax_level(agg, "n_tokens")
+    b_d, lam_d = _unimax_level(agg, "kept_tokens")
+    w_naive = F.least(
+        F.col("n_tokens").cast("double"), F.lit(lam_n)
+    ) / F.lit(float(b_n))
+    w_dedup = F.least(
+        F.col("kept_tokens").cast("double"), F.lit(lam_d)
+    ) / F.lit(float(b_d))
+    return agg.select(
+        "source",
+        "n_tokens",
+        "kept_tokens",
+        F.round(w_naive, 6).alias("weight_naive"),
+        F.round(w_dedup, 6).alias("weight_dedup"),
+        F.round(w_dedup - w_naive, 6).alias("weight_shift"),
+    ).orderBy("source")
+
+
+def _unimax_after_dedup_oracle() -> str:
+    frac = UNIMAX_BUDGET_FRAC
+
+    def curve_lev(tag: str, col: str) -> str:
+        return f"""t{tag} AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(sum({col}) * {frac}) AS BIGINT) AS budget FROM a),
+curve{tag} AS (
+  SELECT a.source, a.{col} AS s, t{tag}.n, t{tag}.budget,
+         row_number() OVER (ORDER BY a.{col}, a.source) AS k,
+         COALESCE(sum(a.{col}) OVER (ORDER BY a.{col}, a.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+         lag(a.{col}) OVER (ORDER BY a.{col}, a.source) AS prev_s
+  FROM a, t{tag}),
+lev{tag} AS (
+  SELECT (budget - cum_excl) / CAST(n - k + 1 AS DOUBLE) AS lam,
+         CAST(budget AS DOUBLE) AS budget
+  FROM curve{tag}
+  WHERE (budget - cum_excl) / CAST(n - k + 1 AS DOUBLE) <= s
+    AND (prev_s IS NULL
+         OR (budget - cum_excl) / CAST(n - k + 1 AS DOUBLE) >= prev_s)
+  ORDER BY k LIMIT 1)"""
+
+    wn = "least(CAST(n_tokens AS DOUBLE), levN.lam) / levN.budget"
+    wd = "least(CAST(kept_tokens AS DOUBLE), levD.lam) / levD.budget"
+    return f"""
+WITH RECURSIVE {MH_CLUSTER_CTES},
+{_SOURCE_DEDUP_AGG_CTES},
+{curve_lev('N', 'n_tokens')},
+{curve_lev('D', 'kept_tokens')}
+SELECT source, n_tokens, kept_tokens,
+       round({wn}, 6) AS weight_naive,
+       round({wd}, 6) AS weight_dedup,
+       round({wd} - {wn}, 6) AS weight_shift
+FROM a CROSS JOIN levN CROSS JOIN levD ORDER BY source
+"""
+
+
+register("unimax_after_dedup", unimax_after_dedup, _unimax_after_dedup_oracle())
 
 
 # -- leakage-free split assignment ---------------------------------------------

@@ -653,3 +653,28 @@ def test_star_merge_identity_on_random_partitions(spark):
         for node in set(got) | set(want):
             if node in got and node in want:
                 assert got[node] == want[node], (trial, node)
+
+
+def test_unimax_after_dedup_parity(spark, sf_dir, ddb):
+    assert_same(
+        corpus.unimax_after_dedup(spark, sf_dir),
+        ddb,
+        corpus._unimax_after_dedup_oracle(),
+    )
+
+
+def test_unimax_after_dedup_shift_is_consistent(spark, sf_dir):
+    rows = corpus.unimax_after_dedup(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.weight_naive for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.weight_dedup for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.kept_tokens <= r.n_tokens
+        assert abs(r.weight_shift - (r.weight_dedup - r.weight_naive)) < 2e-6
+    # When every source sits ABOVE both water levels (the near-uniform
+    # test corpus), both lanes allocate exactly budget/n and every shift
+    # is legitimately zero — the identity checks above are the contract;
+    # a nonzero shift only appears once some source falls below a level.
+    capped_n = sum(1 for r in rows if r.weight_naive < max(x.weight_naive for x in rows))
+    if capped_n:
+        assert any(abs(r.weight_shift) > 0 for r in rows)
