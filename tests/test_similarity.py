@@ -436,3 +436,18 @@ def test_ivf_reload_matches_in_session(spark, sf_dir):
     got = [tuple(r) for r in similarity.ann_ivf_reload_topk(spark, sf_dir).collect()]
     want = [tuple(r) for r in similarity.ann_ivf_topk(spark, sf_dir).collect()]
     assert got == want and got
+
+
+def test_knn_graph_plan_has_no_cartesian(spark, sf_dir):
+    """The kNN graph's scale claim, pinned on the physical plan: directed
+    candidates come from the same (band, bits) equality join as the pair
+    lane, and the ranking window is keyed on vec_id — no cartesian /
+    nested-loop join anywhere."""
+    plan = (
+        similarity.knn_graph_lsh(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
