@@ -379,6 +379,78 @@ def _pair_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+_PAIR_DOT_SCHEMA = "va bigint, vb bigint, dot double, na double, nb double"
+
+
+def _arrow_pair_cos(cand: DataFrame, a: DataFrame, b: DataFrame) -> DataFrame:
+    """(va, vb, cos) for candidate pairs: attach both vectors (equality
+    joins — AQE picks broadcast vs shuffle), then compute the dot product
+    in ONE vectorized Arrow pass instead of the per-pair ``aggregate(
+    zip_with(...))`` HOF.  Higher-order functions never enter whole-stage
+    codegen — each candidate paid an interpreted 64-term fold (~¾ of this
+    family's exec time at sf0.1, ~891k candidates from 2000 vectors) —
+    while the numpy loop below folds dimension-by-dimension ACROSS rows:
+    acc = ((0.0 + a0·b0) + a1·b1) + …, the same IEEE left-association per
+    row as the HOF, so the dots are bit-identical.  Division and 6dp
+    rounding stay JVM-side, unchanged from the HOF formulation (numpy's
+    half-even round would NOT match SQL's half-up).  Only the five needed
+    columns cross the boundary (guide §4.1)."""
+    joined = cand.join(
+        a.select(
+            F.col("vec_id").alias("va"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("na"),
+        ),
+        "va",
+    ).join(
+        b.select(
+            F.col("vec_id").alias("vb"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("nb"),
+        ),
+        "vb",
+    ).select("va", "vb", "av", "na", "bv", "nb")
+
+    def run(batches):
+        import pyarrow as pa
+
+        out_fields = pa.schema(
+            [
+                ("va", pa.int64()),
+                ("vb", pa.int64()),
+                ("dot", pa.float64()),
+                ("na", pa.float64()),
+                ("nb", pa.float64()),
+            ]
+        )
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            av = np.asarray(cols["av"].flatten(), dtype=np.float64).reshape(n, _DIM)
+            bv = np.asarray(cols["bv"].flatten(), dtype=np.float64).reshape(n, _DIM)
+            acc = np.zeros(n, dtype=np.float64)
+            for k in range(_DIM):
+                acc += av[:, k] * bv[:, k]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["va"],
+                    cols["vb"],
+                    pa.array(acc, type=pa.float64()),
+                    cols["na"],
+                    cols["nb"],
+                ],
+                schema=out_fields,
+            )
+
+    return joined.mapInArrow(run, schema=_PAIR_DOT_SCHEMA).select(
+        "va",
+        "vb",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-dup pairs — the 100 TB replacement for the
     all-pairs ``dedup_embedding_cosine``: candidates come from a band-key
@@ -414,9 +486,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slim = e.select("vec_id", "v", "nrm")
     return (
-        cand.join(slim.alias("a"), F.col("va") == F.col("a.vec_id"))
-        .join(slim.alias("b"), F.col("vb") == F.col("b.vec_id"))
-        .select("va", "vb", F.round(_cos(), 6).alias("cos"))
+        _arrow_pair_cos(cand, slim, slim)
         .where(F.col("cos") >= EMB_DUP_THRESHOLD)
         .orderBy("va", "vb")
     )
@@ -527,23 +597,40 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     build = e.select("vec_id", F.posexplode("codes").alias("band", "bits"))
+    # The Hamming-ball candidate relation is SYMMETRIC (some band within
+    # Hamming 1), so the directed candidate set is exactly the one-sided
+    # (va < vb) set plus its mirror — generate and score each unordered
+    # pair ONCE (half the candidate joins and half the cosine folds), then
+    # mirror the scored rows.  Bit-identical: IEEE multiplication commutes
+    # term-by-term and the fold order is unchanged, so dot(a,b) ≡ dot(b,a).
     cand = (
         probes.alias("a")
         .join(
             build.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.pb") == F.col("b.bits"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
     slim = e.select("vec_id", "v", "nrm")
-    scored = (
-        cand.join(slim.alias("a"), F.col("va") == F.col("a.vec_id"))
-        .join(slim.alias("b"), F.col("vb") == F.col("b.vec_id"))
-        .select("va", "vb", F.round(_cos(), 6).alias("cos"))
-    )
+    half = _arrow_pair_cos(cand, slim, slim)
+    # mirror with ONE map-only explode (a union of the same subtree would
+    # re-execute the candidate join + scoring for each leg)
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("va").alias("va"), F.col("vb").alias("vb")
+                ),
+                F.struct(
+                    F.col("vb").alias("va"), F.col("va").alias("vb")
+                ),
+            )
+        ).alias("p"),
+        "cos",
+    ).select("p.va", "p.vb", "cos")
     w = Window.partitionBy("va").orderBy(F.col("cos").desc(), F.col("vb"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -688,18 +775,11 @@ def _probe_new_against_corpus(new: DataFrame, corpus: DataFrame) -> DataFrame:
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
-    scored = (
-        cand.join(
-            new.select("vec_id", "v", "nrm").alias("a"),
-            F.col("va") == F.col("a.vec_id"),
-        )
-        .join(
-            corpus.select("vec_id", "v", "nrm").alias("b"),
-            F.col("vb") == F.col("b.vec_id"),
-        )
-        .select("va", "vb", F.round(_cos(), 6).alias("cos"))
-        .where(F.col("cos") >= EMB_DUP_THRESHOLD)
-    )
+    scored = _arrow_pair_cos(
+        cand,
+        new.select("vec_id", "v", "nrm"),
+        corpus.select("vec_id", "v", "nrm"),
+    ).where(F.col("cos") >= EMB_DUP_THRESHOLD)
     best = scored.groupBy("va").agg(F.min("vb").alias("match_id"))
     return best.join(
         scored,
