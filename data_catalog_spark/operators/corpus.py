@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 from ..io import read_table
 from .dedup import (
     JACCARD_PAIRS_BODY,
-    dedup_minhash,
-    dedup_ngram_jaccard,
     minhash_pairs_ctes,
 )
 from .session_cache import SessionLRU
@@ -183,14 +181,18 @@ def _connected_components(edges: DataFrame) -> DataFrame:
     frame).  ``edges`` must have columns (a, b), one row per pair (either
     or both directions; self-loops and duplicates are tolerated)."""
     spark = edges.sparkSession
-    # normalize: undirected edge set, one (greater, lesser) row per pair
+    # normalize: undirected edge set, one (greater, lesser) row per pair.
+    # All checkpoints here are LAZY (eager=False): the count() that loop
+    # control needs anyway is the materializing job, so each round costs
+    # ONE job instead of three — on near-star inputs (the incremental /
+    # streaming merges) driver job-submission gap dominates wall time.
     cur = (
         edges.where(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_cur = cur.count()
     converged = False
@@ -198,11 +200,12 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         if n_cur == 0:
             converged = True
             break
+        # large-star's only consumer is small-star in the SAME round, so it
+        # is not checkpointed at all: the round's plan is two chained
+        # window shuffles, and the small-star checkpoint truncates lineage.
         cur.createOrReplaceTempView("__cc_edges")
-        spark.sql(_LARGE_STAR_SQL).localCheckpoint().createOrReplaceTempView(
-            "__cc_edges"
-        )
-        new = spark.sql(_SMALL_STAR_SQL).localCheckpoint()
+        spark.sql(_LARGE_STAR_SQL).createOrReplaceTempView("__cc_edges")
+        new = spark.sql(_SMALL_STAR_SQL).localCheckpoint(eager=False)
         n_new = new.count()
         # both sides are DISTINCT sets in (greater, lesser) orientation, so
         # equal count + empty one-sided difference ⇔ set equality
@@ -225,15 +228,15 @@ def _connected_components(edges: DataFrame) -> DataFrame:
     # anywhere (nothing smaller exists), and a height-1 forest with that
     # invariant IS the exact min-labeled closure — this check turns any
     # convergence-theory gap into a loud error instead of a wrong answer.
-    stats = cur.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("a").alias("na")
+    cur.createOrReplaceTempView("__cc_star")
+    stats = spark.sql(
+        """
+SELECT count(*) AS n, count(DISTINCT a) AS na,
+       (SELECT count(*) FROM __cc_star x JOIN __cc_star y ON x.b = y.a)
+         AS chain
+FROM __cc_star"""
     ).first()
-    if stats.n != stats.na or (
-        cur.alias("x")
-        .join(cur.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi")
-        .count()
-        != 0
-    ):
+    if stats.n != stats.na or stats.chain != 0:
         raise RuntimeError(
             "connected components: converged edge set is not a star forest"
         )
@@ -254,10 +257,21 @@ def _connected_components(edges: DataFrame) -> DataFrame:
 # session_cache rationale).
 _CLUSTER_CACHE = SessionLRU()
 
-# pair generators feeding the transitive closure, by method name
+# pair generators feeding the transitive closure, by method name — routed
+# through dedup_contract's session-memoized pair tables so one bench
+# process computes each expensive pair scan ONCE across every consumer
+# (recall contract, LSH tuning, leakage audit, cluster labels)
+def _lane_pairs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from .dedup_contract import _pairs
+
+    return _pairs(spark, sf_dir, kind).select(
+        F.col("a").alias("da"), F.col("b").alias("db")
+    )
+
+
 _PAIR_LANES = {
-    "jaccard": lambda spark, sf_dir: dedup_ngram_jaccard(spark, sf_dir),
-    "minhash": lambda spark, sf_dir: dedup_minhash(spark, sf_dir),
+    "jaccard": lambda spark, sf_dir: _lane_pairs(spark, sf_dir, "jaccard_exact"),
+    "minhash": lambda spark, sf_dir: _lane_pairs(spark, sf_dir, "minhash"),
 }
 
 

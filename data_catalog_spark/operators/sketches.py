@@ -91,23 +91,58 @@ def cms_build(tokens: DataFrame) -> DataFrame:
     )
 
 
-def corpus_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokens whose CMS estimate ≥ HH_THRESHOLD_FRAC of the stream, with
-    estimates.  The sketch (d×w rows) BROADCASTs to the vocabulary probe —
-    at 100 TB the sketch is still 4×1024 counters while an exact
-    heavy-hitter groupBy would shuffle the full vocabulary."""
-    tokens = _token_stream(spark, sf_dir)
-    sketch = cms_build(tokens).localCheckpoint(eager=False)
-    total = tokens.count()  # scalar; one lightweight count job
-    probes = cms_probes(tokens.distinct())
-    est = (
+def cms_build_weighted(counts: DataFrame) -> DataFrame:
+    """(seed, bucket, c) from a (tok, cnt) exact-count table — per-cell
+    sum of token counts ≡ per-cell count of the raw stream (each stream
+    occurrence contributes exactly 1 to each of its d cells), so the
+    sketch is bit-identical to cms_build over the exploded stream."""
+    return (
+        counts.select(F.expr(_CMS_H32).alias("h"), "cnt")
+        .select(F.explode(_seed_buckets()).alias("sb"), "cnt")
+        .select(
+            F.col("sb.seed").alias("seed"),
+            F.col("sb.bucket").alias("bucket"),
+            "cnt",
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def hh_probe(counts: DataFrame, sketch: DataFrame, total: int) -> DataFrame:
+    """Heavy-hitter estimate page shared by the batch and streaming CMS:
+    probe every vocabulary token against the broadcast sketch, threshold
+    at int(total · HH_THRESHOLD_FRAC)."""
+    probes = cms_probes(counts.select("tok"))
+    return (
         probes.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("tok")
         .agg(F.min("c").alias("est_count"))
         .where(F.col("est_count") >= int(total * HH_THRESHOLD_FRAC))
         .orderBy(F.desc("est_count"), "tok")
     )
-    return est
+
+
+def corpus_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens whose CMS estimate ≥ HH_THRESHOLD_FRAC of the stream, with
+    estimates.  The sketch (d×w rows) BROADCASTs to the vocabulary probe —
+    at 100 TB the sketch is still 4×1024 counters while an exact
+    heavy-hitter groupBy would shuffle the full vocabulary.
+
+    The corpus is tokenized ONCE: the exact (tok, cnt) table — state the
+    probe side already carries via its vocabulary scan — feeds the sketch
+    (weighted build, bit-identical to counting the raw stream), the
+    stream total (sum of counts), and the probe vocabulary; the earlier
+    shape paid three full tokenize scans (build, count, distinct)."""
+    tokens = _token_stream(spark, sf_dir)
+    counts = (
+        tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # scalar total; this job also materializes the checkpointed counts
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    return hh_probe(counts, cms_build_weighted(counts), total)
 
 
 def cms_oracle() -> str:

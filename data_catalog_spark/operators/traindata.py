@@ -450,9 +450,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split combination; ``n_leaking`` counts pairs crossing DIFFERENT
     splits (the leakage), so same-split rows carry 0 and the total
     leakage is one SUM away."""
-    from .dedup import dedup_ngram_jaccard
+    from .dedup_contract import _pairs
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    # the session-memoized exact-Jaccard pair table (dedup_contract) —
+    # same pair set as dedup_ngram_jaccard(...).select(da, db), built
+    # once per corpus version and shared with the recall-contract and
+    # LSH-tuning consumers instead of re-running the shingle self-join
+    pairs = _pairs(spark, sf_dir, "jaccard_exact").select(
+        F.col("a").alias("da"), F.col("b").alias("db")
+    )
     splits = docs_train_split(spark, sf_dir).select("doc_id", "split")
     a = splits.withColumnRenamed("doc_id", "da").withColumnRenamed(
         "split", "split_a"

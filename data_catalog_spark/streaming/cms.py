@@ -26,10 +26,9 @@ from pyspark.sql import functions as F
 
 from ..operators.registry import register
 from ..operators.sketches import (
-    HH_THRESHOLD_FRAC,
     cms_build,
     cms_oracle,
-    cms_probes,
+    hh_probe,
 )
 from ..operators.text import SPARK_TOKENS
 
@@ -87,18 +86,18 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
+    # probe vocabulary + stream total from ONE tokenize scan (the exact
+    # count table the batch CMS probe also uses), not count + distinct
     sketch = spark.read.parquet(os.path.join(out_dir, "sketch"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tokens = docs.select(F.explode(F.expr(SPARK_TOKENS)).alias("tok"))
-    total = tokens.count()
-    probes = cms_probes(tokens.distinct())
-    return (
-        probes.join(F.broadcast(sketch), ["seed", "bucket"])
-        .groupBy("tok")
-        .agg(F.min("c").alias("est_count"))
-        .where(F.col("est_count") >= int(total * HH_THRESHOLD_FRAC))
-        .orderBy(F.desc("est_count"), "tok")
+    counts = (
+        tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    return hh_probe(counts, sketch, total)
 
 
 register("stream_cms_heavy_hitters", stream_cms_heavy_hitters, cms_oracle())
