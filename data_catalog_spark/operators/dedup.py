@@ -832,39 +832,6 @@ def build_mh_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.join(fps, "doc_id")
 
 
-def scored_pairs_from_sig_view(
-    spark: SparkSession,
-    sig_view: str,
-    k: int = MINHASH_K,
-    bands: int = MINHASH_BANDS,
-) -> DataFrame:
-    """UNTHRESHOLDED banded candidate pairs (da, db, est_jac) from a
-    materialized signature view under an arbitrary (k, bands) layout —
-    the probe the LSH tuning report sweeps: same capped bucket-local
-    generation as the production lane, but the agree-estimate is kept as
-    a column instead of filtered, so one statement yields both the
-    candidate count and the kept-at-threshold count per config."""
-    agree = _agree_sql(k)
-    return spark.sql(
-        f"""
-WITH sig AS (SELECT * FROM {sig_view}),
-bands AS ({_band_defs('spark', k, bands)}),
-ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
-       HAVING {_ok_bucket_sql()}),
-buckets AS (SELECT collect_list(doc_id) AS ids
-            FROM bands LEFT SEMI JOIN ok
-              ON bands.band = ok.band AND bands.band_hash = ok.band_hash
-            GROUP BY bands.band, bands.band_hash),
-cand AS (SELECT DISTINCT p.da AS da, p.db AS db FROM (
-  SELECT explode(filter(flatten(transform(ids, x -> transform(ids,
-         y -> struct(x AS da, y AS db)))), s -> s.da < s.db)) AS p
-  FROM buckets))
-SELECT da, db, ({agree}) / CAST({k} AS DOUBLE) AS est_jac
-FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
-"""
-    )
-
-
 def pairs_from_sig_view(
     spark: SparkSession, sig_view: str, pred: str = "TRUE"
 ) -> DataFrame:
@@ -915,10 +882,18 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis, and the theory column shows where measurement and model
     diverge (they agree when shingle overlap drives the signatures).
 
-    Plan: signatures computed ONCE (checkpointed view) — each config
-    re-bands the 64 mins, never re-tokenizes; the exact truth is the
-    memoized pair table (dedup_contract._pairs); per config one
-    full-outer join of two pair sets + a 1-row aggregate."""
+    Plan: signatures computed ONCE (checkpointed view), and — since r11's
+    optimization pass — all three layouts band in ONE pass: a
+    layout-tagged explode (8+16+32 (layout, band, band_hash) rows per
+    doc) feeds one capped-bucket chain keyed on (layout, band,
+    band_hash); est_jac is layout-INDEPENDENT (signature agreement / k),
+    so each unordered candidate pair is scored once against the sig view
+    and the per-layout candidate sets join the scored table; the exact
+    truth is the memoized pair table (dedup_contract._pairs), entering
+    as one LEFT join + one scalar count — the old per-arm FULL join only
+    ever contributed count(e) = |exact| (both pair sets are distinct),
+    so n_exact is that scalar.  3×(band explode + bucket chain + two
+    sig-joins + full join + agg) collapses to 1× of each."""
     from .dedup_contract import _pairs
 
     hint = f"/*+ REPARTITION({spark.sparkContext.defaultParallelism}, doc_id) */"
@@ -926,42 +901,79 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         f"WITH {_sig_ctes('spark', '__tune_docs', hint)} SELECT * FROM sig"
     ).localCheckpoint(eager=False).createOrReplaceTempView("__tune_sig")
-    exact = _pairs(spark, sf_dir, "jaccard_exact").withColumn("e", F.lit(1))
-    ex = exact.select(
-        F.col("a").alias("da"), F.col("b").alias("db"), "e"
-    )
-    out = None
+    _pairs(spark, sf_dir, "jaccard_exact").select(
+        F.col("a").alias("da"), F.col("b").alias("db")
+    ).createOrReplaceTempView("__tune_ex")
+
+    d = _mh_dialect("spark")
+    structs = []
+    layout_rows = []
     for b in LSH_TUNING_BANDS:
         r = MINHASH_K // b
         theory = round(1 - (1 - JACCARD_THRESHOLD**r) ** b, 6)
-        pairs = scored_pairs_from_sig_view(spark, "__tune_sig", MINHASH_K, b)
-        fl = pairs.join(ex, ["da", "db"], "full")
-        kept = F.col("est_jac") >= JACCARD_THRESHOLD
-        row = fl.agg(
-            F.lit(int(b)).alias("bands"),
-            F.lit(int(r)).alias("rows_per_band"),
-            F.lit(float(theory)).alias("p_collide_at_tau"),
-            F.count("est_jac").cast("long").alias("n_candidates"),
-            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
-            F.count("e").cast("long").alias("n_exact"),
-            F.sum(F.when(kept & F.col("e").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_hit"),
-        ).select(
-            "*",
-            F.when(
-                F.col("n_exact") > 0,
-                F.round(
-                    F.col("n_hit").cast("double") / F.col("n_exact"), 6
-                ),
-            ).alias("recall"),
-            F.when(
-                F.col("n_kept") > 0,
-                F.round(F.col("n_hit").cast("double") / F.col("n_kept"), 6),
-            ).alias("precision"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("bands")
+        layout_rows.append(f"({b}, {r}, CAST({theory!r} AS DOUBLE))")
+        for band in range(b):
+            cols = ", ".join(
+                f"CAST(h{band * r + j} AS {d['strtype']})" for j in range(r)
+            )
+            structs.append(
+                f"struct({b} AS layout, {band} AS band, "
+                f"substr(md5(concat_ws('|', {cols})), 1, 16) AS band_hash)"
+            )
+    agree = _agree_sql()
+    return spark.sql(
+        f"""
+WITH sig AS (SELECT * FROM __tune_sig),
+bands AS (SELECT doc_id, bk.layout AS layout, bk.band AS band,
+                 bk.band_hash AS band_hash
+          FROM (SELECT doc_id, explode(array({', '.join(structs)})) AS bk
+                FROM sig)),
+ok AS (SELECT layout, band, band_hash FROM bands GROUP BY 1, 2, 3
+       HAVING {_ok_bucket_sql()}),
+buckets AS (SELECT bands.layout AS layout, collect_list(doc_id) AS ids
+            FROM bands LEFT SEMI JOIN ok
+              ON bands.layout = ok.layout AND bands.band = ok.band
+             AND bands.band_hash = ok.band_hash
+            GROUP BY bands.layout, bands.band, bands.band_hash),
+cand AS (SELECT DISTINCT layout, p.da AS da, p.db AS db FROM (
+  SELECT layout, explode(filter(flatten(transform(ids, x -> transform(ids,
+         y -> struct(x AS da, y AS db)))), s -> s.da < s.db)) AS p
+  FROM buckets)),
+uniq AS (SELECT DISTINCT da, db FROM cand),
+scored AS (SELECT da, db, ({agree}) / CAST({MINHASH_K} AS DOUBLE) AS est_jac
+           FROM uniq JOIN sig sa ON da = sa.doc_id
+                     JOIN sig sb ON db = sb.doc_id),
+ex AS (SELECT da, db, 1 AS e FROM __tune_ex),
+cs AS (SELECT c.layout, s.est_jac, x.e
+       FROM cand c JOIN scored s ON c.da = s.da AND c.db = s.db
+       LEFT JOIN ex x ON c.da = x.da AND c.db = x.db),
+m AS (SELECT layout,
+             count(est_jac) AS n_candidates,
+             sum(CASE WHEN est_jac >= {JACCARD_THRESHOLD} THEN 1 ELSE 0
+                 END) AS n_kept,
+             sum(CASE WHEN est_jac >= {JACCARD_THRESHOLD} AND e IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_hit
+      FROM cs GROUP BY layout),
+nex AS (SELECT count(*) AS n_exact FROM ex),
+layouts AS (SELECT * FROM VALUES {', '.join(layout_rows)}
+            AS t(bands, rows_per_band, p_collide_at_tau))
+SELECT CAST(l.bands AS INT) AS bands,
+       CAST(l.rows_per_band AS INT) AS rows_per_band,
+       l.p_collide_at_tau AS p_collide_at_tau,
+       CAST(coalesce(m.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(m.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(nex.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(m.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN nex.n_exact > 0
+            THEN round(CAST(coalesce(m.n_hit, 0) AS DOUBLE) / nex.n_exact,
+                       6) END AS recall,
+       CASE WHEN coalesce(m.n_kept, 0) > 0
+            THEN round(CAST(m.n_hit AS DOUBLE) / m.n_kept, 6)
+            END AS precision
+FROM layouts l CROSS JOIN nex LEFT JOIN m ON m.layout = l.bands
+ORDER BY bands
+"""
+    )
 
 
 def _lsh_tuning_oracle() -> str:

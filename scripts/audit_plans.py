@@ -103,6 +103,9 @@ ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "hard_negative_mining": {"cartesian": (1, _QUERY_SET_BCAST)},
     # ---- broadcast 1-row totals / scalar thresholds ----
     "bigram_lm_perplexity": {"cartesian": (1, _SCALAR_BCAST)},
+    # the scalar |exact-pairs| count crossed onto the 3-row layout
+    # literal table (r11 single-pass rewrite) — 1×3 by construction
+    "dedup_lsh_tuning_report": {"cartesian": (1, _SCALAR_BCAST)},
     # two 1-row totals (corpus NLL + boost normalizer) over the
     # checkpointed |sources|-row frame; Catalyst folds them into 1-2
     # broadcast nested loops depending on stats
