@@ -130,6 +130,30 @@ def ensure_materialized(path: str, build_fn) -> str:
     return path
 
 
+def link_tree(src: str, dst: str) -> None:
+    """Populate a scratch copy of a write-once materialized directory via
+    HARDLINKS instead of byte copies — the seeded catalog/index trees are
+    hundreds of small files, and per-invocation copytree was pure syscall
+    + page-cache churn on the benchmarked write paths.  Safe because the
+    layouts linked here are append-only: catalog commits write NEW
+    snapshot dirs, index appends write NEW segment dirs, and the only
+    mutable files (MANIFEST.json, the version pointer) are replaced via
+    write-temp + atomic rename — a fresh inode, so the linked cache bytes
+    are never rewritten through the scratch tree (deletes merely unlink).
+    Falls back to a real copy per file when linking is unsupported (e.g.
+    a cross-device scratch dir)."""
+    import os
+    import shutil
+
+    def _link(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    shutil.copytree(src, dst, dirs_exist_ok=True, copy_function=_link)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_files: int, sort_by: str | None = None
 ) -> int:

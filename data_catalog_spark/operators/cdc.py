@@ -83,11 +83,9 @@ def _apply_cdc_batch(
         shutil.rmtree(_PREV_RUN_DIRS.pop(), ignore_errors=True)
     tbl = tempfile.mkdtemp(prefix="cdc-tbl-")
     _PREV_RUN_DIRS.append(tbl)
-    shutil.copytree(
-        os.path.join(_seed_cache(spark, sf_dir), "table"),
-        tbl,
-        dirs_exist_ok=True,
-    )
+    from ..io import link_tree
+
+    link_tree(os.path.join(_seed_cache(spark, sf_dir), "table"), tbl)
     cat = DatasetsCatalog(spark, tbl)
     v0 = cat._latest_version()
 

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import DatasetsCatalog
 from ..datasets_source import DATASETS_FROM_PART_SQL, datasets_df
 from ..indexed_catalog import IndexedCatalog
-from ..io import ensure_materialized, materialization_path
+from ..io import ensure_materialized, link_tree, materialization_path
 from ..operators.registry import register
 from ..query import DataSetFiltering, compile_query
 from ..query import sqlgen
@@ -158,8 +158,8 @@ def stream_ingest_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PREV_RUN_DIRS.extend([tbl, idx, src, ckpt])
 
     seeded = _seed_cache(spark, sf_dir)
-    shutil.copytree(os.path.join(seeded, "table"), tbl, dirs_exist_ok=True)
-    shutil.copytree(os.path.join(seeded, "index"), idx, dirs_exist_ok=True)
+    link_tree(os.path.join(seeded, "table"), tbl)
+    link_tree(os.path.join(seeded, "index"), idx)
     cat = DatasetsCatalog(spark, tbl)
     ic = IndexedCatalog(cat, idx)
 
@@ -313,7 +313,7 @@ def stream_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PREV_RUN_DIRS.extend([tbl, src, ckpt])
 
     seeded = _seed_cache(spark, sf_dir)
-    shutil.copytree(os.path.join(seeded, "table"), tbl, dirs_exist_ok=True)
+    link_tree(os.path.join(seeded, "table"), tbl)
     # plain catalog, no index: this query's contract is the VALIDATION
     # lane + merge visibility; the index-in-lockstep write path is the
     # separately benchmarked stream_ingest_indexed_search

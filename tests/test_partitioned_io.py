@@ -259,3 +259,37 @@ def test_registered_partitioned_query_prunes_and_matches(spark, sf_dir, ddb):
     seg = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "isPublic" in seg
     assert_same(q, ddb, catalog_oracles()["cat_partitioned_only_public"])
+
+
+def test_link_tree_matches_copy_and_isolates_mutation(tmp_path):
+    """link_tree: byte-identical scratch tree via hardlinks, and the
+    append-only write discipline it relies on (write-temp + atomic
+    rename) leaves the source bytes untouched even when the scratch copy
+    'rewrites' a manifest."""
+    import json
+    import os
+
+    from data_catalog_spark.io import link_tree
+
+    src = tmp_path / "seed"
+    (src / "seg").mkdir(parents=True)
+    (src / "seg" / "part-0.parquet").write_bytes(b"immutable-bytes")
+    (src / "MANIFEST.json").write_text(json.dumps({"segments": ["seg"]}))
+
+    dst = tmp_path / "scratch"
+    dst.mkdir()
+    link_tree(str(src), str(dst))
+    assert (dst / "seg" / "part-0.parquet").read_bytes() == b"immutable-bytes"
+    assert (dst / "MANIFEST.json").read_text() == (src / "MANIFEST.json").read_text()
+    # same filesystem in CI: the data file must be a hardlink, not a copy
+    assert os.stat(dst / "seg" / "part-0.parquet").st_nlink >= 2
+
+    # the engine's only mutable-file protocol: write a temp, os.replace it
+    tmp = dst / "MANIFEST.json.tmp"
+    tmp.write_text(json.dumps({"segments": ["seg", "seg2"]}))
+    os.replace(tmp, dst / "MANIFEST.json")
+    # scratch diverged; the linked source manifest is untouched
+    assert json.loads((src / "MANIFEST.json").read_text()) == {"segments": ["seg"]}
+    # deletes in scratch only unlink — source survives
+    os.unlink(dst / "seg" / "part-0.parquet")
+    assert (src / "seg" / "part-0.parquet").read_bytes() == b"immutable-bytes"
