@@ -567,6 +567,31 @@ register("dedup_embedding_lsh", dedup_embedding_lsh, _pair_lsh_oracle())
 KNN_GRAPH_K = 5  # neighbors kept per node
 
 
+# the ranked edge set memoized per (session, embeddings content) — the
+# graph is derived curation state with two registered consumers
+# (knn_graph_lsh, knn_density_outliers); the _CLUSTER_CACHE / _pairs
+# contract: build once per corpus version per process, every consumer
+# reads the materialized edges
+_KNN_GRAPH_CACHE = SessionLRU()
+
+
+def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+    hit = _KNN_GRAPH_CACHE.get(id(spark), key)
+    if hit is None:
+        hit = _knn_graph_build(spark, sf_dir).localCheckpoint(eager=False)
+        _KNN_GRAPH_CACHE.put(id(spark), key, hit)
+    return hit
+
+
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN GRAPH over the whole embedding corpus — the
     substrate of graph-based curation (NN-descent seeding, connectivity
@@ -582,6 +607,10 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: explode is 9 rows/band on the probe side only, candidates are
     an equality join, the window is keyed on vec_id — no global sort, no
     unbounded frame."""
+    return _knn_graph_edges(spark, sf_dir).orderBy("vec_id", "rank")
+
+
+def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _pair_coded(spark, sf_dir)
     masks = [0] + [1 << j for j in range(PAIR_BAND_BITS)]
     masks_lit = (
@@ -641,7 +670,6 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
             "cos",
         )
-        .orderBy("vec_id", "rank")
     )
 
 
@@ -681,7 +709,7 @@ def knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; density means fold the 6dp-rounded cosines through DECIMAL, so
     they are partition-order independent."""
     per_node = (
-        knn_graph_lsh(spark, sf_dir)
+        _knn_graph_edges(spark, sf_dir)
         .groupBy("vec_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_neighbors"),
