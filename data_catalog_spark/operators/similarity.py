@@ -451,13 +451,42 @@ def _arrow_pair_cos(cand: DataFrame, a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+# the scored embedding near-dup pair frame memoized per (session,
+# embeddings content) — consumed by the entry, the emb_lsh recall-
+# contract lane, and embedding_dup_clusters (the _derived contract)
+_EMB_PAIRS_CACHE = SessionLRU()
+
+
+def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+    hit = _EMB_PAIRS_CACHE.get(id(spark), key)
+    if hit is None:
+        hit = _emb_lsh_build(spark, sf_dir).localCheckpoint(eager=False)
+        _EMB_PAIRS_CACHE.put(id(spark), key, hit)
+    return hit
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-dup pairs — the 100 TB replacement for the
     all-pairs ``dedup_embedding_cosine``: candidates come from a band-key
     EQUALITY self-join (probe side exploded to the Hamming-1 ball of each
     band's bits), never a cartesian product; the exact rounded cosine is
     evaluated only on candidates.  Deterministic (seeded plane literals) and
-    fully oracle-checked; pytest measures recall vs the exact pairs."""
+    fully oracle-checked; pytest measures recall vs the exact pairs.  The
+    scored frame is session-memoized (`_emb_lsh_pairs`) for the recall
+    contract and embedding_dup_clusters consumers."""
+    return _emb_lsh_pairs(spark, sf_dir).orderBy("va", "vb")
+
+
+def _emb_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _pair_coded(spark, sf_dir)
     masks = [0] + [1 << j for j in range(PAIR_BAND_BITS)]
     masks_lit = "array(" + ", ".join(f"CAST({m} AS BIGINT)" for m in masks) + ")"
@@ -485,10 +514,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     slim = e.select("vec_id", "v", "nrm")
-    return (
-        _arrow_pair_cos(cand, slim, slim)
-        .where(F.col("cos") >= EMB_DUP_THRESHOLD)
-        .orderBy("va", "vb")
+    return _arrow_pair_cos(cand, slim, slim).where(
+        F.col("cos") >= EMB_DUP_THRESHOLD
     )
 
 
