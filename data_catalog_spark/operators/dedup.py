@@ -496,6 +496,24 @@ def mh_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derived(spark, sf_dir, f"sig|{MINHASH_K}", build)
 
 
+def sh_fps_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) 60-bit SimHash fingerprints over ALL documents —
+    checkpointed + memoized (consumers: dedup_simhash, the blocking-stats
+    simhash arm)."""
+
+    def build() -> DataFrame:
+        hint = (
+            f"/*+ REPARTITION({spark.sparkContext.defaultParallelism},"
+            " doc_id) */"
+        )
+        _docs(spark, sf_dir).createOrReplaceTempView("__fps_docs")
+        return spark.sql(
+            f"WITH {_fps_ctes('spark', '__fps_docs', hint)} SELECT * FROM fps"
+        )
+
+    return _derived(spark, sf_dir, "simhash-fps", build)
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with signature-estimated Jaccard.
 
@@ -641,15 +659,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-memoized (`_derived`) for its recall-contract consumer."""
 
     def build() -> DataFrame:
-        hint = (
-            f"/*+ REPARTITION({spark.sparkContext.defaultParallelism},"
-            " doc_id) */"
-        )
-        _docs(spark, sf_dir).createOrReplaceTempView("__sh_docs")
-        fps = spark.sql(
-            f"WITH {_fps_ctes('spark', '__sh_docs', hint)} SELECT * FROM fps"
-        ).localCheckpoint(eager=False)
-        fps.createOrReplaceTempView("__sh_fps")
+        sh_fps_table(spark, sf_dir).createOrReplaceTempView("__sh_fps")
         return spark.sql(
             f"""
 WITH fps AS (SELECT * FROM __sh_fps),
