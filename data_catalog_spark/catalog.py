@@ -276,12 +276,10 @@ class DatasetsCatalog:
                 "files_after": 0,
                 "version": base,
             }
-        post = (
-            self._read_cells(frag)
-            .withColumn(self.BUCKET_COL, self._bucket_expr())
-            .repartition(
-                len(frag), F.col(self.PARTITION_COL), F.col(self.BUCKET_COL)
-            )
+        # the bin-packing repartition (each cell → one task → one file)
+        # lives in _commit itself, shared with every other write
+        post = self._read_cells(frag).withColumn(
+            self.BUCKET_COL, self._bucket_expr()
         )
         self._commit(
             post,
@@ -960,6 +958,16 @@ class DatasetsCatalog:
                         f"outside touched∪carried cells (bucket-fn drift?)"
                     )
             df = df.where(key_col.isin(*tkeys) if tkeys else F.lit(False))
+        # bin-pack on write: hash-distribute the post-image by the cell key
+        # (Iceberg write.distribution-mode=hash) so each (partition, bucket)
+        # cell is written by exactly ONE task → one file per cell, instead
+        # of one file per upstream task per cell.  Every later scan of the
+        # snapshot pays per-file open cost (guide §6), and commit sources
+        # are arbitrarily partitioned (a 32-slice micro-batch was writing
+        # up to 32 tiny files into each touched cell).  File size within a
+        # cell stays governed by the table's own layout knob (N_BUCKETS;
+        # plus spark.sql.files.maxRecordsPerFile if ever needed at scale).
+        df = df.repartition(F.col(self.PARTITION_COL), F.col(self.BUCKET_COL))
         if sort_within:
             # cluster rows inside each task/file (compact's OPTIMIZE spec).
             # Subtlety: _read_cells injects the partition value as a LITERAL,

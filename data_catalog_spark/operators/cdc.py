@@ -42,11 +42,6 @@ CDC_NOOP = "9"  # re-upserted byte-identical — must NOT appear in the diff
 CDC_DEL = "10"
 CDC_INS = [f"cdc-{i:02d}" for i in range(8)]
 
-_BATCH_SCHEMA = (
-    "id string, title string, category string, dataSample string, "
-    "format string, recordCount bigint, size bigint, sourceUri string, "
-    "targetUri string, isPublic boolean, orgUUID string, creationTime string"
-)
 _BATCH_COLS = [c for c in COLUMN_ORDER if c != "storeType"]
 
 
@@ -101,8 +96,30 @@ def _apply_cdc_batch(
             d["title"] = d["title"].upper()
         batch.append(d)
     batch.extend(_insert_row(i) for i in range(len(CDC_INS)))
-    bdf = spark.createDataFrame(
-        [tuple(d.get(c) for c in _BATCH_COLS) for d in batch], _BATCH_SCHEMA
+    # JVM-local VALUES relation, not createDataFrame(list-of-rows): the
+    # latter parallelizes PICKLED rows, and every downstream action re-runs
+    # a Python-worker scan over them (guide §4 — measured ~1.5 s per agg
+    # for a 17-row frame before the lazy checkpoint materializes).  A SQL
+    # literal analyzes once and never touches a Python worker.
+    types = {"recordCount": "BIGINT", "size": "BIGINT", "isPublic": "BOOLEAN"}
+
+    def lit(v, c: str) -> str:
+        t = types.get(c, "STRING")
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    values = ",\n".join(
+        "(" + ", ".join(lit(d.get(c), c) for c in _BATCH_COLS) + ")"
+        for d in batch
+    )
+    bdf = spark.sql(
+        f"SELECT * FROM (VALUES\n{values}) AS t({', '.join(_BATCH_COLS)})"
     )
     cat.bulk_upsert_df(bdf)
     cat.delete(CDC_DEL)

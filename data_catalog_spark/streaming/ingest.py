@@ -126,7 +126,12 @@ def _seed_cache(spark: SparkSession, sf_dir: str) -> str:
     datasets corpus' source) and cache the pair; each query invocation
     copies the finished directories instead of re-deriving + re-indexing
     the seed, so the benchmarked cost is the micro-batch write path."""
-    path = materialization_path(sf_dir, f"ingest-seed-{SEED_N}", "part.parquet")
+    # "-l1": seed layout version — bumped when the catalog's commit file
+    # layout changes (r11: cell-bin-packed commits), so stale many-small-
+    # file seed artifacts rebuild instead of being linked forward forever
+    path = materialization_path(
+        sf_dir, f"ingest-seed-{SEED_N}-l1", "part.parquet"
+    )
 
     def build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
@@ -334,8 +339,15 @@ def stream_ingest_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    planted = spark.createDataFrame(
-        [(r["id"],) for r in _dirty_rows()], "id string"
+    # VALUES literal, not createDataFrame(list): a pickled local relation
+    # re-runs a Python-worker scan on every action over the returned frame
+    planted = spark.sql(
+        "SELECT id FROM (VALUES "
+        + ", ".join(
+            "(CAST(NULL AS STRING))" if r["id"] is None else f"('{r['id']}')"
+            for r in _dirty_rows()
+        )
+        + ") AS t(id)"
     )
     merged_ids = cat.df().select("id")
     return (

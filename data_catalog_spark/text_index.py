@@ -522,8 +522,15 @@ class SegmentedTextIndex:
         only the (seg, id) hits, bounded by |batch| × live copies."""
         if not segments or not batch:
             return segments
+        # VALUES literal, not createDataFrame(list): a pickled local
+        # relation re-runs a Python-worker scan per action (guide §4);
+        # the per-micro-batch id list is small enough to inline in SQL
+        ids_sql = ", ".join(
+            "('" + i.replace("\\", "\\\\").replace("'", "\\'") + "')"
+            for i in sorted(set(batch))
+        )
         batch_df = F.broadcast(
-            self.spark.createDataFrame([(i,) for i in sorted(set(batch))], "id string")
+            self.spark.sql(f"SELECT id FROM (VALUES {ids_sql}) AS t(id)")
         )
         tagged = None
         for i, rec in enumerate(segments):
