@@ -1259,6 +1259,8 @@ def _blocking_stats_sql(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     pretokenized: bool = False,
+    sig_view: str | None = None,
+    fps_view: str | None = None,
 ) -> str:
     """The three-arm truncation report in either engine's dialect — one
     semantic definition, two spellings (the sqlgen pattern).  The md5
@@ -1375,23 +1377,39 @@ def _blocking_stats_sql(
         if pretokenized
         else f"SELECT {repartition_hint} doc_id, {tokens} AS t FROM {table}"
     )
-    return f"""
-WITH toks AS ({toks_body}),
-sh0 AS ({sh0}),
-shbuckets AS (SELECT count(*) AS n FROM sh0 GROUP BY s HAVING count(*) > 1),
-hashed AS (SELECT doc_id, {h32} AS h FROM sh0),
+    # the sig and fpst streams can come from already-materialized views
+    # (Spark: the memoized mh_sig_table / sh_fps_table — same machinery,
+    # one build per corpus version, shared with the dedup entries) instead
+    # of being re-derived per invocation; the DuckDB oracle keeps the full
+    # inline derivation, which is the cross-engine pin that the memoized
+    # tables ARE that derivation
+    sig_ctes = (
+        f"sig AS (SELECT * FROM {sig_view})"
+        if sig_view
+        else f"""hashed AS (SELECT doc_id, {h32} AS h FROM sh0),
 sig AS (SELECT doc_id, {mins}
-        FROM hashed GROUP BY doc_id),
-bandt AS (
-  {band_arms}),
-bbuckets AS (SELECT count(*) AS n FROM bandt GROUP BY band, band_hash
-             HAVING count(*) > 1),
-tok AS (SELECT doc_id, w, count(*) AS cnt
+        FROM hashed GROUP BY doc_id)"""
+    )
+    fps_ctes = (
+        f"fpst AS (SELECT * FROM {fps_view})"
+        if fps_view
+        else f"""tok AS (SELECT doc_id, w, count(*) AS cnt
         FROM ({tok_un}) GROUP BY 1, 2),
 thashed AS (SELECT doc_id, cnt, {h60} AS h FROM tok),
 votes AS (SELECT doc_id, {votes}
           FROM thashed GROUP BY doc_id),
-fpst AS (SELECT doc_id, {packed} AS fp FROM votes),
+fpst AS (SELECT doc_id, {packed} AS fp FROM votes)"""
+    )
+    return f"""
+WITH toks AS ({toks_body}),
+sh0 AS ({sh0}),
+shbuckets AS (SELECT count(*) AS n FROM sh0 GROUP BY s HAVING count(*) > 1),
+{sig_ctes},
+bandt AS (
+  {band_arms}),
+bbuckets AS (SELECT count(*) AS n FROM bandt GROUP BY band, band_hash
+             HAVING count(*) > 1),
+{fps_ctes},
 chunkt AS (
   {chunk_arms}),
 cbuckets AS (SELECT count(*) AS n FROM chunkt GROUP BY j, c HAVING count(*) > 1)
@@ -1411,9 +1429,13 @@ def dedup_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point of the row: it PROVES the caps were free here); at crawl
     scale the same query is the recall-loss audit for dedup_minhash /
     dedup_simhash / dedup_ngram_jaccard / dedup_incremental."""
-    # tokenize ONCE behind a checkpoint: the shingle arms and the simhash
-    # token arm both consume the same (doc_id, t) frame — the flat CTE form
-    # paid the corpus scan + tokenization twice (Spark inlines CTEs)
+    # the signature and simhash-fingerprint streams come from the memoized
+    # tables the dedup entries already share (one build per corpus
+    # version); only the shingle-DF arm still tokenizes, once, behind a
+    # checkpoint (the flat CTE form re-tokenized per consumer — Spark
+    # inlines CTEs)
+    mh_sig_table(spark, sf_dir).createOrReplaceTempView("__blk_sig")
+    sh_fps_table(spark, sf_dir).createOrReplaceTempView("__blk_fps")
     toks = (
         _docs(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -1422,7 +1444,13 @@ def dedup_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks.createOrReplaceTempView("__blocking_toks")
     return spark.sql(
-        _blocking_stats_sql("spark", table="__blocking_toks", pretokenized=True)
+        _blocking_stats_sql(
+            "spark",
+            table="__blocking_toks",
+            pretokenized=True,
+            sig_view="__blk_sig",
+            fps_view="__blk_fps",
+        )
     )
 
 
