@@ -260,15 +260,31 @@ def stem(token: str) -> str:
     return token
 
 
-def _stem_chain(var: str, backref: str, rules: list[tuple[str, str]]) -> str:
+def _stem_chain(
+    var: str, backref: str, rules: list[tuple[str, str]], rlike: bool = False
+) -> str:
     """One step's first-match-wins as a CASE chain (NOT nested replaces —
-    applying a later rule to an earlier rule's output would double-strip)."""
+    applying a later rule to an earlier rule's output would double-strip).
+
+    ``rlike``: guard each branch with a pattern MATCH instead of
+    replace-and-compare.  Equivalent because every rule is an anchored
+    suffix rewrite whose replacement always differs from the matched
+    suffix (match ⟹ change), and ~2× cheaper per token (the old guard
+    built the replaced string and string-compared it for every
+    non-matching rule).  The Spark renderer opts in; the DuckDB oracle
+    keeps the replace-and-compare spelling, so oracle equality pins the
+    equivalence on every stem-consuming gate row (a 4k-word fuzz against
+    the python twin also found zero divergence)."""
     branches = []
     for pat, rep in rules:
         r = rep.replace("$1", backref)
+        guard = (
+            f"{var} RLIKE '{pat}'"
+            if rlike
+            else f"regexp_replace({var}, '{pat}', '{r}') != {var}"
+        )
         branches.append(
-            f"WHEN regexp_replace({var}, '{pat}', '{r}') != {var} "
-            f"THEN regexp_replace({var}, '{pat}', '{r}')"
+            f"WHEN {guard} THEN regexp_replace({var}, '{pat}', '{r}')"
         )
     return "CASE " + " ".join(branches) + f" ELSE {var} END"
 
@@ -280,7 +296,7 @@ def spark_stem_transform(arr_expr: str) -> str:
     the expression geometrically)."""
     out = arr_expr
     for rules in STEM_STEPS:
-        out = f"transform({out}, x -> {_stem_chain('x', '$1', rules)})"
+        out = f"transform({out}, x -> {_stem_chain('x', '$1', rules, rlike=True)})"
     return out
 
 
