@@ -111,10 +111,10 @@ def _shingles(df: DataFrame) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy exact dedup on the normalized token stream: one shuffle
-    on md5, keeper = min doc_id per group."""
+    on md5, keeper = min doc_id per group.  Fingerprints come from the
+    memoized table shared with dedup_incremental's exact arm."""
     return (
-        _tokens(_docs(spark, sf_dir))
-        .select("doc_id", F.md5(F.expr("concat_ws(' ', t)")).alias("fp"))
+        exact_fps_table(spark, sf_dir)
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keeper_id"),
@@ -496,6 +496,22 @@ def mh_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derived(spark, sf_dir, f"sig|{MINHASH_K}", build)
 
 
+def exact_fps_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) exact content fingerprints (md5 of the normalized
+    token stream) over ALL documents — checkpointed + memoized
+    (consumers: dedup_exact, dedup_incremental's exact arm)."""
+
+    def build() -> DataFrame:
+        _docs(spark, sf_dir).createOrReplaceTempView("__xfp_docs")
+        d = _mh_dialect("spark")
+        return spark.sql(
+            f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
+            f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __xfp_docs)"
+        )
+
+    return _derived(spark, sf_dir, "exact-fps", build)
+
+
 def sh_fps_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp) 60-bit SimHash fingerprints over ALL documents —
     checkpointed + memoized (consumers: dedup_simhash, the blocking-stats
@@ -838,20 +854,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(|new| · bucket-occupancy), independent of corpus-pair count, with
     the same MAX_BAND_BUCKET skew cap as the batch dedup (count pre-pass,
     both engines)."""
-    _docs(spark, sf_dir).createOrReplaceTempView("__inc_docs")
     # signatures from the memoized table (mh_sig_table) — the banding
     # pass and the two estimate-joins reuse the one materialized copy
     mh_sig_table(spark, sf_dir).createOrReplaceTempView("__inc_sig")
     # the exact-arm fingerprints too: fps appears as BOTH sides of the
     # exact self-join and again under near's NOT IN — un-checkpointed,
     # the tokenize+md5 pass inlined EIGHT documents scans into the plan
-    # (r10 repeated-scan lint)
-    d = _mh_dialect("spark")
-    fps = spark.sql(
-        f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
-        f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __inc_docs)"
-    ).localCheckpoint(eager=False)
-    fps.createOrReplaceTempView("__inc_fps")
+    # (r10 repeated-scan lint); memoized (exact_fps_table) since r11 so
+    # the per-run cost is the probe, not a fresh corpus tokenize+md5
+    exact_fps_table(spark, sf_dir).createOrReplaceTempView("__inc_fps")
     return spark.sql(_incremental_pairs_sql("spark"))
 
 
