@@ -10,6 +10,20 @@ Stdout contract (the driver tail-captures only the LAST line):
 
 Per query: 2 timed runs, best-of taken (steady-state; the first run pays
 one-time scan-planning costs).  ``value`` is the sum of per-query seconds.
+
+r11 verdict ask #1: best-of-2 alone cannot distinguish computation from a
+session-memo cache hit, so every record now ALSO carries, per entry,
+``cold`` (run 1 — the first invocation in this process, which pays any
+one-time index/memo build) and ``steady`` (min of runs 2+).  Which number
+is the entry's contract is declared by INDEX_SERVE below: lanes whose
+semantics serve from or maintain a persisted/once-per-corpus index
+artifact are steady-contract (run 1 measures the artifact build the lane
+exists to amortize); everything else is batch analytics, where cold is
+the honest cost of the computation.  ``queries``/``value`` keep the
+historical best-of methodology unchanged for round-over-round
+comparability; the cold/steady split rides alongside (``cold_total_sec``
+/ ``steady_total_sec`` on the final line, full dicts in the detail line
+and BENCH_RUNS.json).
 """
 
 from __future__ import annotations
@@ -179,6 +193,37 @@ HEADLINE = [
 ]
 
 
+# Entries whose DECLARED semantics serve from / maintain a persisted or
+# once-per-corpus index artifact (persist.py store, text index, trained
+# quantizer, coded corpus): their first invocation pays the artifact
+# build that the lane exists to amortize, so STEADY (runs 2+) is the
+# contract number.  Every other entry is batch analytics — COLD (run 1)
+# is the honest per-computation cost.  The driver's PERF can compare
+# like-for-like using this declaration (r11 verdict ask #1).
+INDEX_SERVE = {
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_int8_topk",
+    "ann_filtered_topk",
+    "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
+    "ann_pq_reload_topk",
+    "ann_ivf_reload_topk",
+    "ann_pq_index_append",
+    "ann_recall_contract",
+    "cat_text_search_indexed",
+    "cat_stemmed_title_indexed",
+    "dedup_clusters_reload",
+    "dedup_clusters_incremental",
+    "dedup_incremental_indexed",
+    "stream_ann_pq_serve",
+    "stream_cluster_maintenance",
+    "media_phash_reload",
+    "kmeans_train",
+}
+
+
 # 1-min ambient loadavg at bench start above this ⇒ the number was taken
 # on a busy box and needs a quiet re-run before it is read as a regression
 # (three rounds of committed BENCH numbers needed out-of-band load context
@@ -231,11 +276,26 @@ def load_evidence(before: float | None, after: float | None) -> dict:
     }
 
 
+def split_cold_steady(
+    spreads: dict[str, list[float]],
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-entry (cold, steady) from the raw run lists: cold = run 1 (the
+    first invocation in this process), steady = min of runs 2+ (absent
+    when an entry somehow ran only once)."""
+    cold = {n: runs[0] for n, runs in spreads.items() if runs}
+    steady = {
+        n: min(runs[1:]) for n, runs in spreads.items() if len(runs) > 1
+    }
+    return cold, steady
+
+
 def headline_line(
     timings: dict[str, float],
     sf: float | None,
     load: dict | None = None,
     suspects: list[str] | None = None,
+    cold_total: float | None = None,
+    steady_total: float | None = None,
 ) -> str:
     """Build the FINAL stdout line: compact (< 1 KiB) and json.loads-able.
 
@@ -255,6 +315,13 @@ def headline_line(
         # + per-run loadavg samples live in BENCH_RUNS.json.
         "n_suspect": len(suspects or []),
     }
+    # cold (run-1) vs steady (runs 2+) totals: two scalars so the split
+    # survives the driver's bounded tail capture (full per-entry dicts
+    # ride the detail line + BENCH_RUNS.json).
+    if cold_total is not None:
+        base["cold_total_sec"] = round(cold_total, 3)
+    if steady_total is not None:
+        base["steady_total_sec"] = round(steady_total, 3)
     base.update(load or load_evidence(None, None))
     # Add the slowest queries one at a time while the line stays < 1000 B.
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -322,6 +389,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     load = load_evidence(load_before, os.getloadavg()[0])
+    cold, steady = split_cold_steady(spreads)
     # Per-run spread + per-query ambient loadavg samples go to a sidecar
     # file (box variance stays separable from regression) so the LAST
     # stdout line stays compact enough for the driver's tail capture —
@@ -336,6 +404,9 @@ def main() -> None:
                     "runs": spreads,
                     "loads": loads,
                     "suspects": suspects,
+                    "cold": cold,
+                    "steady": steady,
+                    "index_serve_lanes": sorted(INDEX_SERVE),
                     "sf": sf,
                     **load,
                 },
@@ -345,8 +416,26 @@ def main() -> None:
         pass
     # Full per-query detail on its own line (NOT last — driver tail-captures
     # only the final line, which must stay compact; see headline_line).
-    print(json.dumps({"queries": timings, "suspects": suspects}))
-    print(headline_line(timings, sf, load, suspects))
+    print(
+        json.dumps(
+            {
+                "queries": timings,
+                "suspects": suspects,
+                "cold": cold,
+                "steady": steady,
+            }
+        )
+    )
+    print(
+        headline_line(
+            timings,
+            sf,
+            load,
+            suspects,
+            cold_total=sum(cold.values()),
+            steady_total=sum(steady.values()),
+        )
+    )
     spark.stop()
 
 

@@ -1200,10 +1200,12 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-path pair generator (similarity.dedup_embedding_lsh) with the
     same min-label-propagation machinery the Jaccard clusters use.  This is
     the keeper-selection input for semantic dedup: keep cluster_id, drop
-    the rest."""
-    from .similarity import dedup_embedding_lsh
+    the rest.  Consumes the session-memoized scored pair frame
+    (`_emb_lsh_pairs` — the shared-derived-table contract); the
+    dedup_embedding_lsh ENTRY itself recomputes per invocation."""
+    from .similarity import _emb_lsh_pairs
 
-    edges = dedup_embedding_lsh(spark, sf_dir).select(
+    edges = _emb_lsh_pairs(spark, sf_dir).select(
         F.col("va").alias("a"), F.col("vb").alias("b")
     )
     return _connected_components(edges).select(

@@ -111,11 +111,18 @@ def _shingles(df: DataFrame) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy exact dedup on the normalized token stream: one shuffle
-    on md5, keeper = min doc_id per group.  Fingerprints come from the
-    memoized table shared with dedup_incremental's exact arm."""
+    on md5, keeper = min doc_id per group.  Batch analytics: fingerprints
+    are computed per invocation (r11 verdict — no memoized result frames
+    on plain batch entries); dedup_incremental's exact arm keeps the
+    shared exact_fps_table."""
+    _docs(spark, sf_dir).createOrReplaceTempView("__xd_docs")
+    d = _mh_dialect("spark")
+    fps = spark.sql(
+        f"SELECT doc_id, md5(concat_ws(' ', t)) AS fp "
+        f"FROM (SELECT doc_id, {d['tokens']} AS t FROM __xd_docs)"
+    )
     return (
-        exact_fps_table(spark, sf_dir)
-        .groupBy("fp")
+        fps.groupBy("fp")
         .agg(
             F.min("doc_id").alias("keeper_id"),
             F.count(F.lit(1)).alias("n_docs"),
@@ -187,28 +194,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two analyzed statements (capped shingles → checkpoint → pair join),
     the dedup_minhash execution form; the REPARTITION hint spreads the
     1-row-group local file across the executor threads (no-op on a
-    properly partitioned deployment input).  The scored pair frame is
-    session-memoized (`_derived`) — it is THE ground-truth table the
-    recall contract, LSH tuning report, leakage audit, and cluster lanes
-    all consume."""
-
-    def build() -> DataFrame:
-        hint = (
-            f"/*+ REPARTITION({spark.sparkContext.defaultParallelism},"
-            " doc_id) */"
-        )
-        _docs(spark, sf_dir).createOrReplaceTempView("__jac_docs")
-        sh = spark.sql(
-            f"""
+    properly partitioned deployment input).  Batch analytics: the full
+    pipeline runs per invocation (r11 verdict); the recall contract, LSH
+    tuning report, leakage audit, and cluster lanes share ONE memoized
+    copy of this ground-truth table through _PAIR_CACHE instead."""
+    hint = (
+        f"/*+ REPARTITION({spark.sparkContext.defaultParallelism},"
+        " doc_id) */"
+    )
+    _docs(spark, sf_dir).createOrReplaceTempView("__jac_docs")
+    sh = spark.sql(
+        f"""
 WITH toks AS (SELECT {hint} doc_id, {SPARK_TOKENS} AS t FROM __jac_docs),
 sh0 AS (SELECT doc_id, explode({SPARK_SHINGLES}) AS s FROM toks),
 dfs AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF})
 SELECT sh0.* FROM sh0 JOIN dfs USING (s)
 """
-        ).localCheckpoint(eager=False)
-        sh.createOrReplaceTempView("__jac_sh")
-        return spark.sql(
-            f"""
+    ).localCheckpoint(eager=False)
+    sh.createOrReplaceTempView("__jac_sh")
+    return spark.sql(
+        f"""
 WITH sh AS (SELECT * FROM __jac_sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 pairs AS (
@@ -220,9 +225,7 @@ SELECT da, db, round(common / (na.n + nb.n - common), 6) AS jac
 FROM pairs JOIN sizes na ON da = na.doc_id JOIN sizes nb ON db = nb.doc_id
 WHERE common / (na.n + nb.n - common) >= {JACCARD_THRESHOLD}
 """
-        )
-
-    return _derived(spark, sf_dir, "jacc-pairs", build).orderBy("da", "db")
+    ).orderBy("da", "db")
 
 
 # The pair query body, reusable as a subquery (dup-cluster resolution in
@@ -551,19 +554,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier DataFrame-composed chain spent ~7 of its 7.7 s at sf0.1 in
     eager per-operation Catalyst re-analysis; this form is analyzed twice
     total and runs in ~2.5 s with an identical result (the
-    dedup_blocking_stats finding, applied to the flagship dedup path)."""
-    # Signatures come from the memoized table (mh_sig_table): tiny
-    # (n_docs × k × 8 B), materialized once per corpus version, reused by
-    # the banding pass and the two estimate-joins below — the single-job
-    # analog of writing a signatures table at deployment scale.  The
-    # scored pair frame is itself memoized (`_derived`) for the recall
-    # contract and cluster-label lanes that consume it.
+    dedup_blocking_stats finding, applied to the flagship dedup path).
 
-    def build() -> DataFrame:
-        mh_sig_table(spark, sf_dir).createOrReplaceTempView("__mh_sig")
-        agree = _agree_sql()
-        return spark.sql(
-            f"""
+    This entry is BATCH ANALYTICS: it executes the full pipeline —
+    signatures included — per invocation (r11 verdict: returning a
+    session-memoized result frame made the bench measure cache reads).
+    The shared memoized tables (mh_sig_table, the _PAIR_CACHE scored
+    frames) still serve the recall-contract / tuning / cluster /
+    incremental consumers, which is where the materialized-view rationale
+    actually applies."""
+    # per-invocation signature build; the lazy checkpoint is plan reuse
+    # WITHIN this query (sig is read by the banding pass + two
+    # estimate-joins), not cross-invocation state
+    _docs(spark, sf_dir).createOrReplaceTempView("__mh_docs")
+    hint = (
+        f"/*+ REPARTITION({spark.sparkContext.defaultParallelism},"
+        " doc_id) */"
+    )
+    spark.sql(
+        f"WITH {_sig_ctes('spark', '__mh_docs', hint)} SELECT * FROM sig"
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__mh_sig")
+    agree = _agree_sql()
+    return spark.sql(
+        f"""
 WITH sig AS (SELECT * FROM __mh_sig),
 bands AS ({_band_defs('spark')}),
 ok AS (SELECT band, band_hash FROM bands GROUP BY 1, 2
@@ -580,9 +593,7 @@ SELECT da, db, round(({agree}) / CAST({MINHASH_K} AS DOUBLE), 6) AS est_jac
 FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
 WHERE ({agree}) / CAST({MINHASH_K} AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
-        )
-
-    return _derived(spark, sf_dir, "mh-pairs", build).orderBy("da", "db")
+    ).orderBy("da", "db")
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -671,13 +682,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair.  One exchange instead of a two-sided self-join.  Portable md5
     hashing ⇒ full DuckDB oracle; pytest compares against Jaccard ground
     truth.  Two-statement execution form (fingerprints → checkpoint →
-    pairs), same rationale as dedup_minhash; the pair frame is
-    session-memoized (`_derived`) for its recall-contract consumer."""
-
-    def build() -> DataFrame:
-        sh_fps_table(spark, sf_dir).createOrReplaceTempView("__sh_fps")
-        return spark.sql(
-            f"""
+    pairs), same rationale as dedup_minhash.  Batch analytics: the full
+    pipeline — fingerprints included — runs per invocation (r11 verdict);
+    the memoized sh_fps_table still serves the blocking-stats consumer,
+    and the recall-contract consumer shares through _PAIR_CACHE."""
+    _docs(spark, sf_dir).createOrReplaceTempView("__sh_docs")
+    hint = (
+        f"/*+ REPARTITION({spark.sparkContext.defaultParallelism},"
+        " doc_id) */"
+    )
+    spark.sql(
+        f"WITH {_fps_ctes('spark', '__sh_docs', hint)} SELECT * FROM fps"
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__sh_fps")
+    return spark.sql(
+        f"""
 WITH fps AS (SELECT * FROM __sh_fps),
 chunks AS ({_chunk_defs('spark', with_payload=True)}),
 ok AS (SELECT j, c FROM chunks GROUP BY 1, 2
@@ -694,9 +712,7 @@ SELECT DISTINCT p.da AS da, p.db AS db, p.hamming AS hamming FROM (
   FROM buckets)
 WHERE p.hamming <= {SIMHASH_MAX_HAMMING}
 """
-        )
-
-    return _derived(spark, sf_dir, "simhash-pairs", build).orderBy("da", "db")
+    ).orderBy("da", "db")
 
 
 def minhash_pairs_ctes(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:

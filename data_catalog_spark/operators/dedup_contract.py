@@ -72,7 +72,11 @@ _FRAME_BUILDERS = {
     "cosine_exact": lambda s, d: similarity.dedup_embedding_cosine(
         s, d
     ).select(F.col("va").alias("a"), F.col("vb").alias("b")),
-    "emb_lsh": lambda s, d: similarity.dedup_embedding_lsh(s, d).select(
+    # the scored emb-LSH frame is already session-memoized on its own
+    # (similarity._emb_lsh_pairs, shared with embedding_dup_clusters) —
+    # consume that copy rather than re-running the entry's per-invocation
+    # build a second time
+    "emb_lsh": lambda s, d: similarity._emb_lsh_pairs(s, d).select(
         F.col("va").alias("a"), F.col("vb").alias("b")
     ),
 }

@@ -480,10 +480,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUALITY self-join (probe side exploded to the Hamming-1 ball of each
     band's bits), never a cartesian product; the exact rounded cosine is
     evaluated only on candidates.  Deterministic (seeded plane literals) and
-    fully oracle-checked; pytest measures recall vs the exact pairs.  The
-    scored frame is session-memoized (`_emb_lsh_pairs`) for the recall
-    contract and embedding_dup_clusters consumers."""
-    return _emb_lsh_pairs(spark, sf_dir).orderBy("va", "vb")
+    fully oracle-checked; pytest measures recall vs the exact pairs.
+
+    Batch analytics: the candidate join + Arrow cosine scoring run per
+    invocation (r11 verdict — a memoized result frame made the bench
+    measure cache reads).  Only the coded corpus (`_pair_coded` — the
+    sign-LSH index itself, the r10-adjudicated code-table contract) is
+    shared; the recall-contract and embedding_dup_clusters consumers
+    share one scored copy through `_emb_lsh_pairs`/_PAIR_CACHE."""
+    return _emb_lsh_build(spark, sf_dir).orderBy("va", "vb")
 
 
 def _emb_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,7 +630,10 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic dedup, kNN-density outlier pruning): for every vector, its
     top-k nearest candidates by exact rounded cosine, candidates drawn
     from the banded sign-LSH Hamming-1 probe (the same memoized coded
-    corpus as dedup_embedding_lsh — never an all-pairs product).  Directed
+    corpus as dedup_embedding_lsh — never an all-pairs product).  Batch
+    analytics: the graph builds per invocation (r11 verdict — no memoized
+    result frames on plain batch entries); knn_density_outliers shares
+    one built copy through `_knn_graph_edges`.  Directed
     edges: the probe runs BOTH directions (vec_id <> vec_id), then one
     partition-keyed window ranks per source node (cos desc, neighbor id
     tiebreak).  Nodes whose Hamming-1 ball collides with nothing are
@@ -634,7 +642,7 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: explode is 9 rows/band on the probe side only, candidates are
     an equality join, the window is keyed on vec_id — no global sort, no
     unbounded frame."""
-    return _knn_graph_edges(spark, sf_dir).orderBy("vec_id", "rank")
+    return _knn_graph_build(spark, sf_dir).orderBy("vec_id", "rank")
 
 
 def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:

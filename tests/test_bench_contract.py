@@ -10,11 +10,14 @@ import json
 import random
 
 from bench import (
+    HEADLINE,
+    INDEX_SERVE,
     LOAD_QUIET_MAX,
     SUSPECT_SPREAD,
     headline_line,
     is_load_suspect,
     load_evidence,
+    split_cold_steady,
 )
 
 
@@ -125,6 +128,47 @@ def test_suspect_verdict_judges_steady_state_only():
     assert not is_load_suspect(cold_build[1:])  # ...but steady state clears
     mid_burst = [5.1, 34.6, 5.0]  # a burst inside the steady-state pair
     assert is_load_suspect(mid_burst[1:])
+
+
+def test_split_cold_steady():
+    """r11 verdict ask #1: every bench record distinguishes the cold
+    (run-1) cost from the steady-state (runs 2+) cost, so a session-memo
+    cache hit can never masquerade as a computation speedup."""
+    spreads = {
+        "memoizing": [3.4, 0.15, 0.14],  # cold build, warm cache reads
+        "flat": [1.0, 0.9],
+        "once": [2.0],
+    }
+    cold, steady = split_cold_steady(spreads)
+    assert cold == {"memoizing": 3.4, "flat": 1.0, "once": 2.0}
+    assert steady == {"memoizing": 0.14, "flat": 0.9}
+    assert "once" not in steady
+    assert split_cold_steady({}) == ({}, {})
+
+
+def test_cold_steady_totals_ride_the_final_line():
+    line = headline_line(
+        _fake_timings(500), sf=0.1, cold_total=123.4567, steady_total=98.7
+    )
+    assert len(line) < 1024
+    obj = json.loads(line)
+    assert obj["cold_total_sec"] == 123.457
+    assert obj["steady_total_sec"] == 98.7
+    # omitted ⇒ keys absent (old-round records stay interpretable)
+    obj = json.loads(headline_line(_fake_timings(3), sf=0.1))
+    assert "cold_total_sec" not in obj
+
+
+def test_index_serve_lanes_are_declared_headline_entries():
+    """The steady-contract declaration must name real bench entries (a
+    rename that orphans a declaration should fail loudly here)."""
+    assert INDEX_SERVE <= set(HEADLINE)
+    # spot-pin the two semantic classes: reload lanes are steady-contract,
+    # the plain batch dedup entries are cold-contract (r11 verdict ask #1)
+    assert "ann_pq_reload_topk" in INDEX_SERVE
+    assert "dedup_minhash" not in INDEX_SERVE
+    assert "dedup_ngram_jaccard" not in INDEX_SERVE
+    assert "knn_graph_lsh" not in INDEX_SERVE
 
 
 def test_headline_line_carries_suspect_count():
