@@ -394,7 +394,23 @@ def _arrow_pair_cos(cand: DataFrame, a: DataFrame, b: DataFrame) -> DataFrame:
     row as the HOF, so the dots are bit-identical.  Division and 6dp
     rounding stay JVM-side, unchanged from the HOF formulation (numpy's
     half-even round would NOT match SQL's half-up).  Only the five needed
-    columns cross the boundary (guide §4.1)."""
+    columns cross the boundary (guide §4.1).
+
+    The candidate set is repartitioned to the executor thread count
+    first: AQE coalesces the upstream distinct's output by BYTES (a few
+    MB of (va, vb) ids → ~5 post-shuffle partitions), but the work per
+    row downstream — two vector attaches + the Arrow transpose + the
+    numpy fold — is CPU-heavy, so byte-sized partitions left ~27 of 32
+    threads idle (measured: the 5-task scoring stage was 2.0 s of the
+    entry's 3.3 s exec wall).  An explicit round-robin exchange of the
+    skinny id pairs is cheap and scale-adaptive (defaultParallelism); it
+    must NOT be keyed on (va, vb) — a hash repartition there is elided by
+    Catalyst as redundant with the upstream distinct's exchange, whose
+    ENSURE_REQUIREMENTS origin AQE then coalesces by bytes again
+    (observed).  User-numbered round-robin survives both."""
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    )
     joined = cand.join(
         a.select(
             F.col("vec_id").alias("va"),
