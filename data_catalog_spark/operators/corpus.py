@@ -182,10 +182,21 @@ def _connected_components(edges: DataFrame) -> DataFrame:
     or both directions; self-loops and duplicates are tolerated)."""
     spark = edges.sparkSession
     # normalize: undirected edge set, one (greater, lesser) row per pair.
-    # All checkpoints here are LAZY (eager=False): the count() that loop
-    # control needs anyway is the materializing job, so each round costs
-    # ONE job instead of three — on near-star inputs (the incremental /
+    # All checkpoints here are LAZY (eager=False): the per-round scalar
+    # stats statement that loop control needs is the materializing job,
+    # so each round costs ONE job — on near-star inputs (the incremental /
     # streaming merges) driver job-submission gap dominates wall time.
+    #
+    # Loop control IS the star-forest test (r12): a height-1 forest in
+    # which no node is both a source and a root is the fixpoint of both
+    # star operations, the star ops preserve connectivity, and the
+    # component minimum can never point anywhere (nothing smaller exists)
+    # — so (n == count-distinct-sources AND chain == 0) certifies the
+    # exact min-labeled closure directly.  The previous loop detected
+    # edge-set STABILITY (count + exceptAll) and then verified the star
+    # forest separately: one full extra large-star/small-star round plus
+    # two extra driver-blocking jobs per call, on every one of the six
+    # CC consumers' critical paths.
     cur = (
         edges.where(F.col("a") != F.col("b"))
         .select(
@@ -194,10 +205,16 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_cur = cur.count()
+    _STAR_STATS_SQL = """
+SELECT count(*) AS n, count(DISTINCT a) AS na,
+       (SELECT count(*) FROM __cc_star x JOIN __cc_star y ON x.b = y.a)
+         AS chain
+FROM __cc_star"""
     converged = False
-    for _ in range(MAX_CC_ROUNDS):
-        if n_cur == 0:
+    for _ in range(MAX_CC_ROUNDS + 1):
+        cur.createOrReplaceTempView("__cc_star")
+        stats = spark.sql(_STAR_STATS_SQL).first()
+        if stats.n == 0 or (stats.n == stats.na and stats.chain == 0):
             converged = True
             break
         # large-star's only consumer is small-star in the SAME round, so it
@@ -205,40 +222,15 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         # window shuffles, and the small-star checkpoint truncates lineage.
         cur.createOrReplaceTempView("__cc_edges")
         spark.sql(_LARGE_STAR_SQL).createOrReplaceTempView("__cc_edges")
-        new = spark.sql(_SMALL_STAR_SQL).localCheckpoint(eager=False)
-        n_new = new.count()
-        # both sides are DISTINCT sets in (greater, lesser) orientation, so
-        # equal count + empty one-sided difference ⇔ set equality
-        if n_new == n_cur and new.exceptAll(cur).count() == 0:
-            cur, n_cur = new, n_new
-            converged = True
-            break
-        cur, n_cur = new, n_new
+        cur = spark.sql(_SMALL_STAR_SQL).localCheckpoint(eager=False)
     if not converged:
-        # A graph that somehow fails to stabilize would otherwise return
-        # SILENTLY split clusters (and diverge from the oracles' exact
-        # recursive closure).  Fail loudly — the cap is a runaway bound,
-        # not an approximation knob.
+        # A graph that somehow fails to reach a star forest would
+        # otherwise return SILENTLY split clusters (and diverge from the
+        # oracles' exact recursive closure).  Fail loudly — the cap is a
+        # runaway bound, not an approximation knob.
         raise RuntimeError(
             f"connected components did not converge in {MAX_CC_ROUNDS} "
             "large-star/small-star rounds — raise MAX_CC_ROUNDS"
-        )
-    # Star-forest postcondition: no node is both a source and a root.  The
-    # star ops preserve connectivity, the component minimum can never point
-    # anywhere (nothing smaller exists), and a height-1 forest with that
-    # invariant IS the exact min-labeled closure — this check turns any
-    # convergence-theory gap into a loud error instead of a wrong answer.
-    cur.createOrReplaceTempView("__cc_star")
-    stats = spark.sql(
-        """
-SELECT count(*) AS n, count(DISTINCT a) AS na,
-       (SELECT count(*) FROM __cc_star x JOIN __cc_star y ON x.b = y.a)
-         AS chain
-FROM __cc_star"""
-    ).first()
-    if stats.n != stats.na or stats.chain != 0:
-        raise RuntimeError(
-            "connected components: converged edge set is not a star forest"
         )
     return cur.select(
         F.col("a").alias("node"), F.col("b").alias("label")
