@@ -190,9 +190,16 @@ def bm25_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
     pipeline as tfidf_scores plus the doc-length join; N and total token
     count are driver scalars (planner stats), embedded as literals so the
     weight expression is identical text on both engines."""
-    n_docs = docs.count()
+    # ONE scalar job for both planner stats (count ≡ rows of dl_df since
+    # size() is never null): the split form paid an extra driver-blocking
+    # job + an extra pass per invocation, and this fn-phase cost rides
+    # every BM25 consumer (bm25_search_topk, rag_passage_topk,
+    # hybrid_search_rrf_bm25).
     dl_df = docs.select("doc_id", F.size(F.expr(SPARK_TOKENS)).alias("dl"))
-    total_tokens = dl_df.agg(F.sum("dl")).collect()[0][0]
+    stats = dl_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tt")
+    ).first()
+    n_docs, total_tokens = stats.n, stats.tt
     postings = doc_postings(docs)
     q = spark.createDataFrame([(t,) for t in QUERY_TERMS], "term string")
     matched = postings.join(F.broadcast(q), "term")
