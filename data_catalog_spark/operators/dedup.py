@@ -478,7 +478,12 @@ def _derived(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     )
     hit = _DERIVED_CACHE.get(id(spark), key)
     if hit is None:
-        hit = build().localCheckpoint(eager=False)
+        # written table, not a localCheckpoint: full-corpus derived state
+        # must not pin executor storage for the session's lifetime
+        # (io.process_scratch_table rationale; r11 verdict ask #7)
+        from ..io import process_scratch_table
+
+        hit = process_scratch_table(build(), tag.split("|")[0])
         _DERIVED_CACHE.put(id(spark), key, hit)
     return hit
 

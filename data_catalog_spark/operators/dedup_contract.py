@@ -96,8 +96,13 @@ def _pairs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     )
     hit = _PAIR_CACHE.get(id(spark), key)
     if hit is None:
-        hit = _FRAME_BUILDERS[kind](spark, sf_dir).localCheckpoint(
-            eager=False
+        # written table, not a localCheckpoint (io.process_scratch_table
+        # rationale): the ground-truth pair tables serve many consumers
+        # but must not pin executor storage for the session's lifetime
+        from ..io import process_scratch_table
+
+        hit = process_scratch_table(
+            _FRAME_BUILDERS[kind](spark, sf_dir), f"pairs-{kind}"
         )
         _PAIR_CACHE.put(id(spark), key, hit)
     return hit

@@ -485,7 +485,13 @@ def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = _EMB_PAIRS_CACHE.get(id(spark), key)
     if hit is None:
-        hit = _emb_lsh_build(spark, sf_dir).localCheckpoint(eager=False)
+        # written table, not a localCheckpoint (io.process_scratch_table
+        # rationale — derived corpus state must not pin executor storage)
+        from ..io import process_scratch_table
+
+        hit = process_scratch_table(
+            _emb_lsh_build(spark, sf_dir), "emb-lsh-pairs"
+        )
         _EMB_PAIRS_CACHE.put(id(spark), key, hit)
     return hit
 
@@ -635,7 +641,13 @@ def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = _KNN_GRAPH_CACHE.get(id(spark), key)
     if hit is None:
-        hit = _knn_graph_build(spark, sf_dir).localCheckpoint(eager=False)
+        # written table, not a localCheckpoint (io.process_scratch_table
+        # rationale — derived corpus state must not pin executor storage)
+        from ..io import process_scratch_table
+
+        hit = process_scratch_table(
+            _knn_graph_build(spark, sf_dir), "knn-edges"
+        )
         _KNN_GRAPH_CACHE.put(id(spark), key, hit)
     return hit
 

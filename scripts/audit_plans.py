@@ -101,11 +101,40 @@ ALLOWED: dict[str, dict[str, tuple[int, str]]] = {
     "hybrid_search_rrf": {"cartesian": (1, _QUERY_SET_BCAST)},
     "hybrid_search_rrf_bm25": {"cartesian": (1, _QUERY_SET_BCAST)},
     "hard_negative_mining": {"cartesian": (1, _QUERY_SET_BCAST)},
+    # ---- repeated reads of WRITTEN process-scratch derived tables ----
+    # io.process_scratch_table (r12, r11 verdict ask #7): the memoized
+    # signature / fingerprint / probe-union tables are parquet on disk,
+    # not executor blocks, so every view reference is a FileScan.  The
+    # lint exists to catch re-DERIVATION of a CTE per consumer; these are
+    # bounded columnar reads of materialized state — the deployment shape
+    # for probe-side tables — with zero recomputation behind them.
+    "dedup_incremental": {
+        "repeated-scan": (
+            2,
+            "exact-fp + signature scratch tables read per arm of the "
+            "one-statement report (materialized state, no recompute)",
+        ),
+    },
+    "dedup_incremental_indexed": {
+        "repeated-scan": (
+            2,
+            "probe-side union scratch tables read per arm of the "
+            "one-statement report (materialized state, no recompute)",
+        ),
+    },
     # ---- broadcast 1-row totals / scalar thresholds ----
     "bigram_lm_perplexity": {"cartesian": (1, _SCALAR_BCAST)},
     # the scalar |exact-pairs| count crossed onto the 3-row layout
     # literal table (r11 single-pass rewrite) — 1×3 by construction
-    "dedup_lsh_tuning_report": {"cartesian": (1, _SCALAR_BCAST)},
+    "dedup_lsh_tuning_report": {
+        "cartesian": (1, _SCALAR_BCAST),
+        "repeated-scan": (
+            1,
+            "the one memoized signature scratch table (written parquet, "
+            "io.process_scratch_table) read by the banding pass and the "
+            "scoring joins (materialized state, no recompute)",
+        ),
+    },
     # two 1-row totals (corpus NLL + boost normalizer) over the
     # checkpointed |sources|-row frame; Catalyst folds them into 1-2
     # broadcast nested loops depending on stats

@@ -277,12 +277,14 @@ def test_blocking_stats_plan_tokenizes_once(spark, sf_dir):
     arm must share ONE materialized token frame — the flat CTE form paid
     the documents scan + tokenization once per consumer (Spark inlines
     CTEs).  Same pin as the funnel fix: the report plan itself reads the
-    checkpointed tokens, so it carries zero parquet scans."""
+    checkpointed tokens and the memoized sig/fp tables (written
+    process-scratch parquet since r12), so it never scans the CORPUS —
+    zero documents.parquet FileScans means zero re-tokenizations."""
     from data_catalog_spark.operators.dedup import dedup_blocking_stats
 
     df = dedup_blocking_stats(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") == 0, plan
+    assert "documents.parquet" not in plan, plan
 
 
 # -- duplicated-span detection ------------------------------------------------
